@@ -1,0 +1,234 @@
+"""Column-expression building blocks (SURVEY §2.2 P6-P14).
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, codegen'd,
+zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# P6: code construction — "//"-joined literals + columns, nulls -> "UNK"
+# (reference extract/convert_to_sharded_events.py:33-98, get_code_expr)
+# ---------------------------------------------------------------------------
+
+
+def code_expr(parts: Sequence[str | Column], sep: str = "//") -> Column:
+    """Build a MEDS code string from literal and column parts.
+
+    Strings wrapped in ``col(...)`` (or Column objects) are treated as
+    column references whose null values become ``"UNK"``; bare strings are
+    literals. Mirrors the reference's code list semantics.
+    """
+    cols: list[Column] = []
+    for p in parts:
+        if isinstance(p, Column):
+            cols.append(F.coalesce(p.cast("string"), F.lit("UNK")))
+        elif isinstance(p, str) and p.startswith("col(") and p.endswith(")"):
+            name = p[4:-1]
+            cols.append(F.coalesce(F.col(name).cast("string"), F.lit("UNK")))
+        else:
+            cols.append(F.lit(str(p)))
+    return F.concat_ws(sep, *cols)
+
+
+# ---------------------------------------------------------------------------
+# P7: multi-format time parsing — coalesce strptime across formats
+# (reference convert_to_sharded_events.py:28-30,421-438)
+# ---------------------------------------------------------------------------
+
+#: Python strftime -> Spark (JDK DateTimeFormatter) pattern fragments.
+_STRFTIME_TO_SPARK = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%p": "a",
+    "%I": "hh",
+    "%%": "%",
+}
+
+
+def strftime_to_spark(fmt: str) -> str:
+    """Translate a Python/Polars strftime pattern to a Spark datetime pattern.
+
+    Literal text is quoted per JDK rules so e.g. ``"%m/%d/%Y, %H:%M:%S"``
+    round-trips exactly.
+    """
+    out: list[str] = []
+    i = 0
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if literal:
+            text = "".join(literal)
+            if any(ch.isalpha() for ch in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            literal.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            token = fmt[i : i + 2]
+            if token in _STRFTIME_TO_SPARK:
+                flush_literal()
+                out.append(_STRFTIME_TO_SPARK[token])
+                i += 2
+                continue
+        literal.append(fmt[i])
+        i += 1
+    flush_literal()
+    return "".join(out)
+
+
+def multi_format_time_parse(col: str | Column, formats: Sequence[str]) -> Column:
+    """``coalesce(to_timestamp(c, f) for f in formats)`` with strftime input.
+
+    Spark's ``to_timestamp`` returns null on parse failure (ANSI off),
+    matching Polars' non-strict strptime; coalescing across formats
+    reproduces the reference's multi-format fallback.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(*[F.to_timestamp(c, strftime_to_spark(f)) for f in formats])
+
+
+# ---------------------------------------------------------------------------
+# P8: typed value coercion (reference convert_to_sharded_events.py:445-490)
+# ---------------------------------------------------------------------------
+
+
+def coerce_typed_values(
+    df: DataFrame,
+    numeric_value: str | None = None,
+    text_value: str | None = None,
+    categorical_value: str | None = None,
+) -> DataFrame:
+    """Non-strict typed coercion: numeric -> float (unparseable -> null),
+    text/categorical -> string. Spark casts are non-strict by default,
+    matching Polars ``strict=False``."""
+    out = df
+    if numeric_value:
+        out = out.withColumn("numeric_value", F.col(numeric_value).cast("double"))
+    if text_value:
+        out = out.withColumn("text_value", F.col(text_value).cast("string"))
+    if categorical_value:
+        out = out.withColumn(
+            "categorical_value", F.col(categorical_value).cast("string")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P10: fill infinite/null -> NaN (reference transforms/tokenization.py:30-56)
+# ---------------------------------------------------------------------------
+
+
+def fill_to_nans(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNull() | (F.abs(c) == F.lit(float("inf"))), F.lit(float("nan"))
+    ).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# P13: time-unit normalization (reference add_time_derived_measurements.py:105-169)
+# ---------------------------------------------------------------------------
+
+_TIME_UNITS: dict[str, tuple[tuple[str, ...], float]] = {
+    "years": (("y", "yr", "yrs", "year", "years"), 365.25 * 24 * 60 * 60),
+    "months": (("mo", "mos", "month", "months"), 30.436875 * 24 * 60 * 60),
+    "weeks": (("w", "wk", "wks", "week", "weeks"), 7 * 24 * 60 * 60),
+    "days": (("d", "day", "days"), 24 * 60 * 60),
+    "hours": (("h", "hr", "hrs", "hour", "hours"), 60 * 60),
+    "minutes": (("m", "min", "mins", "minute", "minutes"), 60.0),
+    "seconds": (("s", "sec", "secs", "second", "seconds"), 1.0),
+}
+
+
+def normalize_time_unit(unit: str) -> tuple[str, float]:
+    """alias -> (canonical unit name, seconds per unit).
+
+    Same alias table and year/month constants as the reference
+    (add_time_derived_measurements.py:105-169).
+    """
+    u = unit.lower()
+    for canonical, (aliases, seconds) in _TIME_UNITS.items():
+        if u in aliases:
+            return canonical, seconds
+    raise ValueError(f"unknown time unit: {unit!r}")
+
+
+# ---------------------------------------------------------------------------
+# Ordering / dedup / join discipline helpers (SURVEY §1.5, §2.7 U2, §3 J2)
+# ---------------------------------------------------------------------------
+
+
+def meds_order_window(*extra_order_cols: str | Column) -> Window:
+    """Canonical MEDS per-patient window: partition by patient, order by
+    time with nulls (static rows) first, then any tiebreakers.
+
+    Spark DataFrames are unordered multisets; every order-sensitive op in
+    this engine goes through an explicit window like this one
+    (reference relies on Polars ``maintain_order`` instead,
+    e.g. merge_to_MEDS_cohort.py:190-198)."""
+    return Window.partitionBy("patient_id").orderBy(
+        F.asc_nulls_first("time"), *extra_order_cols
+    )
+
+
+def keep_first(
+    df: DataFrame, subset: Sequence[str], order_by: Sequence[str | Column]
+) -> DataFrame:
+    """Deterministic keep-first dedup: Polars ``unique(subset,
+    maintain_order=True)`` with an explicit total order.
+
+    ``dropDuplicates`` keeps an arbitrary row; when the reference's
+    keep-first-in-order bit matters (merge_to_MEDS_cohort.py:27-31) use this
+    ``row_number()==1`` form instead."""
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join treating null==null on every key (Polars ``join_nulls=True``,
+    reference normalization.py:194-211, aggregate_code_metadata.py:531-546).
+
+    Emits one coalesced copy of each key column. ``broadcast_right`` hints
+    the dimension side — code metadata is always metadata-scale, so at
+    100 TB this stays a broadcast-hash join with zero shuffle of the fact
+    table."""
+    # Rename right-side keys so the join works even when `right` derives
+    # from `left` (self-join lineage would make bare key refs ambiguous).
+    r = right
+    for k in on:
+        r = r.withColumnRenamed(k, f"__{k}__rk")
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__{k}__rk"))
+    joined = left.join(r, cond, how)
+    keep = [F.coalesce(F.col(k), F.col(f"__{k}__rk")).alias(k) for k in on]
+    left_rest = [F.col(c) for c in left.columns if c not in on]
+    right_rest = [F.col(c) for c in right.columns if c not in on]
+    return joined.select(*keep, *left_rest, *right_rest)

@@ -1,0 +1,98 @@
+"""Patient split + shard assignment (SURVEY §2.8 X2, §2.4 A6).
+
+Reference: src/MEDS_transforms/extract/split_and_shard_patients.py:16-153 —
+a seeded NumPy permutation of the distinct patient ids assigns
+train/tuning/held_out fractions, optionally honoring externally-provided
+splits, then chunks each split into <= n_patients_per_shard shards.
+
+Spark mapping: the distinct-id harvest is distributed
+(``select(pid).distinct()``); the permutation itself runs driver-side with
+NumPy — identical algorithm + seed ⇒ identical splits to the reference —
+because the id list is patient-count-scale (millions), not row-scale. The
+result returns as a (patient_id, split) DataFrame that downstream stages
+**broadcast-join** against the fact table. Shard assignment dissolves into
+partitioning, but is still computable for parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def harvest_patient_ids(frames: Sequence[DataFrame], patient_id_col: str = "patient_id") -> list[int]:
+    """Distinct non-null patient ids across inputs
+    (reference split_and_shard_patients.py:201-225)."""
+    dfs = [f.select(F.col(patient_id_col).cast("long").alias("patient_id")) for f in frames]
+    unioned = reduce(lambda a, b: a.unionByName(b), dfs)
+    rows = unioned.na.drop().distinct().collect()
+    return sorted(r.patient_id for r in rows)
+
+
+def shard_patients(
+    patient_ids: Sequence[int],
+    n_patients_per_shard: int = 50_000,
+    external_splits: dict[str, Sequence[int]] | None = None,
+    split_fracs_dict: dict[str, float] | None = None,
+    seed: int = 1,
+) -> dict[str, list[int]]:
+    """Seeded split+shard, same algorithm as the reference
+    (split_and_shard_patients.py:16-153): external splits are honored
+    first; remaining ids get a seeded permutation partitioned by the
+    cumulative fractions; each split is chunked into
+    ``ceil(n/shard_size)`` equal shards named ``{split}/{i}``."""
+    import numpy as np
+
+    split_fracs_dict = split_fracs_dict or {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+    if abs(sum(split_fracs_dict.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+
+    external_splits = {k: list(v) for k, v in (external_splits or {}).items()}
+    external_ids = {pid for ids in external_splits.values() for pid in ids}
+    remaining = np.array([p for p in patient_ids if p not in external_ids])
+
+    rng = np.random.default_rng(seed)
+    if len(remaining):
+        remaining = rng.permutation(remaining)
+        fracs = np.array(list(split_fracs_dict.values()))
+        cuts = np.round(np.cumsum(fracs) * len(remaining)).astype(int)[:-1]
+        chunks = np.array_split(remaining, cuts)
+        splits = {
+            name: [*external_splits.get(name, []), *chunk.tolist()]
+            for name, chunk in zip(split_fracs_dict, chunks)
+        }
+    else:
+        splits = external_splits
+    for name, ids in external_splits.items():
+        splits.setdefault(name, ids)
+
+    shards: dict[str, list[int]] = {}
+    for split, ids in splits.items():
+        if not ids:
+            continue
+        n_shards = max(1, -(-len(ids) // n_patients_per_shard))
+        for i, chunk in enumerate(np.array_split(np.array(ids), n_shards)):
+            shards[f"{split}/{i}"] = [int(x) for x in chunk]
+    return shards
+
+
+def splits_to_dataframe(spark: SparkSession, shards: dict[str, list[int]]) -> DataFrame:
+    """Shard map -> (patient_id, split) dimension table for broadcast joins
+    (the finalize-stage patient_splits.parquet,
+    reference finalize_MEDS_metadata.py:196-217)."""
+    rows = [
+        (pid, shard_name.split("/")[0])
+        for shard_name, ids in shards.items()
+        for pid in ids
+    ]
+    return spark.createDataFrame(rows, "patient_id long, split string")
+
+
+def filter_to_split(df: DataFrame, splits_df: DataFrame, split: str) -> DataFrame:
+    """Patient-subset filter via broadcast semi-join (SURVEY §2.2 P3;
+    reference mapper.py:141-146 does isin against a collected list)."""
+    ids = splits_df.filter(F.col("split") == split).select("patient_id")
+    return df.join(F.broadcast(ids), on="patient_id", how="left_semi")

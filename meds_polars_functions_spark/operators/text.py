@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond-reference: language ID (stopword heuristic), quality scoring,
+token counting, document fingerprinting. Everything is a native column
+expression — regex split, array ops, `aggregate` folds — so these run
+inside whole-stage codegen over 100 TB of documents with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORDS = lambda c: F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda w: w != "")  # noqa: E731
+
+#: Tiny per-language stopword lists — enough signal for an n-gram-free
+#: heuristic language id over web text.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "du", "est", "que", "pour", "dans", "qui", "au"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für", "auf", "des", "ein", "eine", "nicht"),
+    "es": ("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "del"),
+}
+
+
+def token_count(text_col: str) -> F.Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+
+
+def bpe_ish_token_count(text_col: str) -> F.Column:
+    """BPE-ish token estimate: count word pieces + standalone
+    punctuation/digits via a GPT-style pre-tokenizer regex."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality metrics: lengths, word stats, punctuation /
+    digit / uppercase ratios, stopword ratio — the standard cheap quality
+    filters (C4/Gopher-style) as one projection."""
+    t = F.col(text_col)
+    words = _WORDS(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        token_count(text_col).alias("n_tokens_ws"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        (
+            F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            / F.when(n_words > 0, n_words)
+        ).alias("mean_word_len"),
+        (
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+            / F.when(n_chars > 0, n_chars)
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.when(n_chars > 0, n_chars)
+        ).alias("digit_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.when(n_chars > 0, n_chars)
+        ).alias("upper_ratio"),
+        (
+            F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
+            / F.when(n_words > 0, n_words)
+        ).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit
+    counts; 'und' when nothing matches. A greatest-of-structs argmax —
+    fully native."""
+    words = _WORDS(F.col(text_col))
+    scores = []
+    for lang, stops in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in stops])
+        score = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        # struct ordering compares fields in order: (score, lang)
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out_col),
+        best["s"].alias("stopword_hits"),
+    )
+
+
+def doc_fingerprint(text_col: str, mod: int = (1 << 61) - 1, base: int = 1_000_003) -> F.Column:
+    """Deterministic rolling polynomial fingerprint over normalized words:
+    fold (acc * base + xxhash64(word)) mod p. Order-sensitive (unlike a
+    bag-of-words hash) and identically computable in any engine with a
+    list fold — used for cross-engine content identity."""
+    words = _WORDS(F.col(text_col))
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(base) + F.pmod(F.xxhash64(w), F.lit(mod))) % F.lit(mod),
+    )
+
+
+def fingerprint_documents(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+
+
+def portable_fingerprint(
+    text_col: str, char_base: int = 131, word_base: int = 1_000_003, mod: int = (1 << 31) - 1
+) -> F.Column:
+    """Engine-portable rolling fingerprint: per-word char-code fold
+    (h = h*131 + codepoint mod p), then an ordered word-level fold.
+    Pure integer arithmetic over unicode code points — computable
+    identically in any SQL engine with list folds (used by the DuckDB
+    correctness oracle; ``doc_fingerprint`` is the fast xxhash64 path)."""
+    words = _WORDS(F.col(text_col))
+    word_hash = lambda w: F.aggregate(  # noqa: E731
+        F.filter(F.split(w, ""), lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(char_base) + F.ascii(ch)) % F.lit(mod),
+    )
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(word_base) + word_hash(w)) % F.lit(mod),
+    )

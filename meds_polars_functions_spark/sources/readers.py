@@ -1,0 +1,73 @@
+"""Sources (SURVEY §2.1 S1-S5).
+
+Parquet / CSV / gzip-CSV scans with the reference's format-priority
+resolution (reference extract/utils.py:41-131) and the row-index attach
+(shard_events.py:50-162). Spark reads ``.csv.gz`` transparently and does
+sampled schema inference natively, so S2/S3 collapse into reader options.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Priority order mirrors reference extract/utils.py:13-35.
+FORMAT_PRIORITY = (".parquet", ".csv.gz", ".csv")
+
+
+def resolve_input_path(prefix: str) -> str:
+    """Given a path prefix, pick the highest-priority existing file
+    (``.parquet`` > ``.csv.gz`` > ``.csv``), reference extract/utils.py:41-131."""
+    for suffix in FORMAT_PRIORITY:
+        candidate = prefix + suffix
+        if os.path.exists(candidate):
+            return candidate
+    raise FileNotFoundError(f"no input found for prefix {prefix!r} among {FORMAT_PRIORITY}")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    infer_schema_length: int | None = 10_000,
+) -> DataFrame:
+    """Read parquet/csv/csv.gz by extension; optionally prune columns.
+
+    Column pruning here (reference shard_events.py:165-264 does it manually)
+    is mostly cosmetic on parquet — Catalyst prunes at the scan — but on CSV
+    it avoids inferring types for unused columns.
+    """
+    if path.endswith(".parquet"):
+        df = spark.read.parquet(path)
+    elif path.endswith((".csv", ".csv.gz")):
+        reader = spark.read.option("header", "true")
+        if infer_schema_length:
+            # Spark samples by ratio, not row count; a generous ratio plays
+            # the role of the reference's infer_schema_length=10k.
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv(path)
+    else:
+        # No extension: resolve by priority.
+        return read_table(spark, resolve_input_path(path), columns, infer_schema_length)
+    if columns:
+        df = df.select(*[c for c in columns if c in df.columns])
+    return df
+
+
+def with_row_index(
+    df: DataFrame, name: str = "__row_idx__", order_by: list[str] | None = None
+) -> DataFrame:
+    """Attach a row index (reference shard_events.py:50-162 scan_with_row_idx).
+
+    With ``order_by``: a deterministic dense index via ``row_number`` over a
+    global window — only for metadata-scale frames (single-partition
+    window). Without: ``monotonically_increasing_id`` — distributed, sparse,
+    stable-within-partition; the right choice when the index only needs to
+    be a reorderable handle (the reference's dominant use: restore row order
+    after a join, filter_measurements.py:127-137)."""
+    if order_by:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(name, F.row_number().over(w) - F.lit(1))
+    return df.withColumn(name, F.monotonically_increasing_id())

@@ -1,0 +1,106 @@
+"""Sinks (SURVEY §2.1 S6-S9).
+
+S6/S7 are plain Spark parquet writes (finalize casts live in ``schema``).
+S8 is a driver-side JSON dump. S9 — the ragged-tensor (NRT) sink the
+reference feeds to PyTorch (reference transforms/tensorization.py:16-106) —
+is a per-partition Python writer over ``foreachPartition``: each Spark
+partition becomes one ``.nrt.npz`` file of flattened values + offset
+arrays, the same information content as ``JointNestedRaggedTensorDict``
+without the (absent) nested_ragged_tensors dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink (reference utils.py:55-59 write_lazyframe).
+
+    ``partition_by`` replaces the reference's directory-of-shards layout
+    (``data/{split}/{shard}.parquet``) with native partitioned parquet."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(obj: dict | list, path: str) -> None:
+    """Tiny driver-side JSON sink (splits.json / dataset.json,
+    reference split_and_shard_patients.py:252-255)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, default=str)
+
+
+def _ragged_to_arrays(values: Iterable[list]) -> tuple["object", "object"]:
+    import numpy as np
+
+    flat: list = []
+    offsets = [0]
+    for row in values:
+        row = row or []
+        flat.extend(row)
+        offsets.append(len(flat))
+    return np.asarray(flat), np.asarray(offsets, dtype="int64")
+
+
+def write_nrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
+    """Ragged-tensor sink: one ``part-{pid}.nrt.npz`` per Spark partition.
+
+    Each listed column is stored as ``{col}__values`` (flattened; one extra
+    nesting level flattened for list-of-list columns, with a second
+    ``{col}__inner_offsets``) plus ``{col}__offsets``. Equivalent
+    information to the reference's ``JointNestedRaggedTensorDict`` files
+    (tensorization.py:16-106); swap the npz writer for the real
+    ``nested_ragged_tensors`` serializer where that library exists.
+
+    Returns the number of partition files written. Scale note: this is an
+    embarrassingly-parallel per-partition write — no shuffle, no driver
+    collect; repartition upstream to control file sizes.
+    """
+    os.makedirs(path, exist_ok=True)
+    other_cols = [c for c in df.columns if c not in list_columns]
+
+    def write_partition(pid: int, rows) -> Iterable[int]:
+        import numpy as np
+
+        rows = list(rows)
+        if not rows:
+            return iter(())
+        out: dict = {}
+        for c in other_cols:
+            out[c] = np.asarray([r[c] for r in rows])
+        for c in list_columns:
+            col_vals = [r[c] for r in rows]
+            if col_vals and any(
+                isinstance(v, list) and v and isinstance(v[0], list) for v in col_vals
+            ):
+                # doubly-ragged: flatten twice, keep both offset arrays
+                inner_flat: list = []
+                inner_offsets = [0]
+                outer_offsets = [0]
+                for row in col_vals:
+                    for sub in row or []:
+                        inner_flat.extend(sub or [])
+                        inner_offsets.append(len(inner_flat))
+                    outer_offsets.append(len(inner_offsets) - 1)
+                out[f"{c}__values"] = np.asarray(inner_flat)
+                out[f"{c}__inner_offsets"] = np.asarray(inner_offsets, dtype="int64")
+                out[f"{c}__offsets"] = np.asarray(outer_offsets, dtype="int64")
+            else:
+                vals, offs = _ragged_to_arrays(col_vals)
+                out[f"{c}__values"] = vals
+                out[f"{c}__offsets"] = offs
+        np.savez(os.path.join(path, f"part-{pid:05d}.nrt.npz"), **out)
+        return iter((1,))
+
+    n = (
+        df.rdd.mapPartitionsWithIndex(write_partition)
+        .sum()
+    )
+    return int(n)

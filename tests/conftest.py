@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from meds_polars_functions_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def meds_df(spark):
+    """Canonical mini MEDS cohort, modeled on the reference's
+    transform_tester_base fixture (tests/transform_tester_base.py:66-151):
+    static rows (null time), DOB rows, repeated HR/TEMP vitals."""
+    rows = [
+        (239684, None, "EYE_COLOR//BROWN", None),
+        (239684, None, "HEIGHT", 175.271),
+        (239684, dt.datetime(1980, 12, 28), "DOB", None),
+        (239684, dt.datetime(2010, 5, 11, 17, 41, 51), "ADMISSION//CARDIAC", None),
+        (239684, dt.datetime(2010, 5, 11, 17, 41, 51), "HR", 102.6),
+        (239684, dt.datetime(2010, 5, 11, 17, 41, 51), "TEMP", 96.0),
+        (239684, dt.datetime(2010, 5, 11, 17, 48, 48), "HR", 105.1),
+        (239684, dt.datetime(2010, 5, 11, 17, 48, 48), "TEMP", 96.2),
+        (239684, dt.datetime(2010, 5, 11, 19, 27, 19), "DISCHARGE", None),
+        (1195293, None, "EYE_COLOR//BLUE", None),
+        (1195293, None, "HEIGHT", 164.687),
+        (1195293, dt.datetime(1978, 6, 20), "DOB", None),
+        (1195293, dt.datetime(2010, 6, 20, 19, 23, 52), "ADMISSION//CARDIAC", None),
+        (1195293, dt.datetime(2010, 6, 20, 19, 23, 52), "HR", 109.0),
+        (1195293, dt.datetime(2010, 6, 20, 19, 23, 52), "TEMP", 100.0),
+        (1195293, dt.datetime(2010, 6, 20, 20, 50, 4), "DISCHARGE", None),
+        (68729, None, "EYE_COLOR//HAZEL", None),
+        (68729, dt.datetime(1978, 3, 9), "DOB", None),
+        (68729, dt.datetime(2010, 5, 26, 2, 30, 56), "HR", 86.0),
+        (68729, dt.datetime(2010, 5, 26, 4, 51, 52), "DISCHARGE", None),
+    ]
+    return spark.createDataFrame(
+        rows, "patient_id long, time timestamp, code string, numeric_value double"
+    )

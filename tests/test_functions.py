@@ -1,0 +1,180 @@
+"""Tests for the expression layer: DSL compiler, code builder, time
+parsing, union/dedup/order helpers (SURVEY §5 layer-1 analogue — the
+reference uses doctests for these; the vectors below mirror its doctest
+examples, e.g. parser.py:50-488)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.functions.expr import (
+    code_expr,
+    fill_to_nans,
+    keep_first,
+    multi_format_time_parse,
+    normalize_time_unit,
+    null_safe_join,
+    strftime_to_spark,
+)
+from meds_polars_functions_spark.functions.parser import (
+    compile_expr,
+    compile_matcher,
+)
+from meds_polars_functions_spark.operators.extract_events import extract_event
+from meds_polars_functions_spark.operators.merge_sort import union_by_name_relaxed
+
+
+def test_strftime_translation():
+    assert strftime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strftime_to_spark("%m/%d/%Y, %H:%M:%S") == "MM/dd/yyyy, HH:mm:ss"
+
+
+def test_multi_format_time_parse(spark):
+    df = spark.createDataFrame(
+        [("2020-01-02 03:04:05",), ("01/02/2020, 03:04:05",), ("garbage",)],
+        "t string",
+    )
+    out = df.select(
+        multi_format_time_parse("t", ["%Y-%m-%d %H:%M:%S", "%m/%d/%Y, %H:%M:%S"]).alias("ts")
+    ).collect()
+    assert out[0]["ts"] == dt.datetime(2020, 1, 2, 3, 4, 5)
+    assert out[1]["ts"] == dt.datetime(2020, 1, 2, 3, 4, 5)
+    assert out[2]["ts"] is None
+
+
+def test_code_expr_nulls_to_unk(spark):
+    df = spark.createDataFrame([("CARDIAC",), (None,)], "dept string")
+    out = df.select(code_expr(["ADMISSION", "col(dept)"]).alias("code")).collect()
+    assert out[0]["code"] == "ADMISSION//CARDIAC"
+    assert out[1]["code"] == "ADMISSION//UNK"
+
+
+def test_parser_matcher(spark):
+    df = spark.createDataFrame(
+        [("bar", "baz", 1), ("bar", "qux", 2), ("x", "baz", 3)], "foo string, buzz string, i int"
+    )
+    cond, cols = compile_matcher({"foo": "bar", "buzz": "baz"})
+    assert cols == {"foo", "buzz"}
+    assert [r["i"] for r in df.filter(cond).collect()] == [1]
+
+
+def test_parser_col_str_literal(spark):
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    e1, c1 = compile_expr({"col": "x"})
+    e2, c2 = compile_expr({"str": "v//{x}//{y}"})
+    e3, c3 = compile_expr({"literal": 5})
+    e4, _ = compile_expr("x")          # bare col
+    e5, _ = compile_expr("lit//{x}")   # bare str with interpolation
+    row = df.select(
+        e1.alias("a"), e2.alias("b"), e3.alias("c"), e4.alias("d"), e5.alias("e")
+    ).first()
+    assert row["a"] == "a"
+    assert row["b"] == "v//a//b"
+    assert row["c"] == 5
+    assert row["d"] == "a"
+    assert row["e"] == "lit//a"
+
+
+def test_parser_coalesce_and_conditional(spark):
+    df = spark.createDataFrame(
+        [(None, "f", "m1"), ("v", "f", "m2"), (None, None, "m1")],
+        "a string, b string, m string",
+    )
+    e, _ = compile_expr([{"col": "a"}, {"col": "b"}])
+    rows = df.select(e.alias("out")).collect()
+    assert [r["out"] for r in rows] == ["f", "v", None]
+    e2, _ = compile_expr({"output": {"col": "b"}, "matcher": {"m": "m1"}})
+    rows2 = df.select(e2.alias("out")).collect()
+    assert [r["out"] for r in rows2] == ["f", None, None]
+    # single-pair shorthand: "<expr str>": matcher
+    e3, _ = compile_expr({"pfx//{b}": {"m": "m1"}})
+    rows3 = df.select(e3.alias("out")).collect()
+    assert [r["out"] for r in rows3] == ["pfx//f", None, None]
+
+
+def test_extract_event(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "CARDIAC", "01/02/2020, 03:04:05", "100.5"),
+            (2, None, "01/03/2020, 00:00:00", "x"),
+            (3, "ORTHO", "bad-date", "99"),
+        ],
+        "patient_id long, dept string, when string, hr string",
+    )
+    out = extract_event(
+        raw,
+        {
+            "code": ["ADMISSION", "col(dept)"],
+            "time": "col(when)",
+            "time_format": "%m/%d/%Y, %H:%M:%S",
+            "numeric_value": "col(hr)",
+        },
+    ).collect()
+    rows = {r["patient_id"]: r for r in out}
+    assert rows[1]["code"] == "ADMISSION//CARDIAC"
+    assert rows[1]["numeric_value"] == 100.5
+    # reference semantics: rows with a null FIRST column field are dropped
+    # (get_code_expr null filter, convert_to_sharded_events.py:50-66)
+    assert 2 not in rows
+    assert 3 not in rows  # unparseable time dropped
+
+    # later null column parts render as UNK (not dropped)
+    raw2 = spark.createDataFrame(
+        [(1, "A", None)], "patient_id long, first string, second string"
+    )
+    out2 = extract_event(
+        raw2, {"code": ["col(first)", "col(second)"], "time": None}
+    ).collect()
+    assert out2[0]["code"] == "A//UNK"
+
+
+def test_union_by_name_relaxed(spark):
+    a = spark.createDataFrame([(1, 1.5)], "id int, v double")
+    b = spark.createDataFrame([(2, "x")], "id int, s string")
+    out = union_by_name_relaxed([a, b])
+    assert set(out.columns) == {"id", "v", "s"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["v"] == 1.5 and rows[1]["s"] is None
+    assert rows[2]["v"] is None and rows[2]["s"] == "x"
+    # int + double -> double supertype
+    c = spark.createDataFrame([(3,)], "v int")
+    d = spark.createDataFrame([(0.5,)], "v double")
+    out2 = union_by_name_relaxed([c, d])
+    assert dict(out2.dtypes)["v"] == "double"
+
+
+def test_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 5), (1, "b", 7), (2, "a", 1)],
+        "pid int, k string, v int",
+    )
+    out = keep_first(df, ["pid", "k"], [F.col("v")])
+    got = {(r["pid"], r["k"]): r["v"] for r in out.collect()}
+    assert got == {(1, "a"): 5, (1, "b"): 7, (2, "a"): 1}
+
+
+def test_null_safe_join(spark):
+    left = spark.createDataFrame([(None, 1), ("a", 2)], "k string, v int")
+    right = spark.createDataFrame([(None, "NULLKEY"), ("a", "A")], "k string, d string")
+    out = null_safe_join(left, right, on=["k"], how="inner")
+    got = {r["v"]: r["d"] for r in out.collect()}
+    assert got == {1: "NULLKEY", 2: "A"}  # null==null matches
+
+
+def test_fill_to_nans(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf",),), (None,)], "v double"
+    )
+    rows = df.select(fill_to_nans("v").alias("f")).collect()
+    assert rows[0]["f"] == 1.0
+    assert math.isnan(rows[1]["f"])
+    assert math.isnan(rows[2]["f"])
+
+
+def test_normalize_time_unit():
+    assert normalize_time_unit("yrs") == ("years", 365.25 * 86400)
+    assert normalize_time_unit("d")[1] == 86400
