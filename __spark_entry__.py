@@ -456,9 +456,9 @@ def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11: regex match on code-like strings."""
     _prep(spark)
     part = _t(spark, sf_dir, "part")
-    return part.filter(F.col("p_type").rlike("^ECONOMY.*PLATED")).select(
-        "p_partkey", "p_type"
-    )
+    return part.filter(
+        F.col("p_type").rlike("^(ECON|PRO)") & F.col("p_name").rlike("[aeiou]{2}")
+    ).select("p_partkey", "p_type", "p_name")
 
 
 def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,6 +609,44 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- beyond-reference: text / dedup / similarity / multimodal -------------
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native session_window (30 min gap);
+    identical call powers the streaming variant."""
+    _prep(spark)
+    from meds_polars_functions_spark.streaming.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        "first_event",
+        "last_event",
+        "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+def q_reorder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/J4: regex-class reordering made checkable — rank within
+    (patient, time) after assigning each code its first-matching-class
+    index ('error' class first, then 'p.*' codes, rest last)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.reorder_measurements import (
+        code_order_index,
+    )
+
+    meds = _meds(spark, sf_dir)
+    idx = code_order_index(meds, ["^error$", "^p"])
+    w = Window.partitionBy("patient_id", "time").orderBy(
+        "__order_idx__", "event_id"
+    )
+    return (
+        meds.join(F.broadcast(idx), on="code", how="left")
+        .withColumn("rank_in_event", F.row_number().over(w))
+        .select("patient_id", "event_id", "code", "rank_in_event")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from meds_polars_functions_spark.operators.text import quality_stats
@@ -659,12 +697,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", portable_fingerprint("text").alias("fingerprint"))
 
 
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus re-keyed copies of every 10th doc — the synthetic
+    table has no exact duplicates, so inject deterministic ones to make
+    the dedup operators do real work."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return docs.unionByName(dups)
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import exact_dup_groups
 
-    docs = _t(spark, sf_dir, "documents")
-    out = exact_dup_groups(docs, "text", "doc_id")
+    out = exact_dup_groups(_docs_with_dups(spark, sf_dir), "text", "doc_id")
     return out.select("n_dups", "canonical_id")
 
 
@@ -672,8 +720,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id").select("doc_id", "n_chars")
+    out = exact_dedup(_docs_with_dups(spark, sf_dir), "text", "doc_id")
+    return out.select("doc_id", "n_chars")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,10 +776,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
     )
-    out = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.999)
+    out = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.4)
     return out.select("id_a", "id_b")
 
 
@@ -802,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "hourly_event_counts": q_hourly_event_counts,
+        "sessionize": q_sessionize,
+        "reorder_rank": q_reorder_rank,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "token_count": q_token_count,
@@ -1014,8 +1069,9 @@ SELECT event_id, TRY_CAST(props AS DOUBLE) AS props_num,
 FROM events
 """,
         "regex_filter": """
-SELECT p_partkey, p_type FROM part
-WHERE regexp_matches(p_type, '^ECONOMY.*PLATED')
+SELECT p_partkey, p_type, p_name FROM part
+WHERE regexp_matches(p_type, '^(ECON|PRO)')
+  AND regexp_matches(p_name, '[aeiou]{2}')
 """,
         "datetime_parts": """
 SELECT event_id, hour(ts) AS h, day(ts) AS dom, month(ts) AS mon,
@@ -1068,6 +1124,33 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(DISTINCT user_id) AS n_users,
   round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, min(ts) AS first_event, max(ts) AS last_event,
+  count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM numbered GROUP BY user_id, sid
+""",
+        "reorder_rank": f"""
+WITH {_MEDS_CTE},
+idx AS (
+  SELECT code,
+    CASE WHEN regexp_matches(code, '^error$') THEN 0
+         WHEN regexp_matches(code, '^p') THEN 1
+         ELSE 2 END AS oidx
+  FROM (SELECT DISTINCT code FROM meds))
+SELECT patient_id, event_id, code,
+  row_number() OVER (PARTITION BY patient_id, "time"
+                     ORDER BY oidx, event_id) AS rank_in_event
+FROM meds JOIN idx USING (code)
 """,
         "text_quality": r"""
 WITH w AS (
@@ -1137,13 +1220,23 @@ SELECT doc_id,
 FROM w
 """,
         "exact_dup_groups": """
+WITH docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0)
 SELECT count(*) AS n_dups, min(doc_id) AS canonical_id
-FROM documents GROUP BY text HAVING count(*) > 1
+FROM docs GROUP BY text HAVING count(*) > 1
 """,
         "exact_dedup": """
+WITH docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0)
 SELECT doc_id, n_chars FROM (
   SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-  FROM documents) WHERE rn = 1
+  FROM docs) WHERE rn = 1
 """,
         "ngram_jaccard": """
 WITH w AS (
@@ -1191,9 +1284,9 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
     sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) AS n
-  FROM embeddings)
+  FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / (a.n * b.n) >= 0.999
+WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.n * b.n) >= 0.4
 """,
     }

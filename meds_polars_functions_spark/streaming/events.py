@@ -30,14 +30,23 @@ def windowed_event_counts(
     """Tumbling (or sliding) event-time window counts with late-data
     tolerance. Works identically on batch DataFrames (watermark is a
     no-op there), which is how the correctness oracle exercises it."""
-    if stream.isStreaming:
+    is_streaming = stream.isStreaming
+    if is_streaming:
         stream = stream.withWatermark(time_col, watermark_delay)
     win = F.window(time_col, window_duration, slide_duration or window_duration)
+    # exact distinct in batch; streaming aggs don't support countDistinct,
+    # so the stream path uses the HLL sketch (rsd 1% — exact on small
+    # cardinalities, mergeable across state updates)
+    n_users = (
+        F.approx_count_distinct("user_id", rsd=0.01)
+        if is_streaming
+        else F.countDistinct("user_id")
+    )
     return (
         stream.groupBy(win.alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
+            n_users.alias("n_users"),
             F.sum("value").alias("value_sum"),
         )
         .select(

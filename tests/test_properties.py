@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the engine's algebraic
+invariants — the properties that must hold at any scale:
+
+- aggregation mergeability: agg(shard1) ⊕ agg(shard2) == agg(all)
+- keep-first dedup: matches a reference Python implementation
+- union supertyping: diagonal concat never loses rows or columns
+- minhash: signature similarity approximates true Jaccard
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+settings.register_profile(
+    "spark",
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+settings.load_profile("spark")
+
+codes = st.sampled_from(["A", "B", "C//D", None])
+vals = st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False))
+row = st.tuples(st.integers(1, 5), codes, vals)
+
+
+@given(st.lists(row, min_size=1, max_size=40))
+def test_agg_mergeable(spark, rows):
+    df = spark.createDataFrame(
+        [(p, None, c, v) for p, c, v in rows],
+        "patient_id long, time timestamp, code string, numeric_value double",
+    )
+    from meds_polars_functions_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+        merge_pre_aggregated,
+    )
+
+    full = aggregate_code_metadata(df)
+    h1 = aggregate_code_metadata(df.filter(F.col("patient_id") <= 2))
+    h2 = aggregate_code_metadata(df.filter(F.col("patient_id") > 2))
+    merged = merge_pre_aggregated([h1, h2])
+
+    f = {r["code"]: r.asDict() for r in full.collect()}
+    m = {r["code"]: r.asDict() for r in merged.collect()}
+    assert set(f) == set(m)
+    for code in f:
+        for k in ("code/n_occurrences", "values/n_occurrences", "values/n_ints"):
+            assert f[code][k] == m[code][k], (code, k)
+        for k in ("values/sum", "values/sum_sqd"):
+            assert math.isclose(f[code][k], m[code][k], rel_tol=1e-9, abs_tol=1e-9)
+        for k in ("values/min", "values/max"):
+            a, b = f[code][k], m[code][k]
+            assert (a is None and b is None) or math.isclose(a, b, rel_tol=1e-9)
+        # patient-disjoint shards: distinct counts are also mergeable
+        assert f[code]["code/n_patients"] == m[code]["code/n_patients"]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("abc"), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_keep_first_matches_reference(spark, rows):
+    from meds_polars_functions_spark.functions.expr import keep_first
+
+    df = spark.createDataFrame(rows, "pid int, k string, v int")
+    got = {
+        (r["pid"], r["k"]): r["v"]
+        for r in keep_first(df, ["pid", "k"], [F.col("v"), F.col("pid")]).collect()
+    }
+    expected: dict = {}
+    for pid, k, v in sorted(rows, key=lambda t: (t[2], t[0])):
+        expected.setdefault((pid, k), v)
+    assert got == expected
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.floats(0, 1, allow_nan=False)), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=10),
+)
+def test_union_relaxed_total_rows(spark, a_rows, b_rows):
+    from meds_polars_functions_spark.operators.merge_sort import union_by_name_relaxed
+
+    a = spark.createDataFrame(a_rows, "id int, v double")
+    b = spark.createDataFrame(b_rows, "id int, w int")
+    out = union_by_name_relaxed([a, b])
+    assert out.count() == len(a_rows) + len(b_rows)
+    assert set(out.columns) == {"id", "v", "w"}
+
+
+def test_minhash_approximates_jaccard(spark):
+    """Deterministic spot check: signature agreement rate ≈ Jaccard."""
+    from meds_polars_functions_spark.operators.dedup import (
+        jaccard_similarity,
+        minhash_signature,
+        word_shingles,
+    )
+
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "the quick brown fox jumps over the lazy cat again and again"),
+        ("c", "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(texts, "id string, text string")
+    sh = word_shingles("text", 3)
+    out = df.select(
+        "id",
+        sh.alias("sh"),
+        minhash_signature(sh, num_hashes=128).alias("sig"),
+    ).collect()
+    rows = {r["id"]: r for r in out}
+
+    def sig_sim(x, y):
+        return sum(a == b for a, b in zip(x, y)) / len(x)
+
+    def true_jac(x, y):
+        sx, sy = set(x), set(y)
+        return len(sx & sy) / len(sx | sy)
+
+    ab_true = true_jac(rows["a"]["sh"], rows["b"]["sh"])
+    ab_est = sig_sim(rows["a"]["sig"], rows["b"]["sig"])
+    assert abs(ab_true - ab_est) < 0.2
+    ac_est = sig_sim(rows["a"]["sig"], rows["c"]["sig"])
+    assert ac_est < 0.2

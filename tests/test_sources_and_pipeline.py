@@ -1,0 +1,133 @@
+"""Sources (format priority, CSV, row index), sinks (parquet, NRT), and
+the pipeline runner with checkpoint/resume."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.plans.pipeline import Pipeline, Stage
+from meds_polars_functions_spark.sources.readers import (
+    read_table,
+    resolve_input_path,
+    with_row_index,
+)
+from meds_polars_functions_spark.sources.writers import write_nrt, write_parquet
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="srcs_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_format_priority(tmpdir, spark, meds_df):
+    csv_path = os.path.join(tmpdir, "t.csv")
+    with open(csv_path, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    assert resolve_input_path(os.path.join(tmpdir, "t")).endswith(".csv")
+    with open(csv_path, "rb") as f:
+        with gzip.open(os.path.join(tmpdir, "t.csv.gz"), "wb") as g:
+            g.write(f.read())
+    assert resolve_input_path(os.path.join(tmpdir, "t")).endswith(".csv.gz")
+    pq = os.path.join(tmpdir, "t.parquet")
+    meds_df.limit(1).toPandas().to_parquet(pq)
+    assert resolve_input_path(os.path.join(tmpdir, "t")).endswith(".parquet")
+
+
+def test_read_csv_and_gz(tmpdir, spark):
+    csv_path = os.path.join(tmpdir, "t.csv")
+    with open(csv_path, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = read_table(spark, csv_path)
+    assert df.count() == 2
+    assert dict(df.dtypes)["a"] == "int"  # sampled inference
+    with open(csv_path, "rb") as f:
+        with gzip.open(os.path.join(tmpdir, "z.csv.gz"), "wb") as g:
+            g.write(f.read())
+    assert read_table(spark, os.path.join(tmpdir, "z.csv.gz")).count() == 2
+    # column pruning
+    assert read_table(spark, csv_path, columns=["a"]).columns == ["a"]
+
+
+def test_with_row_index(spark, meds_df):
+    df = with_row_index(meds_df)
+    assert df.select("__row_idx__").distinct().count() == meds_df.count()
+    df2 = with_row_index(meds_df.limit(5), order_by=["patient_id", "code"])
+    idx = [r["__row_idx__"] for r in df2.orderBy("__row_idx__").collect()]
+    assert idx == list(range(5))
+
+
+def test_nrt_sink(tmpdir, spark, meds_df):
+    from meds_polars_functions_spark.operators.tokenization import (
+        extract_seq_of_patient_events,
+    )
+    import numpy as np
+
+    seqs = extract_seq_of_patient_events(meds_df, code_as_double=False, nan_fill=False)
+    out_dir = os.path.join(tmpdir, "nrt")
+    n = write_nrt(
+        seqs.repartition(2), out_dir, list_columns=["time_delta_days", "code", "numeric_value"]
+    )
+    files = sorted(glob.glob(os.path.join(out_dir, "*.nrt.npz")))
+    assert len(files) == n and n >= 1
+    total_patients = 0
+    for fp in files:
+        z = np.load(fp, allow_pickle=True)
+        # offsets arrays: one more entry than rows
+        total_patients += len(z["time_delta_days__offsets"]) - 1
+        assert "code__inner_offsets" in z  # doubly-ragged column
+    assert total_patients == seqs.count()
+
+
+def test_pipeline_checkpoint_resume(tmpdir, spark, meds_df):
+    from meds_polars_functions_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+    )
+    from meds_polars_functions_spark.operators.filter_patients import (
+        filter_patients_by_num_measurements,
+    )
+
+    calls = {"n": 0}
+
+    def counting_filter(df, **kw):
+        calls["n"] += 1
+        return filter_patients_by_num_measurements(df, 5)
+
+    stages = [
+        Stage("filter", counting_filter),
+        Stage("agg", lambda df: aggregate_code_metadata(df), kind="metadata"),
+    ]
+    pipe = Pipeline(stages, checkpoint_dir=os.path.join(tmpdir, "ckpt"))
+    data1, meta1 = pipe.run(spark, meds_df)
+    assert calls["n"] == 1
+    assert meta1 is not None and meta1.count() > 0
+    # resume: checkpoints exist, stage fn must not run again
+    data2, meta2 = pipe.run(spark, meds_df)
+    assert calls["n"] == 1
+    assert data2.count() == data1.count()
+
+
+def test_write_parquet_partitioned(tmpdir, spark, meds_df):
+    from meds_polars_functions_spark.operators.split_patients import (
+        harvest_patient_ids,
+        shard_patients,
+        splits_to_dataframe,
+    )
+
+    ids = harvest_patient_ids([meds_df])
+    splits_df = splits_to_dataframe(spark, shard_patients(ids, seed=1, n_patients_per_shard=2))
+    with_split = meds_df.join(F.broadcast(splits_df), "patient_id")
+    out = os.path.join(tmpdir, "bysplit")
+    write_parquet(with_split, out, partition_by=["split"])
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(out, "split=*"))}
+    assert parts  # hive-partitioned layout
+    back = spark.read.parquet(out)
+    assert back.count() == meds_df.count()

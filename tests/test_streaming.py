@@ -1,0 +1,96 @@
+"""Structured Streaming tests: the windowed aggregations run as a REAL
+stream (file source, availableNow trigger) and must agree with their
+batch execution — the exactly-once, watermark-correct path."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.streaming.events import windowed_event_counts
+from meds_polars_functions_spark.streaming.sessions import sessionize
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 100, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 10, 20, 0), 100, "click", 2.0, None),
+        (3, dt.datetime(2024, 1, 1, 11, 5, 0), 100, "view", 3.0, None),
+        (4, dt.datetime(2024, 1, 1, 10, 40, 0), 200, "click", 4.0, None),
+        (5, dt.datetime(2024, 1, 1, 12, 0, 0), 200, "view", 5.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, transform, src_dir):
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = transform(stream)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_test_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("stream_test_out").collect()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res
+
+
+def test_windowed_counts_streaming_matches_batch(spark, event_stream_dir):
+    batch = windowed_event_counts(
+        spark.read.parquet(event_stream_dir), window_duration="1 hour"
+    ).collect()
+    streamed = _run_stream(
+        spark,
+        lambda s: windowed_event_counts(s, window_duration="1 hour"),
+        event_stream_dir,
+    )
+    as_set = lambda rows: {
+        (r["window_start"], r["event_type"], r["n_events"], r["n_users"], r["value_sum"])
+        for r in rows
+    }
+    assert as_set(batch) == as_set(streamed)
+    assert (
+        dt.datetime(2024, 1, 1, 10, 0, 0),
+        "click",
+        3,
+        2,
+        7.0,
+    ) in as_set(batch)
+
+
+def test_sessionize_streaming_matches_batch(spark, event_stream_dir):
+    batch = sessionize(spark.read.parquet(event_stream_dir), gap="30 minutes").collect()
+    streamed = _run_stream(
+        spark, lambda s: sessionize(s, gap="30 minutes"), event_stream_dir
+    )
+    key = lambda rows: {
+        (r["user_id"], r["first_event"], r["last_event"], r["n_events"]) for r in rows
+    }
+    assert key(batch) == key(streamed)
+    # user 100: events at 10:00 and 10:20 chain (gap<30m); 11:05 is new
+    sessions_100 = sorted(
+        (r["first_event"], r["n_events"]) for r in batch if r["user_id"] == 100
+    )
+    assert sessions_100 == [
+        (dt.datetime(2024, 1, 1, 10, 0, 0), 2),
+        (dt.datetime(2024, 1, 1, 11, 5, 0), 1),
+    ]
