@@ -589,6 +589,45 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per code (native
+    `percentile`; the approx path is percentile_approx at scale)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE: all grouping-set combinations of (returnflag,
+    linestatus) in one pass."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: quantity by returnflag × linestatus as columns."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("O"), 6).alias("qty_O"),
+        F.round(F.col("F"), 6).alias("qty_F"),
+    )
+
+
 def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped tumbling window agg (batch-equivalent plan; the
     streaming variant adds only the watermark)."""
@@ -855,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "hourly_event_counts": q_hourly_event_counts,
+        "value_percentiles": q_value_percentiles,
+        "cube_revenue": q_cube_revenue,
+        "pivot_status": q_pivot_status,
         "sessionize": q_sessionize,
         "reorder_rank": q_reorder_rank,
         "text_quality": q_text_quality,
@@ -1124,6 +1166,24 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(DISTINCT user_id) AS n_users,
   round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "value_percentiles": """
+SELECT event_type,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+""",
+        "cube_revenue": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  round(sum(l_extendedprice), 6) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "pivot_status": """
+SELECT l_returnflag,
+  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_O,
+  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_F
+FROM lineitem GROUP BY l_returnflag
 """,
         "sessionize": """
 WITH marked AS (

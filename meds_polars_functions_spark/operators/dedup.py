@@ -192,9 +192,16 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     udf = _band_hash_udf(shingle_n, num_hashes, bands, seed)
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(udf(F.col(text_col))).alias("band_idx", "band_hash"),
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    # Parallelize the signature UDF: repartition on the id so the Arrow
+    # batches spread across cores even when the scan yields few splits
+    # (single local file). On a many-file corpus this exchange is small
+    # change relative to the signature work it parallelizes.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    src = src.repartition(target, "id")
+    banded = src.select(
+        "id",
+        F.posexplode(udf(F.col("__text__"))).alias("band_idx", "band_hash"),
     ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
@@ -230,15 +237,27 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     Jaccard >= threshold. Output: (id_a, id_b, jaccard)."""
+    # Persist the candidate pairs: they feed two shingle joins, and
+    # recomputing them would re-run the banded self-join per join. The
+    # candidate set is tiny relative to the corpus (that's the point of
+    # LSH), so it is also broadcast into the verification joins — the
+    # shingle table never shuffles.
+    # Candidates feed exactly one downstream plan — no persist needed
+    # (the banded table inside IS persisted, which is what prevents
+    # signature recompute). Verification: candidates join the shingle
+    # table twice; no manual broadcast hints — measured slower than
+    # letting AQE pick the build side from actual sizes here.
     cands = minhash_lsh_candidates(
         df, text_col, id_col, shingle_n, num_hashes, bands, seed
     )
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
     )
+    sh_a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "__sa__")
+    sh_b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "__sb__")
     return (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "__sa__"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "__sb__"), "id_b")
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",

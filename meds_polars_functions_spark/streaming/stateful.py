@@ -1,0 +1,130 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+These cover semantics Spark's built-in streaming aggregations cannot
+express: state that must persist across micro-batches with per-group
+custom transition logic. State is kept per group key in the state store
+(RocksDB/HDFS-backed on a cluster), so memory is O(active keys), not
+O(events).
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def streaming_running_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Per-key lifetime running stats, updated each micro-batch.
+
+    Emits one row per (key, batch): events seen this batch plus the
+    accumulated count/sum/max since stream start. The accumulator is the
+    mergeable-stats convention again (store count+sum, derive mean), so
+    state is three scalars per key forever — no event retention.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("batch_events", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+            T.StructField("total_sum", T.DoubleType()),
+            T.StructField("running_max", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("count", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("max", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (k,) = key
+        batch_n, batch_sum, batch_max = 0, 0.0, float("-inf")
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            batch_n += len(pdf)
+            batch_sum += float(vals.sum())
+            if len(vals):
+                batch_max = max(batch_max, float(vals.max()))
+        if state.exists:
+            count, total, mx = state.get
+        else:
+            count, total, mx = 0, 0.0, float("-inf")
+        count += batch_n
+        total += batch_sum
+        mx = max(mx, batch_max)
+        state.update((count, total, mx))
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "batch_events": [batch_n],
+                "total_events": [count],
+                "total_sum": [total],
+                "running_max": [None if mx == float("-inf") else mx],
+            }
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_first_seen_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    content_col: str = "event_type",
+) -> DataFrame:
+    """Streaming exact dedup with unbounded memory of what was seen:
+    emit an event only the FIRST time its (key, content) appears in the
+    stream's lifetime. Built-in ``dropDuplicates`` on a stream needs a
+    watermark and forgets; this keeps a compact per-key seen-set (hash
+    the content when it's large) in the state store.
+    """
+    import zlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.LongType()))]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (k,) = key
+        seen = set(state.get[0]) if state.exists else set()
+        fresh = []
+        for pdf in pdfs:
+            for c in pdf[content_col]:
+                h = zlib.crc32(str(c).encode())
+                if h not in seen:
+                    seen.add(h)
+                    fresh.append(c)
+        state.update((sorted(seen),))
+        yield pd.DataFrame({"key": [k] * len(fresh), "content": fresh})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,87 @@
+"""applyInPandasWithState operators driven through a real multi-batch
+stream (maxFilesPerTrigger=1 forces one micro-batch per input file, so
+state genuinely carries across batches)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from meds_polars_functions_spark.streaming.stateful import (
+    streaming_first_seen_dedup,
+    streaming_running_stats,
+)
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture()
+def two_batch_dir(spark):
+    d = tempfile.mkdtemp(prefix="batches_")
+    b1 = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 10, 1), 7, "view", 5.0, None),
+        (3, dt.datetime(2024, 1, 1, 10, 2), 9, "click", 2.0, None),
+    ]
+    b2 = [
+        (4, dt.datetime(2024, 1, 1, 11, 0), 7, "click", 10.0, None),
+        (5, dt.datetime(2024, 1, 1, 11, 1), 9, "purchase", 4.0, None),
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.parquet(os.path.join(d, "f2"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, src_dir, transform, name):
+    schema = spark.read.parquet(os.path.join(src_dir, "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table(name).collect()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return rows
+
+
+def test_running_stats_accumulate_across_batches(spark, two_batch_dir):
+    rows = _run(spark, two_batch_dir, streaming_running_stats, "running_stats_out")
+    by_key = {}
+    for r in rows:  # last update per key wins
+        cur = by_key.get(r["key"])
+        if cur is None or r["total_events"] > cur["total_events"]:
+            by_key[r["key"]] = r
+    assert by_key[7]["total_events"] == 3
+    assert by_key[7]["total_sum"] == pytest.approx(16.0)
+    assert by_key[7]["running_max"] == pytest.approx(10.0)
+    assert by_key[9]["total_events"] == 2
+    assert by_key[9]["total_sum"] == pytest.approx(6.0)
+    # state really crossed batches: some update shows batch < total
+    assert any(r["batch_events"] < r["total_events"] for r in rows)
+
+
+def test_first_seen_dedup(spark, two_batch_dir):
+    rows = _run(spark, two_batch_dir, streaming_first_seen_dedup, "dedup_out")
+    emitted = {(r["key"], r["content"]) for r in rows}
+    # user 7's second 'click' (batch 2) must NOT re-emit
+    assert emitted == {(7, "click"), (7, "view"), (9, "click"), (9, "purchase")}
+    assert len(rows) == 4
