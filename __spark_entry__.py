@@ -648,6 +648,58 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- beyond-reference: text / dedup / similarity / multimodal -------------
 
 
+def q_event_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (pre-MEDS enrichment): left-join the event stream with a user
+    dimension table; dim side broadcast."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return (
+        ev.join(F.broadcast(cust), on="user_id", how="left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+def q_order_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/S5: attach a row index over the canonical total order, run an
+    order-destroying join, then restore and verify the order by re-sorting
+    on the stashed index (the reference's row-idx round-trip,
+    filter_measurements.py:127-137)."""
+    _prep(spark)
+    from meds_polars_functions_spark.sources.readers import with_row_index
+
+    meds = _meds(spark, sf_dir)
+    idx = with_row_index(meds, order_by=["patient_id", "time", "event_id"])
+    dim = meds.groupBy("code").agg(F.count(F.lit(1)).alias("code_n"))
+    joined = idx.join(F.broadcast(dim), "code", "left")
+    # emit the stashed index as the order witness
+    return joined.select("event_id", "__row_idx__", "code_n")
+
+
+def q_embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matmul-formulated exact top-k (scale path) — must equal the
+    expression-based brute_force_topk, and shares its oracle."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk_vectorized(emb, queries, k=5, tie_round=9)
+    return out.select("query_id", "vec_id", "rank")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via native session_window (30 min gap);
     identical call powers the streaming variant."""
@@ -899,6 +951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "sessionize": q_sessionize,
         "reorder_rank": q_reorder_rank,
+        "event_user_enrich": q_event_user_enrich,
+        "order_restore": q_order_restore,
+        "embedding_topk_vectorized": q_embedding_topk_vectorized,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "token_count": q_token_count,
@@ -1166,6 +1221,42 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(DISTINCT user_id) AS n_users,
   round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "event_user_enrich": """
+SELECT c_mktsegment, event_type, count(*) AS n,
+  round(sum(value), 6) AS value_sum
+FROM events LEFT JOIN (
+  SELECT c_custkey AS user_id, c_mktsegment FROM customer) USING (user_id)
+GROUP BY c_mktsegment, event_type
+""",
+        "order_restore": """
+WITH meds AS (
+  SELECT user_id AS patient_id, ts AS "time", event_type AS code, event_id
+  FROM events),
+idx AS (
+  SELECT *, row_number() OVER (ORDER BY patient_id, "time", event_id) - 1
+    AS "__row_idx__"
+  FROM meds),
+dim AS (SELECT code, count(*) AS code_n FROM meds GROUP BY code)
+SELECT event_id, "__row_idx__", code_n
+FROM idx LEFT JOIN dim USING (code)
+""",
+        "embedding_topk_vectorized": """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> q.qv[i] * e.v[i]))
+          / (q.qn * e.nrm), 9) AS cos
+  FROM q CROSS JOIN emb e),
+ranked AS (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
 """,
         "value_percentiles": """
 SELECT event_type,

@@ -1,0 +1,139 @@
+"""Stage registry: name -> stage factory, mirroring the reference's
+console-script-per-stage surface (reference pyproject.toml:31-54) as a
+single YAML-driven runner.
+
+Each factory takes the stage's config dict and returns a ``Stage`` whose
+fn is ``(data, code_metadata=None, **kwargs) -> DataFrame``. Metadata
+stages (kind="metadata") replace the metadata track, mirroring the
+reference's is_metadata classification (utils.py:141-180).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .pipeline import Stage
+
+
+def _filter_patients(cfg: dict[str, Any]) -> Stage:
+    from ..operators.filter_patients import filter_patients
+
+    return Stage(
+        "filter_patients",
+        lambda df: filter_patients(
+            df,
+            min_measurements=cfg.get("min_measurements_per_patient"),
+            min_events=cfg.get("min_events_per_patient"),
+        ),
+    )
+
+
+def _filter_measurements(cfg: dict[str, Any]) -> Stage:
+    from ..operators.filter_measurements import filter_measurements
+
+    return Stage(
+        "filter_measurements",
+        lambda df, code_metadata=None: filter_measurements(
+            df,
+            code_metadata,
+            min_patients_per_code=cfg.get("min_patients_per_code"),
+            min_occurrences_per_code=cfg.get("min_occurrences_per_code"),
+        ),
+        wants_metadata=True,
+    )
+
+
+def _occlude_outliers(cfg: dict[str, Any]) -> Stage:
+    from ..operators.occlude_outliers import occlude_outliers
+
+    return Stage(
+        "occlude_outliers",
+        lambda df, code_metadata=None: occlude_outliers(
+            df, code_metadata, stddev_cutoff=cfg.get("stddev_cutoff", 4.5)
+        ),
+        wants_metadata=True,
+    )
+
+
+def _normalization(cfg: dict[str, Any]) -> Stage:
+    from ..operators.normalization import normalize
+
+    return Stage(
+        "normalization",
+        lambda df, code_metadata=None: normalize(df, code_metadata),
+        wants_metadata=True,
+    )
+
+
+def _add_time_derived(cfg: dict[str, Any]) -> Stage:
+    from ..operators.add_time_derived_measurements import (
+        add_time_derived_measurements,
+    )
+
+    return Stage(
+        "add_time_derived_measurements",
+        lambda df: add_time_derived_measurements(df, cfg),
+    )
+
+
+def _reorder_measurements(cfg: dict[str, Any]) -> Stage:
+    from ..operators.reorder_measurements import reorder_measurements
+
+    return Stage(
+        "reorder_measurements",
+        lambda df: reorder_measurements(df, cfg["ordered_code_patterns"]),
+    )
+
+
+def _aggregate_code_metadata(cfg: dict[str, Any]) -> Stage:
+    from ..operators.aggregate_code_metadata import (
+        ALL_AGGREGATIONS,
+        aggregate_code_metadata,
+    )
+
+    return Stage(
+        "aggregate_code_metadata",
+        lambda df: aggregate_code_metadata(
+            df,
+            aggregations=cfg.get("aggregations", ALL_AGGREGATIONS),
+            do_summarize_over_all_codes=cfg.get("do_summarize_over_all_codes", False),
+        ),
+        kind="metadata",
+    )
+
+
+def _fit_vocabulary_indices(cfg: dict[str, Any]) -> Stage:
+    from ..operators.fit_vocabulary_indices import fit_vocabulary_indices
+    from ..operators.aggregate_code_metadata import aggregate_code_metadata
+
+    def fn(df, code_metadata=None):
+        meta = code_metadata if code_metadata is not None else aggregate_code_metadata(df)
+        return fit_vocabulary_indices(meta)
+
+    return Stage("fit_vocabulary_indices", fn, kind="metadata", wants_metadata=True)
+
+
+STAGE_REGISTRY = {
+    "filter_patients": _filter_patients,
+    "filter_measurements": _filter_measurements,
+    "occlude_outliers": _occlude_outliers,
+    "normalization": _normalization,
+    "add_time_derived_measurements": _add_time_derived,
+    "reorder_measurements": _reorder_measurements,
+    "aggregate_code_metadata": _aggregate_code_metadata,
+    "fit_vocabulary_indices": _fit_vocabulary_indices,
+}
+
+
+def build_stages(pipeline_cfg: dict[str, Any]) -> list[Stage]:
+    """pipeline_cfg: {"stages": [name, ...], "stage_configs": {name: {...}}}
+    — the reference's pipeline.yaml shape (configs/pipeline.yaml)."""
+    stage_configs = pipeline_cfg.get("stage_configs", {})
+    stages = []
+    for name in pipeline_cfg["stages"]:
+        if name not in STAGE_REGISTRY:
+            raise KeyError(
+                f"unknown stage {name!r}; known: {sorted(STAGE_REGISTRY)}"
+            )
+        stages.append(STAGE_REGISTRY[name](stage_configs.get(name, {}) or {}))
+    return stages

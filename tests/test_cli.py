@@ -1,0 +1,71 @@
+"""YAML pipeline CLI driven as a real subprocess — the engine's
+equivalent of the reference's stage console scripts."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+PIPELINE_YAML = """
+stages:
+  - filter_patients
+  - aggregate_code_metadata
+  - fit_vocabulary_indices
+  - normalization
+stage_configs:
+  filter_patients:
+    min_measurements_per_patient: 5
+"""
+
+
+@pytest.fixture()
+def workdir(spark, meds_df):
+    d = tempfile.mkdtemp(prefix="cli_")
+    meds_df.write.parquet(os.path.join(d, "input"))
+    with open(os.path.join(d, "pipeline.yaml"), "w") as f:
+        f.write(PIPELINE_YAML)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_pipeline(workdir, spark):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "meds_polars_functions_spark.plans.cli",
+            "--config", os.path.join(workdir, "pipeline.yaml"),
+            "--input", os.path.join(workdir, "input"),
+            "--output", os.path.join(workdir, "out"),
+            "--checkpoint-dir", os.path.join(workdir, "ckpt"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(
+        open(os.path.join(workdir, "out", "pipeline_summary.json")).read()
+    )
+    assert summary["stages"][0] == "filter_patients"
+    assert summary["rows_out"] > 0
+    assert summary["metadata_rows_out"] > 0
+
+    data = spark.read.parquet(os.path.join(workdir, "out", "data"))
+    # normalized output: integer vocab codes, z-scored values
+    assert dict(data.dtypes)["code"] == "bigint"
+    meta = spark.read.parquet(os.path.join(workdir, "out", "metadata"))
+    assert "code/vocab_index" in meta.columns
+    # patient 68729 has only 4 measurements -> dropped by the >=5 filter
+    kept = {r["patient_id"] for r in data.select("patient_id").distinct().collect()}
+    assert 68729 not in kept
+    assert {239684, 1195293} <= kept

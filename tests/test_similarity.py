@@ -1,0 +1,60 @@
+"""Similarity-search paths must agree: expression-based brute force,
+matmul-vectorized brute force, and LSH/IVF approximations bounded by it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_vectorized,
+    ivf_assign,
+    lsh_topk,
+    train_ivf_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_vectorized_matches_expression(emb, queries):
+    a = brute_force_topk(emb, queries, k=5, tie_round=9)
+    b = brute_force_topk_vectorized(emb, queries, k=5, tie_round=9)
+    ra = {(r["query_id"], r["rank"]): r["vec_id"] for r in a.collect()}
+    rb = {(r["query_id"], r["rank"]): r["vec_id"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_lsh_recall_reasonable(emb, queries):
+    exact = brute_force_topk(emb, queries, k=5, tie_round=9)
+    approx = lsh_topk(emb, queries, dim=len(emb.first()["embedding"]), k=5, n_planes=4)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # every query must at least find itself (cosine 1.0 in its own bucket)
+    for q in [r["query_id"] for r in queries.collect()]:
+        assert (q, q) in ap
+    # sane recall with 4 planes (16 buckets over 500 vectors)
+    assert len(ex & ap) / len(ex) > 0.2
+
+
+def test_ivf_assign_deterministic(emb):
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=4, sample_fraction=0.5)
+    assert len(cents) == 4
+    a1 = ivf_assign(emb, "embedding", cents).select("vec_id", "ivf_cell")
+    a2 = ivf_assign(emb, "embedding", cents).select("vec_id", "ivf_cell")
+    assert {tuple(r) for r in a1.collect()} == {tuple(r) for r in a2.collect()}
+    n_cells = a1.select("ivf_cell").distinct().count()
+    assert 1 < n_cells <= 4
