@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_fingerprint",
     "minhash_near_dup",
     "embedding_topk",
+    "embedding_topk_vectorized",
 ]
 
 
