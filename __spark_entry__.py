@@ -837,6 +837,20 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components clustering over exact n-gram
+    Jaccard >= 0.4 pairs (min-label propagation; oracle = recursive CTE)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, shingle_n=3)
+    return connected_components(pairs).select("id", "cluster_id")
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash identical-signature buckets (no SQL oracle: xxhash64)."""
     _prep(spark)
@@ -962,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash_near_dup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_buckets": q_simhash_buckets,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1413,6 +1428,38 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.4
+""",
+        "dedup_clusters": """
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+posts AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, root) AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
 """,
         "embedding_topk": """
 WITH emb AS (

@@ -362,6 +362,73 @@ def simhash_dup_buckets(df: DataFrame, text_col: str, id_col: str, bits: int = 6
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, cluster_id)
+    with cluster_id = min id reachable in the pair graph.
+
+    Iterative min-label propagation — each round joins labels across
+    edges and keeps the per-node min; stops when a round changes nothing.
+    Rounds needed = graph diameter (dup clusters are shallow, typically
+    2-4). Each round is one shuffle on node id; the label table is
+    (node, long) — tiny relative to the corpus. This is the standard
+    final step of a dedup pipeline: pick min-id per cluster as canonical,
+    drop the rest.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
 

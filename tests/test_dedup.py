@@ -1,0 +1,64 @@
+"""Dedup operator tests: exact, shingles, candidate generation,
+clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    word_shingles,
+)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("The quick brown fox jumps",), ("one two",)], "t string")
+    rows = df.select(word_shingles("t", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["the quick brown", "quick brown fox", "brown fox jumps"]
+    assert rows[1]["s"] == ["one two"]  # short doc: single joined shingle
+
+
+def test_exact_dedup_and_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, t string"
+    )
+    kept = {r["id"] for r in exact_dedup(df, "t", "id").collect()}
+    assert kept == {1, 2}
+    groups = exact_dup_groups(df, "t", "id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["canonical_id"] == 1
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,7} via chain, {5,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 9)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
+
+
+def test_minhash_pairs_subset_of_exact(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2, "the quick brown fox jumps over the lazy dog and then sleeps"),
+        (3, "entirely unrelated words about spark catalyst optimizer rules"),
+        (4, "entirely unrelated words about spark catalyst optimizer rules"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    # identical docs must always survive both paths
+    assert (3, 4) in exact and (3, 4) in mh
+    # minhash verified pairs are exact-Jaccard-thresholded -> subset of exact
+    assert mh <= exact
