@@ -911,6 +911,76 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) ANN: seeded driver-side k-means, nprobe=1
+    (no SQL oracle: iterative training; recall vs brute force is tested)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=0.5)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, centroids, k=5).select("query_id", "vec_id", "rank")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: revenue of unshipped orders per order, top-10 via
+    deterministic rank (rank witness instead of LIMIT so the
+    order-insensitive hash still verifies ordering)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    revenue = (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1995-03-15")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        revenue.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rk")
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan + pushed filter + single agg."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blobs -> Arrow-batched feature UDF
     (deterministic fake decoder; no SQL oracle — mapInPandas)."""
@@ -981,6 +1051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "shipping_priority": q_shipping_priority,
+        "forecast_revenue": q_forecast_revenue,
         "image_features": q_image_features,
     }
 
@@ -1202,6 +1275,30 @@ SELECT event_id,
   (value > 0.99 OR value < 0.01) AS became_nan,
   round(CASE WHEN value <= 0.99 AND value >= 0.01 THEN value END, 6) AS kept_value
 FROM events
+""",
+        "shipping_priority": """
+WITH revenue AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+    round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
+  FROM revenue) WHERE rk <= 10
+""",
+        "forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
