@@ -700,6 +700,18 @@ def q_embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count (dedup-then-count two-phase plan);
+    must equal countDistinct for any distribution."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.skew import count_distinct_twophase
+
+    ev = _t(spark, sf_dir, "events")
+    return count_distinct_twophase(
+        ev, ["event_type"], "user_id", out_col="n_users"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via native session_window (30 min gap);
     identical call powers the streaming variant."""
@@ -1036,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "reorder_rank": q_reorder_rank,
         "event_user_enrich": q_event_user_enrich,
+        "distinct_twophase": q_distinct_twophase,
         "order_restore": q_order_restore,
         "embedding_topk_vectorized": q_embedding_topk_vectorized,
         "text_quality": q_text_quality,
@@ -1333,6 +1346,10 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
   count(DISTINCT user_id) AS n_users,
   round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "distinct_twophase": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
 """,
         "event_user_enrich": """
 SELECT c_mktsegment, event_type, count(*) AS n,

@@ -9,6 +9,7 @@ from .expr import (
     normalize_time_unit,
 )
 from .parser import compile_expr, compile_matcher, compile_structured_expr
+from .skew import count_distinct_twophase, salted_collect_list
 
 __all__ = [
     "code_expr",
@@ -22,4 +23,6 @@ __all__ = [
     "compile_expr",
     "compile_matcher",
     "compile_structured_expr",
+    "count_distinct_twophase",
+    "salted_collect_list",
 ]

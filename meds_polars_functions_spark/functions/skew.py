@@ -1,0 +1,83 @@
+"""Skew-mitigation helpers.
+
+AQE handles skewed *joins* automatically (split oversized partitions);
+these helpers cover the aggregation-side cases AQE cannot fix:
+
+- ``count_distinct_twophase``: exact distinct counts whose first phase
+  spreads each group's distinct-set construction across
+  (group, value)-hashed partitions — a hot group's values no longer land
+  on one task. Spark's built-in countDistinct expands to a similar
+  two-phase plan per aggregate; this form also lets several distinct
+  counts share one pass and makes the strategy explicit/controllable.
+- ``salted_collect_list``: per-group ordered collect where one group's
+  payload would overflow a task — phase 1 collects per (group, salt),
+  phase 2 merges the (few, pre-sorted) chunks. Order is preserved by
+  sorting chunk structs on their first element.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_distinct_twophase(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    distinct_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group distinct count as dedup-then-count.
+
+    Phase 1 shuffles on (group, value) — cardinality-bounded, skew-free;
+    phase 2 counts per group. Equivalent to
+    ``groupBy(group).agg(countDistinct(col))`` for any data distribution.
+    """
+    out_col = out_col or f"{distinct_col}_n_distinct"
+    deduped = df.select(*group_cols, distinct_col).dropDuplicates(
+        [*group_cols, distinct_col]
+    )
+    return deduped.groupBy(*group_cols).agg(
+        F.count(F.col(distinct_col)).alias(out_col)
+    )
+
+
+def salted_collect_list(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    payload_col: str,
+    order_col: str,
+    n_salts: int = 16,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Ordered per-group collect_list that survives pathological groups.
+
+    Phase 1: collect sorted (order, payload) structs per (group, salt) —
+    each task holds at most ~1/n_salts of a hot group. Phase 2: merge the
+    n_salts chunks per group, sort chunks by their first order key, and
+    flatten. Output order equals a direct ordered collect.
+    """
+    out_col = out_col or f"{payload_col}_list"
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+    chunked = (
+        df.withColumn("__salt__", salt)
+        .groupBy(*group_cols, "__salt__")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(payload_col).alias("v"))
+                )
+            ).alias("__chunk__")
+        )
+    )
+    merged = chunked.groupBy(*group_cols).agg(
+        F.flatten(F.collect_list("__chunk__")).alias("__all__")
+    )
+    # structs sort by their first field (the order key): one final
+    # group-local sort of at most |group| small structs
+    return merged.select(
+        *group_cols,
+        F.transform(F.array_sort(F.col("__all__")), lambda s: s["v"]).alias(out_col),
+    )

@@ -104,3 +104,31 @@ def write_nrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
         .sum()
     )
     return int(n)
+
+
+def read_nrt(path: str) -> dict[str, "object"]:
+    """Load all partition files of a ``write_nrt`` directory into one
+    ragged dict of numpy arrays (values + per-column offsets), re-basing
+    offsets across files. Driver-side — intended for validation and for
+    feeding single-node PyTorch dataloaders; at scale consume the
+    ``.nrt.npz`` files per-partition instead."""
+    import glob
+
+    import numpy as np
+
+    files = sorted(glob.glob(os.path.join(path, "*.nrt.npz")))
+    if not files:
+        raise FileNotFoundError(f"no .nrt.npz files under {path}")
+    parts = [dict(np.load(f, allow_pickle=True)) for f in files]
+    out: dict = {}
+    for key in parts[0]:
+        if key.endswith("__offsets") or key.endswith("__inner_offsets"):
+            merged = [parts[0][key]]
+            base = merged[0][-1]
+            for p in parts[1:]:
+                merged.append(p[key][1:] + base)
+                base = merged[-1][-1]
+            out[key] = np.concatenate(merged)
+        else:
+            out[key] = np.concatenate([p[key] for p in parts])
+    return out

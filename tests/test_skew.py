@@ -1,0 +1,81 @@
+"""Skew-mitigation helpers must be exactly equivalent to their direct
+formulations, and the NRT round-trip must be lossless."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.functions.skew import (
+    count_distinct_twophase,
+    salted_collect_list,
+)
+from meds_polars_functions_spark.sources.writers import read_nrt, write_nrt
+
+
+def test_count_distinct_twophase_equiv(spark, meds_df):
+    direct = {
+        r["code"]: r["n"]
+        for r in meds_df.groupBy("code")
+        .agg(F.countDistinct("patient_id").alias("n"))
+        .collect()
+    }
+    twophase = {
+        r["code"]: r["patient_id_n_distinct"]
+        for r in count_distinct_twophase(meds_df, ["code"], "patient_id").collect()
+    }
+    assert direct == twophase
+
+
+def test_salted_collect_equiv(spark):
+    rows = [(1, i, f"v{i}") for i in range(50)] + [(2, i, f"w{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "g int, o int, v string").repartition(8)
+    direct = {
+        r["g"]: r["lst"]
+        for r in df.groupBy("g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("o", "v"))), lambda s: s["v"]
+            ).alias("lst")
+        )
+        .collect()
+    }
+    salted = {
+        r["g"]: r["v_list"]
+        for r in salted_collect_list(df, ["g"], "v", "o", n_salts=4).collect()
+    }
+    assert direct == salted
+
+
+def test_nrt_roundtrip(spark, meds_df):
+    from meds_polars_functions_spark.operators.tokenization import (
+        extract_seq_of_patient_events,
+    )
+
+    seqs = extract_seq_of_patient_events(
+        meds_df, code_as_double=False, nan_fill=False
+    )
+    expected = {
+        r["patient_id"]: r["code"] for r in seqs.collect()
+    }
+    d = tempfile.mkdtemp(prefix="nrt_rt_")
+    try:
+        write_nrt(seqs.repartition(3), d, ["time_delta_days", "code", "numeric_value"])
+        back = read_nrt(d)
+        pids = back["patient_id"]
+        outer = back["code__offsets"]
+        inner = back["code__inner_offsets"]
+        vals = back["code__values"]
+        assert len(pids) + 1 == len(outer)
+        got: dict = {}
+        for i, pid in enumerate(pids):
+            events = []
+            for ev in range(outer[i], outer[i + 1]):
+                events.append(list(vals[inner[ev] : inner[ev + 1]]))
+            got[pid] = events
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
