@@ -769,6 +769,45 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite quality gate over documents."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_filter(docs, "text", "doc_id", min_words=30)
+    return out.select(
+        "doc_id", "n_words", F.round("stopword_ratio", 6).alias("stopword_ratio")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (TF-IDF, deterministic ties)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "text", "doc_id", k=3)
+
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide): each event lands
+    in two windows; identical code drives the stream path."""
+    _prep(spark)
+    from meds_polars_functions_spark.streaming.events import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(
+        ev, window_duration="2 hours", slide_duration="1 hour"
+    )
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from meds_polars_functions_spark.operators.text import language_id
@@ -1052,6 +1091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_restore": q_order_restore,
         "embedding_topk_vectorized": q_embedding_topk_vectorized,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sliding_window_counts": q_sliding_window_counts,
         "language_id": q_language_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1453,6 +1495,58 @@ SELECT doc_id,
       ['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be'], x)))::DOUBLE
         / (CASE WHEN len(words) > 0 THEN len(words) END), 6) AS stopword_ratio
 FROM w
+""",
+        "quality_filter": r"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS words
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE
+      / (CASE WHEN len(words) > 0 THEN len(words) END) AS mean_word_len,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+      / (CASE WHEN length(text) > 0 THEN length(text) END) AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+      / (CASE WHEN length(text) > 0 THEN length(text) END) AS digit_ratio,
+    len(list_filter(words, x -> list_contains(
+      ['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be'], x)))::DOUBLE
+      / (CASE WHEN len(words) > 0 THEN len(words) END) AS stopword_ratio
+  FROM w)
+SELECT doc_id, n_words, round(stopword_ratio, 6) AS stopword_ratio
+FROM stats
+WHERE n_words BETWEEN 30 AND 100000
+  AND punct_ratio <= 0.2 AND digit_ratio <= 0.2
+  AND stopword_ratio >= 0.02
+  AND mean_word_len BETWEEN 3.0 AND 12.0
+""",
+        "tfidf_top_terms": """
+WITH w AS (
+  SELECT doc_id AS id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> length(x) >= 4)) AS word
+  FROM documents),
+tf AS (SELECT id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT id, word,
+    round(tf * ln(n_docs::DOUBLE / df), 9) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n)
+SELECT id, word, rank FROM (
+  SELECT id, word,
+    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, word) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+        "sliding_window_counts": """
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS w0, ts, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, ts, event_type, value FROM events)
+SELECT w0 AS window_start, event_type,
+  count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM starts GROUP BY 1, 2
 """,
         "language_id": """
 WITH w AS (

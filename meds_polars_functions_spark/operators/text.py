@@ -109,6 +109,74 @@ def fingerprint_documents(df: DataFrame, text_col: str, id_col: str) -> DataFram
     return df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.02,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 12.0,
+) -> DataFrame:
+    """C4/Gopher-style composite quality gate: keep documents passing all
+    cheap heuristics. One projection + one filter over the stats — the
+    standard first pass of a 100 TB corpus cleanup, fully pushdown-able."""
+    stats = quality_stats(df, text_col, id_col)
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+    )
+    return stats.filter(keep).select(id_col, "n_words", "stopword_ratio")
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_word_len: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Posting-list formulation: explode words -> per-(doc, word) TF ->
+    broadcast-joined document frequencies -> window top-k per doc.
+    idf = ln(N / df); ties broken lexicographically for determinism.
+    Shuffles (doc, word) pairs — the corpus text itself never re-shuffles.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(_WORDS(F.col(text_col)), lambda w: F.length(w) >= min_word_len)
+        ).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    doc_freq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # round before ranking: ln() implementations differ in the last ulp
+    # across engines, which would flip near-tie ranks
+    scored = tf.join(F.broadcast(doc_freq), "word").select(
+        "id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "word", "rank")
+    )
+
+
 def portable_fingerprint(
     text_col: str, char_base: int = 131, word_base: int = 1_000_003, mod: int = (1 << 31) - 1
 ) -> F.Column:
