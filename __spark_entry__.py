@@ -911,6 +911,19 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_buckets(docs, "text", "doc_id")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup pairs within Hamming distance 3 — the
+    classic 4×16-bit-chunk index (no SQL oracle: xxhash64; banding is
+    pigeonhole-exact and the verification is an exact Hamming count,
+    unit-tested). Wider tolerances shrink the chunks and blow up the
+    candidate buckets — keep max_hamming small."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 fixed query vectors."""
     _prep(spark)
@@ -1103,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "simhash_buckets": q_simhash_buckets,
+        "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_topk": q_lsh_topk,

@@ -349,6 +349,78 @@ def simhash(text_col: str, bits: int = 64) -> F.Column:
     )
 
 
+def hamming_distance(sig_a: F.Column, sig_b: F.Column) -> F.Column:
+    """Hamming distance between two equal-length bit-strings — native:
+    count positions where the characters differ."""
+    return F.size(
+        F.filter(
+            F.zip_with(
+                F.split(sig_a, ""),
+                F.split(sig_b, ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance ``max_hamming`` of
+    each other's simhash, via the standard banding index: split the
+    signature into ``max_hamming + 1`` chunks — any pair within distance
+    k must agree exactly on at least one chunk (pigeonhole) — bucket-join
+    on (chunk_idx, chunk), then verify exact Hamming distance on the
+    candidates only. Shuffle = (chunk, id) pairs; comparisons are
+    bucket-local, never all-pairs.
+    """
+    n_chunks = max_hamming + 1
+    chunk_len = bits // n_chunks
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    ).persist()
+    chunked = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.substring(
+                    F.col("sig"), c * chunk_len + 1, chunk_len
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("__sig_a__"),
+            F.col("r.sig").alias("__sig_b__"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "hamming", hamming_distance(F.col("__sig_a__"), F.col("__sig_b__"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dup_buckets(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """Docs sharing an identical simhash signature (Hamming distance 0
     buckets). For distance-k tolerance, band the signature into k+1

@@ -169,12 +169,16 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching SRP buckets.
 
-    Recall/cost is tuned by n_planes (more planes = smaller buckets).
-    Multi-probe (flipping low-margin bits) is the standard recall boost;
-    omitted here for clarity."""
+    Recall/cost is tuned by n_planes (more planes = smaller buckets) and
+    ``n_probes`` — multi-probe LSH: each *query* additionally probes the
+    buckets reachable by flipping one sign bit, in order of the margin
+    |dot(q, plane)| (the bits most likely to be wrong). Probing inflates
+    only the query side (tiny) — the corpus stays bucketed once.
+    """
     cb = hyperplane_lsh_buckets(
         corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")),
         "__cv__", dim, n_planes, seed,
@@ -183,11 +187,40 @@ def lsh_topk(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")),
         "__qv__", dim, n_planes, seed,
     )
+    if n_probes > 1:
+        planes = _seeded_hyperplanes(dim, n_planes, seed)
+        # margin per plane: |dot(q, plane_j)| — smallest margins are the
+        # least certain bits; flip those first
+        margins = F.array(
+            *[
+                F.abs(_dot(F.col("__qv__"), F.array(*[F.lit(float(x)) for x in p])))
+                for p in planes
+            ]
+        )
+        flip_order = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda j: F.struct(
+                    F.element_at(margins, j + 1).alias("m"), j.alias("j")
+                ),
+            )
+        )
+        pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
+        probe_buckets = F.array_union(
+            F.array(F.col("lsh_bucket")),
+            F.transform(
+                F.slice(flip_order, 1, n_probes - 1),
+                lambda s: F.col("lsh_bucket").bitwiseXOR(
+                    F.element_at(pow2, s["j"] + 1)
+                ),
+            ),
+        )
+        qb = qb.withColumn("lsh_bucket", F.explode(probe_buckets))
     scored = cb.join(F.broadcast(qb), "lsh_bucket").select(
         "query_id",
         "vec_id",
         cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
-    )
+    ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

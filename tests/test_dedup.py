@@ -42,6 +42,51 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
 
 
+def test_hamming_and_simhash_banding(spark):
+    from meds_polars_functions_spark.operators.dedup import (
+        hamming_distance,
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([("110010", "100110")], "a string, b string")
+    assert df.select(hamming_distance(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog today ok then"),
+        (2, "the quick brown fox jumps over the lazy dog today ok now"),
+        (3, "completely different text about catalyst and tungsten engines"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 16
+    assert all(3 not in p for p in pairs)
+    # tighter threshold excludes the near pair too (its distance is ~7)
+    tight = simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=2).collect()
+    assert all((r["id_a"], r["id_b"]) != (1, 2) or r["hamming"] <= 2 for r in tight)
+
+
+def test_multiprobe_lsh_recall_not_worse(spark):
+    from meds_polars_functions_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5, tie_round=9).collect()}
+    one = {(r["query_id"], r["vec_id"]) for r in lsh_topk(emb, q, dim, k=5, n_planes=8, n_probes=1).collect()}
+    multi = {(r["query_id"], r["vec_id"]) for r in lsh_topk(emb, q, dim, k=5, n_planes=8, n_probes=4).collect()}
+    assert len(exact & multi) >= len(exact & one)  # probing never hurts recall
+    for qid in [r["query_id"] for r in q.collect()]:
+        assert (qid, qid) in multi
+
+
 def test_minhash_pairs_subset_of_exact(spark):
     texts = [
         (1, "the quick brown fox jumps over the lazy dog and then naps"),
