@@ -133,11 +133,12 @@ def coerce_typed_values(
 # ---------------------------------------------------------------------------
 
 
-def fill_to_nans(col: str | Column) -> Column:
+def fill_to_nans(col: str | Column, fill: Column | None = None) -> Column:
+    """null/±inf -> NaN (or a caller-supplied fill expression — e.g. null
+    for engines whose downstream can't hash NaN)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(
-        c.isNull() | (F.abs(c) == F.lit(float("inf"))), F.lit(float("nan"))
-    ).otherwise(c)
+    target = fill if fill is not None else F.lit(float("nan"))
+    return F.when(c.isNull() | (F.abs(c) == F.lit(float("inf"))), target).otherwise(c)
 
 
 # ---------------------------------------------------------------------------

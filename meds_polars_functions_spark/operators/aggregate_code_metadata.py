@@ -79,18 +79,20 @@ def aggregate_code_metadata(
     keys = ["code", *code_modifiers]
     aggs = [exprs[a].alias(a) for a in aggregations]
     if do_summarize_over_all_codes:
-        grouped = df.rollup(*keys) if len(keys) == 1 else df.cube(*keys)
-        out = grouped.agg(*aggs)
-        if len(keys) > 1:
-            # cube produces all combinations; the reference only wants the
-            # full key plus the grand total — filter the partials out.
-            full = F.lit(True)
-            for k in keys:
-                full = full & F.col(k).isNotNull()
-            allnull = F.lit(True)
-            for k in keys:
-                allnull = allnull & F.col(k).isNull()
-            out = out.filter(full | allnull)
+        # rollup + grouping_id: gid==0 is the full (code, *modifiers) key,
+        # gid==2^n-1 the grand total. Filtering on grouping_id (NOT on key
+        # nullness) keeps groups whose key values are legitimately NULL
+        # distinct from rolled-up rows — cube/null-filtering conflates
+        # them and both drops null-modifier groups and duplicates the
+        # all-NULL row.
+        full_gid = 0
+        total_gid = (1 << len(keys)) - 1
+        out = (
+            df.rollup(*keys)
+            .agg(*aggs, F.grouping_id().alias("__gid__"))
+            .filter(F.col("__gid__").isin(full_gid, total_gid))
+            .drop("__gid__")
+        )
         return out
     return df.groupBy(*keys).agg(*aggs)
 

@@ -469,6 +469,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -495,8 +496,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent partial convergence would hand back one component under
+        # several cluster ids — dedup would keep multiple "canonical" copies
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (pair-graph diameter exceeds it); raise max_iterations"
+        )
     return labels
 
 
@@ -516,19 +525,18 @@ def embedding_near_dup_pairs(
     Brute-force all-pairs — correct baseline, O(n²) compare but the dot
     product is a native `aggregate(zip_with(...))`, no Python. At scale,
     pre-bucket with `similarity.hyperplane_lsh_buckets` and run this
-    per-bucket."""
-    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    per-bucket. Vector math is shared with operators/similarity (one
+    cosine implementation to fix, not two); norms are precomputed per
+    side rather than per pair."""
+    from .similarity import _dot, _norm
+
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"),
+        _norm(F.col(vec_col)).alias("n"),
     )
     a, b = vecs.alias("a"), vecs.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

@@ -65,6 +65,9 @@ def extract_event(
     time_cfg = cfg.pop("time", None)
     time_format = cfg.pop("time_format", None)
     cfg.pop("_metadata", None)
+    # per-event id-column override is routing config, not an output column
+    # (reference pops it before extraction, convert_to_sharded_events.py:719)
+    cfg.pop("patient_id_col", None)
 
     code, code_col_refs = _code_expr_from_cfg(code_cfg)
 

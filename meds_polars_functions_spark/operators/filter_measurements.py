@@ -44,6 +44,11 @@ def filter_measurements(
     code_modifiers: Sequence[str] = (),
 ) -> DataFrame:
     """Keep measurements whose code passes the thresholds."""
+    if min_patients_per_code is None and min_occurrences_per_code is None:
+        # no thresholds -> no-op (reference filter_measurements.py:111-112);
+        # semi-joining anyway would silently drop codes absent from an
+        # externally-supplied metadata table
+        return df
     allowed = allowed_codes(
         code_metadata, min_patients_per_code, min_occurrences_per_code, code_modifiers
     )

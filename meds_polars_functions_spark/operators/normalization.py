@@ -48,10 +48,20 @@ def normalize(
         for c in df.columns
         if c not in {"code", "numeric_value", *code_modifiers}
     ]
+    # Polars semantics for constant codes (std == 0): (v-mean)/0 is NaN
+    # when v == mean else ±inf. Spark's non-ANSI x/0.0 is NULL, which
+    # would conflate "present but constant" with "absent" — make the
+    # reference behavior explicit. v NULL falls through every branch to
+    # NULL, as it should.
+    v, mean, std = F.col("numeric_value"), F.col("__mean__"), F.col("__std__")
+    z = (
+        F.when(std != 0, (v - mean) / std)
+        .when(v == mean, F.lit(float("nan")))
+        .when(v > mean, F.lit(float("inf")))
+        .when(v < mean, F.lit(float("-inf")))
+    )
     return joined.select(
         *passthrough,
         F.col("__vocab__").cast("long").alias("code"),
-        ((F.col("numeric_value") - F.col("__mean__")) / F.col("__std__")).alias(
-            "numeric_value"
-        ),
+        z.alias("numeric_value"),
     )

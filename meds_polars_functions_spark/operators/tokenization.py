@@ -81,13 +81,15 @@ def extract_seq_of_patient_events(
     normalized-input behavior (codes already vocab ints); disable them to
     tokenize un-normalized codes (string lists, null first delta).
     """
+    from ..functions.expr import fill_to_nans
+
     _, dynamic = split_static_and_dynamic(df)
     if order_col is None:
         dynamic = dynamic.withColumn("__pos__", F.monotonically_increasing_id())
         order_col = "__pos__"
 
     nan = F.lit(float("nan")) if nan_fill else F.lit(None).cast("double")
-    fill = lambda c: F.when(c.isNull() | (F.abs(c) == F.lit(float("inf"))), nan).otherwise(c)  # noqa: E731
+    fill = lambda c: fill_to_nans(c, fill=nan)  # noqa: E731
     code_fn = (lambda c: fill(c.cast("double"))) if code_as_double else (lambda c: c)
 
     events = dynamic.groupBy("patient_id", "time").agg(

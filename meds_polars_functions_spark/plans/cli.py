@@ -63,10 +63,18 @@ def main(argv: list[str] | None = None) -> None:
         metadata.write.mode("overwrite").parquet(
             os.path.join(args.output, "metadata")
         )
+    # count what was written, not the lineage — counting the DataFrame
+    # would re-execute the whole pipeline a second time
+    rows_out = spark.read.parquet(os.path.join(args.output, "data")).count()
+    meta_rows = (
+        spark.read.parquet(os.path.join(args.output, "metadata")).count()
+        if metadata is not None
+        else None
+    )
     summary = {
         "stages": cfg["stages"],
-        "rows_out": data.count(),
-        "metadata_rows_out": metadata.count() if metadata is not None else None,
+        "rows_out": rows_out,
+        "metadata_rows_out": meta_rows,
     }
     with open(os.path.join(args.output, "pipeline_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

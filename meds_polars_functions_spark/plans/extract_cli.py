@@ -97,7 +97,10 @@ def main(argv: list[str] | None = None) -> None:
         pid_col = cfg.pop("patient_id_col", "patient_id")
         frames.append(convert_to_events(tables[name], cfg, patient_id_col=pid_col))
 
-    cohort = finalize_data(merge_and_sort(frames))
+    # persist: the cohort feeds four actions (id harvest, data write,
+    # codes aggregation, summary count) — without this the whole
+    # scan+convert+dedup+sort DAG re-executes per action
+    cohort = finalize_data(merge_and_sort(frames)).persist()
 
     ids = harvest_patient_ids([cohort])
     shards = shard_patients(
@@ -131,6 +134,7 @@ def main(argv: list[str] | None = None) -> None:
         "patients": len(ids),
         "shards": {k: len(v) for k, v in shards.items()},
     }
+    cohort.unpersist()
     with open(os.path.join(out, "extract_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -113,6 +113,48 @@ def _fit_vocabulary_indices(cfg: dict[str, Any]) -> Stage:
     return Stage("fit_vocabulary_indices", fn, kind="metadata", wants_metadata=True)
 
 
+def _tokenization_schemas(cfg: dict[str, Any]) -> Stage:
+    from ..operators.tokenization import extract_statics_and_schema
+
+    return Stage(
+        "tokenization_schemas",
+        lambda df: extract_statics_and_schema(df, order_col=cfg.get("order_col")),
+    )
+
+
+def _tokenization_event_seqs(cfg: dict[str, Any]) -> Stage:
+    from ..operators.tokenization import extract_seq_of_patient_events
+
+    return Stage(
+        "tokenization_event_seqs",
+        lambda df: extract_seq_of_patient_events(
+            df,
+            order_col=cfg.get("order_col"),
+            code_as_double=cfg.get("code_as_double", True),
+            nan_fill=cfg.get("nan_fill", True),
+        ),
+    )
+
+
+def _tensorization(cfg: dict[str, Any]) -> Stage:
+    """Terminal stage: write the nested sequences as ragged-tensor files
+    (reference transforms/tensorization.py). ``nrt_dir`` is required; the
+    DataFrame passes through unchanged so the pipeline can still
+    checkpoint/inspect it."""
+    from ..sources.writers import write_nrt
+
+    nrt_dir = cfg["nrt_dir"]
+    list_columns = cfg.get(
+        "list_columns", ["time_delta_days", "code", "numeric_value"]
+    )
+
+    def fn(df):
+        write_nrt(df, nrt_dir, list_columns=list_columns)
+        return df
+
+    return Stage("tensorization", fn)
+
+
 STAGE_REGISTRY = {
     "filter_patients": _filter_patients,
     "filter_measurements": _filter_measurements,
@@ -122,6 +164,9 @@ STAGE_REGISTRY = {
     "reorder_measurements": _reorder_measurements,
     "aggregate_code_metadata": _aggregate_code_metadata,
     "fit_vocabulary_indices": _fit_vocabulary_indices,
+    "tokenization_schemas": _tokenization_schemas,
+    "tokenization_event_seqs": _tokenization_event_seqs,
+    "tensorization": _tensorization,
 }
 
 

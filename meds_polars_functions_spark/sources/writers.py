@@ -63,8 +63,20 @@ def write_nrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
     embarrassingly-parallel per-partition write — no shuffle, no driver
     collect; repartition upstream to control file sizes.
     """
+    from pyspark.sql import types as T
+
     os.makedirs(path, exist_ok=True)
     other_cols = [c for c in df.columns if c not in list_columns]
+    # Decide singly- vs doubly-ragged from the SCHEMA, not the data —
+    # per-partition data sniffing would let partitions of one column write
+    # incompatible npz layouts (e.g. a partition whose outer lists are all
+    # empty), which merge into corrupt offsets on read.
+    doubly_ragged = {
+        c
+        for c in list_columns
+        if isinstance(df.schema[c].dataType, T.ArrayType)
+        and isinstance(df.schema[c].dataType.elementType, T.ArrayType)
+    }
 
     def write_partition(pid: int, rows) -> Iterable[int]:
         import numpy as np
@@ -77,9 +89,7 @@ def write_nrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
             out[c] = np.asarray([r[c] for r in rows])
         for c in list_columns:
             col_vals = [r[c] for r in rows]
-            if col_vals and any(
-                isinstance(v, list) and v and isinstance(v[0], list) for v in col_vals
-            ):
+            if c in doubly_ragged:
                 # doubly-ragged: flatten twice, keep both offset arrays
                 inner_flat: list = []
                 inner_offsets = [0]

@@ -91,10 +91,12 @@ def streaming_first_seen_dedup(
     """Streaming exact dedup with unbounded memory of what was seen:
     emit an event only the FIRST time its (key, content) appears in the
     stream's lifetime. Built-in ``dropDuplicates`` on a stream needs a
-    watermark and forgets; this keeps a compact per-key seen-set (hash
-    the content when it's large) in the state store.
+    watermark and forgets; this keeps a compact per-key seen-set of
+    64-bit content digests in the state store (32-bit hashes hit
+    birthday collisions around ~77k distinct values per key and would
+    silently drop fresh events).
     """
-    import zlib
+    import hashlib
 
     out_schema = T.StructType(
         [
@@ -106,6 +108,10 @@ def streaming_first_seen_dedup(
         [T.StructField("seen", T.ArrayType(T.LongType()))]
     )
 
+    def digest(c) -> int:
+        h = hashlib.blake2b(str(c).encode(), digest_size=8).digest()
+        return int.from_bytes(h, "big", signed=True)
+
     def update(key, pdfs, state):
         import pandas as pd
 
@@ -114,7 +120,7 @@ def streaming_first_seen_dedup(
         fresh = []
         for pdf in pdfs:
             for c in pdf[content_col]:
-                h = zlib.crc32(str(c).encode())
+                h = digest(c)
                 if h not in seen:
                     seen.add(h)
                     fresh.append(c)

@@ -69,3 +69,43 @@ def test_cli_pipeline(workdir, spark):
     kept = {r["patient_id"] for r in data.select("patient_id").distinct().collect()}
     assert 68729 not in kept
     assert {239684, 1195293} <= kept
+
+
+FULL_PIPELINE_YAML = """
+stages:
+  - aggregate_code_metadata
+  - fit_vocabulary_indices
+  - normalization
+  - tokenization_event_seqs
+  - tensorization
+stage_configs:
+  tensorization:
+    nrt_dir: "{nrt_dir}"
+"""
+
+
+def test_cli_full_pipeline_to_tensors(workdir, spark):
+    """extract-output -> normalize -> tokenize -> NRT files: the entire
+    reference pipeline, end to end through the CLI."""
+    import glob
+
+    yaml_path = os.path.join(workdir, "full.yaml")
+    nrt_dir = os.path.join(workdir, "nrt")
+    with open(yaml_path, "w") as f:
+        f.write(FULL_PIPELINE_YAML.replace("{nrt_dir}", nrt_dir))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "meds_polars_functions_spark.plans.cli",
+            "--config", yaml_path,
+            "--input", os.path.join(workdir, "input"),
+            "--output", os.path.join(workdir, "out_full"),
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert glob.glob(os.path.join(nrt_dir, "*.nrt.npz"))
+    seqs = spark.read.parquet(os.path.join(workdir, "out_full", "data"))
+    assert {"patient_id", "time_delta_days", "code", "numeric_value"} <= set(seqs.columns)
+    row = seqs.first()
+    assert isinstance(row["code"][0], list)  # doubly-nested, normalized codes

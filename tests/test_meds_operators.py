@@ -65,6 +65,43 @@ def test_aggregate_all_codes_row(meds_df):
     assert rows[None]["code/n_patients"] == 3
 
 
+def test_all_codes_with_null_modifier_values(spark):
+    """Regression: grouping must distinguish a legitimately-NULL modifier
+    value from a rollup row — the cube+null-filter formulation dropped
+    (HR, unit=NULL) groups and duplicated the all-NULL summary row."""
+    rows = [
+        (1, None, "HR", "bpm", 60.0),
+        (1, None, "HR", None, 70.0),
+        (2, None, "HR", None, 80.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "patient_id long, time timestamp, code string, unit string, numeric_value double",
+    )
+    out = aggregate_code_metadata(
+        df, code_modifiers=["unit"], do_summarize_over_all_codes=True
+    ).collect()
+    groups = {(r["code"], r["unit"]): r["code/n_occurrences"] for r in out}
+    assert groups[("HR", "bpm")] == 1
+    assert groups[("HR", None)] == 2  # null-modifier group survives
+    assert groups[(None, None)] == 3  # exactly one grand-total row
+    assert len(out) == 3
+
+
+def test_normalization_constant_code_is_nan_not_null(spark):
+    """Regression: std==0 codes must produce NaN/±inf (Polars semantics),
+    not NULL (Spark non-ANSI x/0)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, None, "K", 5.0), (2, None, "K", 5.0)],
+        "patient_id long, time timestamp, code string, numeric_value double",
+    )
+    meta = fit_vocabulary_indices(aggregate_code_metadata(df))
+    vals = [r["numeric_value"] for r in normalize(df, meta).collect()]
+    assert all(v is not None and math.isnan(v) for v in vals)
+
+
 def test_merge_pre_aggregated(spark, meds_df):
     half1 = aggregate_code_metadata(meds_df.filter(F.col("patient_id") == 239684))
     half2 = aggregate_code_metadata(meds_df.filter(F.col("patient_id") != 239684))
