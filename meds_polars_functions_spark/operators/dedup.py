@@ -63,14 +63,23 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-grams of a text column, all-native:
-    lowercase -> split on non-alphanumerics -> sliding n-gram via
-    transform over an index sequence."""
-    words = F.filter(
+def _words_expr(text_col: str) -> F.Column:
+    """lowercase -> split on non-alphanumerics -> drop empties."""
+    return F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )
-    n_grams = F.when(
+
+
+def _ngrams_from_words(words: F.Column, n: int) -> F.Column:
+    """Distinct sliding word n-grams over an ALREADY-BOUND words column.
+
+    `words` must be a plain column reference (attribute), not a compound
+    expression: higher-order functions are interpreted (CodegenFallback)
+    and `F.slice` with a lambda-variable start re-evaluates its source
+    expression once per outer element — O(len²) per row when the source
+    is the split/filter pipeline (measured 9× slower on 300-char docs).
+    """
+    return F.when(
         F.size(words) >= n,
         F.array_distinct(
             F.transform(
@@ -79,7 +88,31 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return n_grams
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams of a text column as ONE expression.
+
+    Convenience form for small/one-off frames; on the hot path use
+    `shingle_table`, which binds the words array as a real column first —
+    this inline form pays the quadratic slice-source re-evaluation
+    described in `_ngrams_from_words`."""
+    return _ngrams_from_words(_words_expr(text_col), n)
+
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """(id, shingles) with the words array materialized as a bound column
+    between the split and the n-gram pass, so the sliding-window slice
+    reads an attribute (cheap per element) instead of re-running the
+    split/filter pipeline per n-gram."""
+    wdf = df.select(F.col(id_col).alias("id"), _words_expr(text_col).alias("__w__"))
+    return wdf.select("id", _ngrams_from_words(F.col("__w__"), n).alias(out_col))
 
 
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -179,43 +212,53 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing >=1 identical band.
 
     rows_per_band = num_hashes // bands; similarity threshold ~
     (1/bands)^(1/rows_per_band). Signatures are computed map-side
     (vectorized Arrow UDF, see _band_hash_udf); only (band_idx, band_hash,
-    id) rows shuffle, and the self-join compares within buckets only —
-    never all pairs. The banded table is persisted so the self-join's two
-    sides don't recompute the signatures.
+    id) rows shuffle — ONE exchange into per-bucket id lists, then pairs
+    are expanded bucket-locally from the bound array (no self-join: the
+    join formulation shuffles the banded table twice and was measured 2×
+    slower, and its bucket-size blowup is invisible until the join runs).
+
+    `max_bucket_size` drops buckets with more members than the cap before
+    pair expansion. A degenerate bucket (boilerplate text, template spam)
+    otherwise expands to O(b²) pairs and dominates the stage at scale;
+    members of an over-cap bucket are near-identical to each other anyway,
+    so downstream clustering loses little. None = no cap (exact banding).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     udf = _band_hash_udf(shingle_n, num_hashes, bands, seed)
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
-    # Parallelize the signature UDF: repartition on the id so the Arrow
-    # batches spread across cores even when the scan yields few splits
-    # (single local file). On a many-file corpus this exchange is small
-    # change relative to the signature work it parallelizes.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    src = src.repartition(target, "id")
-    banded = src.select(
-        "id",
-        F.posexplode(udf(F.col("__text__"))).alias("band_idx", "band_hash"),
-    ).persist()
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+    # No repartition before the UDF: scan parallelism comes from file
+    # splits (maxPartitionBytes) on any real corpus; forcing an exchange
+    # here costs more than the map-side signature work it would spread.
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(udf(F.col(text_col))).alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # ids is a bound attribute after the aggregation, so the variable-start
+    # slice reads the array instead of recomputing it (see _ngrams_from_words)
+    return (
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias(
+                "id_b"
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def jaccard_similarity(shingles_a: F.Column, shingles_b: F.Column) -> F.Column:
@@ -234,25 +277,17 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     Jaccard >= threshold. Output: (id_a, id_b, jaccard)."""
-    # Persist the candidate pairs: they feed two shingle joins, and
-    # recomputing them would re-run the banded self-join per join. The
-    # candidate set is tiny relative to the corpus (that's the point of
-    # LSH), so it is also broadcast into the verification joins — the
-    # shingle table never shuffles.
-    # Candidates feed exactly one downstream plan — no persist needed
-    # (the banded table inside IS persisted, which is what prevents
-    # signature recompute). Verification: candidates join the shingle
-    # table twice; no manual broadcast hints — measured slower than
-    # letting AQE pick the build side from actual sizes here.
+    # Verification: candidates join the shingle table twice; no manual
+    # broadcast hints — measured slower than letting AQE pick the build
+    # side from actual sizes here.
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, shingle_n, num_hashes, bands, seed
+        df, text_col, id_col, shingle_n, num_hashes, bands, seed, max_bucket_size
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
-    )
+    sh = shingle_table(df, text_col, id_col, shingle_n)
     sh_a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "__sa__")
     sh_b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "__sb__")
     return (
@@ -281,9 +316,7 @@ def ngram_jaccard_pairs(
     is the exact (non-probabilistic) baseline; prefer minhash_dedup_pairs
     at scale — this one's shuffle is the posting-list join.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
-    )
+    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
     sizes = sh.select("id", F.size("sh").alias("n"))
     posts = sh.select("id", F.explode("sh").alias("g"))
     inter = (
