@@ -146,7 +146,11 @@ def fill_to_nans(col: str | Column, fill: Column | None = None) -> Column:
 # ---------------------------------------------------------------------------
 
 _TIME_UNITS: dict[str, tuple[tuple[str, ...], float]] = {
-    "years": (("y", "yr", "yrs", "year", "years"), 365.25 * 24 * 60 * 60),
+    # tropical year (365.2422 d = 31,556,926.08 s), NOT the Julian 365.25 —
+    # the reference pins this in its normalize_time_unit doctest
+    # multiplication order matters for the last ulp: 60*60*24*365.2422 =
+    # 31556926.080000002 exactly as the reference's doctest pins it
+    "years": (("y", "yr", "yrs", "year", "years"), 60 * 60 * 24 * 365.2422),
     "months": (("mo", "mos", "month", "months"), 30.436875 * 24 * 60 * 60),
     "weeks": (("w", "wk", "wks", "week", "weeks"), 7 * 24 * 60 * 60),
     "days": (("d", "day", "days"), 24 * 60 * 60),

@@ -176,5 +176,5 @@ def test_fill_to_nans(spark):
 
 
 def test_normalize_time_unit():
-    assert normalize_time_unit("yrs") == ("years", 365.25 * 86400)
+    assert normalize_time_unit("yrs") == ("years", 31556926.080000002)
     assert normalize_time_unit("d")[1] == 86400
