@@ -115,6 +115,41 @@ def shingle_table(
     return wdf.select("id", _ngrams_from_words(F.col("__w__"), n).alias(out_col))
 
 
+def overfrequent_shingle_hashes(
+    df: DataFrame,
+    text_col: str,
+    shingle_n: int = 3,
+    max_doc_ratio: float = 0.5,
+) -> frozenset[int]:
+    """Hashes of shingles appearing in more than ``max_doc_ratio`` of docs.
+
+    Boilerplate shingles (site chrome, license headers, template spam) are
+    the classic LSH failure: they dominate every minhash signature, every
+    doc lands in the same band buckets, and candidate generation goes
+    O(n²). Doc-frequency capping removes them BEFORE signatures are
+    computed. The result is driver-collected but bounded by construction:
+    at most ``1/max_doc_ratio`` shingles can each appear in more than that
+    fraction of documents... per distinct shingle value the bound is loose,
+    but in practice the over-frequent set is tiny; pass a higher ratio if
+    a corpus proves otherwise. Hash space matches _band_hash_udf
+    (crc32 % P) so the UDF can filter by hash without re-materializing
+    strings.
+    """
+    from zlib import crc32
+
+    n_docs = df.count()
+    cap = int(n_docs * max_doc_ratio)
+    wdf = df.select(_words_expr(text_col).alias("__w__"))
+    posts = wdf.select(
+        F.explode(_ngrams_from_words(F.col("__w__"), shingle_n)).alias("g")
+    )
+    # ngrams are per-doc distinct, so count(g) IS document frequency
+    freq = posts.groupBy("g").count().filter(F.col("count") > cap)
+    return frozenset(
+        crc32(r["g"].encode()) % _MERSENNE_P for r in freq.collect()
+    )
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash family."""
     import numpy as np
@@ -153,7 +188,13 @@ def minhash_signature(
     )
 
 
-def _band_hash_udf(shingle_n: int, num_hashes: int, bands: int, seed: int):
+def _band_hash_udf(
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    banned: frozenset[int] = frozenset(),
+):
     """Arrow-batched pandas UDF: text -> array<long> of LSH band hashes.
 
     Why a UDF here: Spark's higher-order array functions are
@@ -175,6 +216,7 @@ def _band_hash_udf(shingle_n: int, num_hashes: int, bands: int, seed: int):
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
     token_re = re.compile(r"[^a-z0-9]+")
+    banned_arr = np.fromiter(banned, dtype=np.int64, count=len(banned))
 
     @pandas_udf("array<long>")
     def band_hashes(texts: pd.Series) -> pd.Series:
@@ -193,6 +235,14 @@ def _band_hash_udf(shingle_n: int, num_hashes: int, bands: int, seed: int):
                 dtype=np.int64,
                 count=len(shingles),
             )
+            if banned_arr.size:
+                h = h[~np.isin(h, banned_arr)]
+            if h.size == 0:
+                # every shingle was boilerplate: emit NO bands — such a
+                # doc forms candidates with nothing (its content carries
+                # no signal); exact dedup catches byte-identical copies
+                out.append([])
+                continue
             sig = ((a * h[None, :] + b) % _MERSENNE_P).min(axis=1)
             out.append(
                 [
@@ -213,6 +263,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    max_shingle_doc_ratio: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing >=1 identical band.
 
@@ -229,10 +280,21 @@ def minhash_lsh_candidates(
     otherwise expands to O(b²) pairs and dominates the stage at scale;
     members of an over-cap bucket are near-identical to each other anyway,
     so downstream clustering loses little. None = no cap (exact banding).
+
+    `max_shingle_doc_ratio` attacks the same failure one stage earlier:
+    shingles present in more than that fraction of documents are excluded
+    from signatures (see overfrequent_shingle_hashes), so boilerplate
+    never inflates bucket sizes in the first place. Costs one extra
+    DF-counting pass over the corpus. None = no capping.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    udf = _band_hash_udf(shingle_n, num_hashes, bands, seed)
+    banned = (
+        overfrequent_shingle_hashes(df, text_col, shingle_n, max_shingle_doc_ratio)
+        if max_shingle_doc_ratio is not None
+        else frozenset()
+    )
+    udf = _band_hash_udf(shingle_n, num_hashes, bands, seed, banned)
     # No repartition before the UDF: scan parallelism comes from file
     # splits (maxPartitionBytes) on any real corpus; forcing an exchange
     # here costs more than the map-side signature work it would spread.
@@ -278,14 +340,27 @@ def minhash_dedup_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    max_shingle_doc_ratio: float | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
-    Jaccard >= threshold. Output: (id_a, id_b, jaccard)."""
+    Jaccard >= threshold. Output: (id_a, id_b, jaccard).
+
+    Capping options shape CANDIDATE generation only; the verification
+    Jaccard is always computed on full shingle sets, so reported
+    similarities stay ground-truth regardless of capping."""
     # Verification: candidates join the shingle table twice; no manual
     # broadcast hints — measured slower than letting AQE pick the build
     # side from actual sizes here.
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, shingle_n, num_hashes, bands, seed, max_bucket_size
+        df,
+        text_col,
+        id_col,
+        shingle_n,
+        num_hashes,
+        bands,
+        seed,
+        max_bucket_size,
+        max_shingle_doc_ratio,
     )
     sh = shingle_table(df, text_col, id_col, shingle_n)
     sh_a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "__sa__")

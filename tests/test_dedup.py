@@ -107,3 +107,72 @@ def test_minhash_pairs_subset_of_exact(spark):
     assert (3, 4) in exact and (3, 4) in mh
     # minhash verified pairs are exact-Jaccard-thresholded -> subset of exact
     assert mh <= exact
+
+
+def test_overfrequent_shingle_capping(spark):
+    """Boilerplate shingles shared by every doc are detected and excluded
+    from candidate generation; genuinely similar pairs still surface.
+
+    Fixture is probability-safe: 50 words of shared boilerplate put
+    uncapped unrelated-pair Jaccard ~0.86 (band collision ~1 - 2e-6
+    missing), while after capping the unrelated docs share zero shingles
+    (collision needs a 4-hash band to match on disjoint sets)."""
+    from meds_polars_functions_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+        overfrequent_shingle_hashes,
+    )
+
+    boiler = " ".join(f"term{i}" for i in range(50))
+    uniq = [
+        "quantum ducks migrate across frozen lakes every year",
+        "gardening tips for arid climates and sandy soil",
+        "recipe for sourdough bread with rye flour blend",
+        "notes on vintage synthesizer restoration and repair",
+        "trail map updates for the northern ridge loop",
+        "trail map updates for the northern ridge walk",  # near-dup of ^
+    ]
+    rows = [(i, f"{boiler} {u}") for i, u in enumerate(uniq)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    banned = overfrequent_shingle_hashes(docs, "text", shingle_n=3, max_doc_ratio=0.9)
+    assert len(banned) >= 40  # the 48 boiler-internal shingles
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, "text", "doc_id", max_shingle_doc_ratio=0.9
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert (0, 1) in uncapped  # boilerplate alone made these candidates
+    unrelated = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert not (capped & unrelated)  # capping removed boilerplate pairs
+    assert (4, 5) in capped  # the true near-dup pair survives capping
+
+    # verification Jaccard stays ground-truth (full shingle sets): with
+    # boilerplate included the near-dup pair is far above 0.5
+    verified = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_doc_ratio=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} >= {(4, 5)}
+
+
+def test_max_bucket_size_prunes_degenerate_buckets(spark):
+    from meds_polars_functions_spark.operators.dedup import minhash_lsh_candidates
+
+    # 20 identical docs -> one degenerate bucket of 20 -> 190 pairs
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated everywhere") for i in range(20)],
+        "doc_id long, text string",
+    )
+    full = minhash_lsh_candidates(docs, "text", "doc_id").count()
+    assert full == 190
+    pruned = minhash_lsh_candidates(
+        docs, "text", "doc_id", max_bucket_size=10
+    ).count()
+    assert pruned == 0

@@ -90,3 +90,21 @@ def test_canonical_sort_is_not_global(spark, entry_mod):
         l for l in plan.splitlines() if l.strip().startswith("Arguments: [patient_id")
     ]
     assert sort_args and ", false, " in sort_args[0]
+
+def test_minhash_candidates_single_bucket_exchange(spark, entry_mod):
+    """LSH candidate generation: signatures are map-side (Arrow UDF before
+    any exchange), banding groups through ONE hash exchange with a partial
+    collect_set below it, pair expansion is bucket-local, and the only
+    other exchange is the final pair-dedup. A self-join formulation (two
+    shuffles of the banded table) must not sneak back in."""
+    from meds_polars_functions_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    import re
+
+    plan = plan_of(minhash_lsh_candidates(docs, "text", "doc_id"))
+    # formatted output lists each node twice (tree + detail)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "partial_collect_set" in plan
+    assert "ArrowEvalPython" in plan
