@@ -957,6 +957,28 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b")
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup (scale path for
+    embedding_near_dup: bucketed candidates + exact cosine verify; no SQL
+    oracle — seeded hyperplanes — subset-of-brute-force is tested)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    dim = len(emb.select("embedding").first()[0])
+    out = embedding_near_dup_lsh(
+        emb, "embedding", "vec_id", dim=dim, threshold=0.4, n_planes=6, n_tables=6
+    )
+    return out.select("id_a", "id_b")
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN (no SQL oracle: seeded hyperplanes; recall is
     validated in tests against brute force)."""
@@ -1119,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "shipping_priority": q_shipping_priority,

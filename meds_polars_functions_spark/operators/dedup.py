@@ -302,9 +302,22 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         F.posexplode(udf(F.col(text_col))).alias("band_idx", "band_hash"),
     )
+    return _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket_size)
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id_a < id_b) pairs co-located in any bucket: ONE exchange into
+    per-bucket sorted id lists (partial collect_set map-side), bucket-local
+    pair expansion, distinct. Shared by every LSH family here (minhash
+    bands, simhash chunks, hyperplane tables)."""
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        banded.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
@@ -651,6 +664,74 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             (dot / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, at-scale path:
+    multi-table random-hyperplane LSH candidates + exact cosine verify.
+
+    Each of ``n_tables`` independent hyperplane sets (seed+t) maps every
+    vector to a sign-bit bucket, map-side (plane literals folded into the
+    plan, no Python). Candidates = pairs sharing a bucket in ANY table —
+    one exchange into per-(table, bucket) id lists via _bucket_pairs, so
+    the O(n²) brute-force compare becomes O(sum of bucket²). Verification
+    computes exact cosine on candidates only; output is therefore a
+    SUBSET of embedding_near_dup_pairs (same threshold) with recall
+    1-(1-p^planes)^tables, p = 1 - angle/pi — near 1 for the
+    near-duplicate angles this is for.
+    """
+    from .similarity import _dot, _norm, _seeded_hyperplanes
+
+    v = F.col(vec_col)
+    table_buckets = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for j, plane in enumerate(_seeded_hyperplanes(dim, n_planes, seed + t)):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(_dot(v, p) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket + bit * F.lit(2**j)
+        table_buckets.append(bucket)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*table_buckets)).alias("table_idx", "bucket"),
+    )
+    cands = _bucket_pairs(banded, ["table_idx", "bucket"], max_bucket_size)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    a = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("__va__"), F.col("n").alias("__na__")
+    )
+    b = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("__vb__"), F.col("n").alias("__nb__")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("__va__"), F.col("__vb__"))
+                / (F.col("__na__") * F.col("__nb__"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

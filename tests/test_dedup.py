@@ -176,3 +176,40 @@ def test_max_bucket_size_prunes_degenerate_buckets(spark):
         docs, "text", "doc_id", max_bucket_size=10
     ).count()
     assert pruned == 0
+
+
+def test_embedding_near_dup_lsh_matches_brute_force(spark):
+    """LSH-bucketed embedding near-dup: exact-verified subset of the
+    brute-force pairs, with all planted near-identical pairs recovered
+    (recall at cosine>=0.995 with 8 planes x 8 tables is 1 - ~7e-6)."""
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.standard_normal((30, dim))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # plant near-dups: 100/101 of 0/1 with tiny perturbations
+    for twin, src in [(100, 0), (101, 1)]:
+        v = base[src] + 0.01 * rng.standard_normal(dim)
+        rows.append((twin, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.99
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(
+            df, "embedding", "vec_id", dim=dim, threshold=0.99
+        ).collect()
+    }
+    assert lsh <= brute
+    assert {(0, 100), (1, 101)} <= lsh
