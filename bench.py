@@ -4,9 +4,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (count() materializes the full plan;
-results are never collected to the driver)."""
+results are never collected to the driver).
 
-from __future__ import annotations
+NOTE: no `from __future__ import annotations` here — pandas_udf resolves
+type hints at decoration time and string annotations break it."""
 
 import json
 import os
@@ -51,6 +52,26 @@ def main() -> None:
     # not absorb session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     entry_mod._t(spark, sf_dir, "lineitem").count()
+    # ... and the reusable Python worker pool (one process per slot, each
+    # importing pandas/numpy), so the first Arrow-UDF query doesn't absorb
+    # 32 interpreter startups either
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, 10 * par, 1, par).select(_noop("id")).count()
+    # ... and whole-stage-codegen + Arrow struct paths for the heaviest
+    # operator shape (minhash: exchange→ArrowEvalPython→posexplode→
+    # hash-agg→joins) on a 64-doc sample, so the timed run measures
+    # steady-state throughput, not first-compile of the plan shape
+    from meds_polars_functions_spark.operators.dedup import minhash_dedup_pairs
+
+    sample = entry_mod._t(spark, sf_dir, "documents").limit(64)
+    minhash_dedup_pairs(sample, "text", "doc_id", threshold=0.5).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -194,8 +194,12 @@ def _band_hash_udf(
     bands: int,
     seed: int,
     banned: frozenset[int] = frozenset(),
+    with_shingles: bool = False,
 ):
-    """Arrow-batched pandas UDF: text -> array<long> of LSH band hashes.
+    """Arrow-batched pandas UDF: text -> array<long> of LSH band hashes,
+    or (with_shingles) -> struct<bands: array<long>, sh: array<long>>
+    where ``sh`` is the doc's hashed shingle set (for downstream exact
+    Jaccard without re-shingling the text).
 
     Why a UDF here: Spark's higher-order array functions are
     CodegenFallback (interpreted per element), and minhash needs
@@ -218,9 +222,7 @@ def _band_hash_udf(
     token_re = re.compile(r"[^a-z0-9]+")
     banned_arr = np.fromiter(banned, dtype=np.int64, count=len(banned))
 
-    @pandas_udf("array<long>")
-    def band_hashes(texts: pd.Series) -> pd.Series:
-        out = []
+    def doc_rows(texts):
         for t in texts:
             words = [w for w in token_re.split((t or "").lower()) if w]
             if len(words) >= shingle_n:
@@ -241,17 +243,46 @@ def _band_hash_udf(
                 # every shingle was boilerplate: emit NO bands — such a
                 # doc forms candidates with nothing (its content carries
                 # no signal); exact dedup catches byte-identical copies
-                out.append([])
+                yield [], h
                 continue
             sig = ((a * h[None, :] + b) % _MERSENNE_P).min(axis=1)
-            out.append(
-                [
-                    crc32(sig[i * r : (i + 1) * r].tobytes()) for i in range(bands)
-                ]
+            yield [
+                crc32(sig[i * r : (i + 1) * r].tobytes()) for i in range(bands)
+            ], h
+
+    if with_shingles:
+
+        @pandas_udf("bands array<long>, sh array<long>")
+        def band_and_shingle_hashes(texts: pd.Series) -> pd.DataFrame:
+            rows = list(doc_rows(texts))
+            return pd.DataFrame(
+                {"bands": [r[0] for r in rows], "sh": [r[1] for r in rows]}
             )
-        return pd.Series(out)
+
+        return band_and_shingle_hashes
+
+    @pandas_udf("array<long>")
+    def band_hashes(texts: pd.Series) -> pd.Series:
+        return pd.Series([r[0] for r in doc_rows(texts)])
 
     return band_hashes
+
+
+def _spread(df: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has slots (None = default parallelism). A big corpus arrives
+    pre-split by the file scanner (maxPartitionBytes) and skips the
+    exchange entirely; a small/single-file input would otherwise pin the
+    per-doc signature UDF to one core while the rest of the cluster
+    idles — measured 13× on the bench corpus (1 file, 32 slots)."""
+    target = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if min_parallelism is None
+        else min_parallelism
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_lsh_candidates(
@@ -295,9 +326,7 @@ def minhash_lsh_candidates(
         else frozenset()
     )
     udf = _band_hash_udf(shingle_n, num_hashes, bands, seed, banned)
-    # No repartition before the UDF: scan parallelism comes from file
-    # splits (maxPartitionBytes) on any real corpus; forcing an exchange
-    # here costs more than the map-side signature work it would spread.
+    df = _spread(df, None)
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(udf(F.col(text_col))).alias("band_idx", "band_hash"),
@@ -359,25 +388,39 @@ def minhash_dedup_pairs(
     Jaccard >= threshold. Output: (id_a, id_b, jaccard).
 
     Capping options shape CANDIDATE generation only; the verification
-    Jaccard is always computed on full shingle sets, so reported
-    similarities stay ground-truth regardless of capping."""
-    # Verification: candidates join the shingle table twice; no manual
-    # broadcast hints — measured slower than letting AQE pick the build
-    # side from actual sizes here.
-    cands = minhash_lsh_candidates(
-        df,
-        text_col,
-        id_col,
-        shingle_n,
-        num_hashes,
-        bands,
-        seed,
-        max_bucket_size,
-        max_shingle_doc_ratio,
+    Jaccard is always computed on full (hashed) shingle sets, so reported
+    similarities stay ground-truth regardless of capping. (Jaccard is over
+    crc32-hashed shingles, not strings — collision probability per pair is
+    ~|shingles|²/2³¹, vanishing.)
+
+    Plan shape: ONE corpus pass. The signature UDF emits
+    struct<bands, sh> and a repartition("id") sits ABOVE it, so the
+    banding branch and both verification join sides read the same shuffle
+    files (Catalyst ReusedExchange) instead of re-running the UDF per
+    branch — no persist/cache needed, and what shuffles is the compact
+    hashed signature (~KB/doc), never the raw text. Verification Jaccard
+    is native codegen set ops (array_intersect/array_union on longs), not
+    interpreted string re-shingling. No manual broadcast hints —
+    measured slower than letting AQE pick build sides here."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    banned = (
+        overfrequent_shingle_hashes(df, text_col, shingle_n, max_shingle_doc_ratio)
+        if max_shingle_doc_ratio is not None
+        else frozenset()
     )
-    sh = shingle_table(df, text_col, id_col, shingle_n)
-    sh_a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "__sa__")
-    sh_b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "__sb__")
+    udf = _band_hash_udf(shingle_n, num_hashes, bands, seed, banned, with_shingles=True)
+    sigs = (
+        _spread(df, None)
+        .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
+        .repartition("id")
+    )
+    banded = sigs.select(
+        "id", F.posexplode(F.col("s.bands")).alias("band_idx", "band_hash")
+    )
+    cands = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket_size)
+    sh_a = sigs.select(F.col("id").alias("id_a"), F.col("s.sh").alias("__sa__"))
+    sh_b = sigs.select(F.col("id").alias("id_b"), F.col("s.sh").alias("__sb__"))
     return (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
