@@ -325,7 +325,12 @@ def minhash_lsh_candidates(
         if max_shingle_doc_ratio is not None
         else frozenset()
     )
-    udf = _band_hash_udf(shingle_n, num_hashes, bands, seed, banned)
+    # asNondeterministic: the UDF is pure, but the conservative marking
+    # stops ExtractPythonUDFs from DUPLICATING it below the _spread
+    # exchange (where it would run once per scan split — single-core on a
+    # small input — and then AGAIN above), and keeps branch plans
+    # byte-identical for exchange reuse (see minhash_dedup_pairs).
+    udf = _band_hash_udf(shingle_n, num_hashes, bands, seed, banned).asNondeterministic()
     df = _spread(df, None)
     banded = df.select(
         F.col(id_col).alias("id"),
@@ -409,7 +414,16 @@ def minhash_dedup_pairs(
         if max_shingle_doc_ratio is not None
         else frozenset()
     )
-    udf = _band_hash_udf(shingle_n, num_hashes, bands, seed, banned, with_shingles=True)
+    # asNondeterministic (UDF is pure): without it, ExtractPythonUDFs
+    # duplicates the UDF below the spread exchange (single-core eval on a
+    # 1-split scan) and per-branch struct-field pruning rewrites the
+    # shared subtree so the three consumers no longer match — killing the
+    # ReusedExchange this whole plan shape is built around. Verified in
+    # the executed plan: with the marking, ONE ArrowEvalPython stage and
+    # TWO ReusedExchange nodes.
+    udf = _band_hash_udf(
+        shingle_n, num_hashes, bands, seed, banned, with_shingles=True
+    ).asNondeterministic()
     sigs = (
         _spread(df, None)
         .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))

@@ -92,11 +92,13 @@ def test_canonical_sort_is_not_global(spark, entry_mod):
     assert sort_args and ", false, " in sort_args[0]
 
 def test_minhash_candidates_single_bucket_exchange(spark, entry_mod):
-    """LSH candidate generation: signatures are map-side (Arrow UDF before
-    any exchange), banding groups through ONE hash exchange with a partial
-    collect_set below it, pair expansion is bucket-local, and the only
-    other exchange is the final pair-dedup. A self-join formulation (two
-    shuffles of the banded table) must not sneak back in."""
+    """LSH candidate generation: banding groups through ONE hash exchange
+    with a partial collect_set below it, pair expansion is bucket-local,
+    plus the final pair-dedup exchange and (small single-file input) the
+    conditional spread exchange below the signature UDF. A self-join
+    formulation (two shuffles of the banded table) must not sneak back
+    in, and the UDF must appear exactly once — not duplicated below the
+    spread exchange by ExtractPythonUDFs."""
     from meds_polars_functions_spark.operators.dedup import minhash_lsh_candidates
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -104,7 +106,25 @@ def test_minhash_candidates_single_bucket_exchange(spark, entry_mod):
 
     plan = plan_of(minhash_lsh_candidates(docs, "text", "doc_id"))
     # formatted output lists each node twice (tree + detail)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "partial_collect_set" in plan
-    assert "ArrowEvalPython" in plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_minhash_verify_reuses_signature_exchange(spark, entry_mod):
+    """minhash_dedup_pairs computes signatures in ONE corpus pass: the
+    repartition above the struct UDF is materialized once and the banding
+    branch plus both verification join sides read the same shuffle files
+    (two ReusedExchange nodes in the final adaptive plan). Without the
+    nondeterministic marking on the UDF, per-branch struct-field pruning
+    rewrites the shared subtree and the reuse silently disappears — three
+    full corpus passes at scale."""
+    from meds_polars_functions_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert final.count("ReusedExchange") == 2
