@@ -645,6 +645,82 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: conditional-min per user (one exchange on
+    user_id, partial agg map-side), then a global 2-row reduce."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count("first_signup").alias("n_signed"),
+        F.count(F.when(F.col("first_purchase") > F.col("first_signup"), 1)).alias(
+            "n_converted"
+        ),
+    )
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: cohort = first active date per user;
+    (cohort_date, day_offset) → distinct active users. Two exchanges on
+    user_id (first-seen + the distinct), then agg on the tiny grid."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("active_date")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            # ISO string: date objects round-trip differently through
+            # Arrow/pandas on the two engines, strings hash identically
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("active_date", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution: orders per customer (zeros kept via
+    left join), then histogram over the counts."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (native get_json_object, JVM-side) +
+    per-type stats over the extracted value."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # --- beyond-reference: text / dedup / similarity / multimodal -------------
 
 
@@ -1116,6 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "hourly_event_counts": q_hourly_event_counts,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohort": q_retention_cohort,
+        "orders_histogram": q_orders_histogram,
+        "json_props_stats": q_json_props_stats,
         "value_percentiles": q_value_percentiles,
         "cube_revenue": q_cube_revenue,
         "pivot_status": q_pivot_status,
@@ -1429,6 +1509,43 @@ FROM events GROUP BY 1, 2
         "distinct_twophase": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "funnel_conversion": """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id)
+SELECT count(first_signup) AS n_signed,
+  count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+FROM per_user
+""",
+        "retention_cohort": """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+  datediff('day', cohort_date, active_date) AS day_offset,
+  count(DISTINCT user_id) AS n_users
+FROM act JOIN fd USING (user_id)
+GROUP BY 1, 2
+""",
+        "orders_histogram": """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY n_orders
+""",
+        "json_props_stats": """
+SELECT event_type,
+  count(k) AS n_k,
+  round(avg(k), 6) AS avg_k,
+  max(k) AS max_k
+FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+      FROM events)
+GROUP BY event_type
 """,
         "event_user_enrich": """
 SELECT c_mktsegment, event_type, count(*) AS n,
