@@ -29,6 +29,35 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table: pre-shuffled on ``bucket_by`` at write
+    time so later joins/aggregations on that key read co-located buckets
+    and skip the exchange entirely (`SortMergeJoin` with zero `Exchange`
+    nodes — asserted in test_bucketed_join_has_no_exchange).
+
+    This is the at-scale answer for a fact table that is repeatedly
+    joined or grouped on one key (patient_id for MEDS, doc/user ids for
+    training pipelines): pay the shuffle once at ingest, never again.
+    Bucketing requires the table catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` writes drop the bucket spec. ``sort_by`` adds
+    within-bucket sort (the canonical MEDS (patient_id, time) layout for
+    free on read)."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+
+
 def write_json(obj: dict | list, path: str) -> None:
     """Tiny driver-side JSON sink (splits.json / dataset.json,
     reference split_and_shard_patients.py:252-255)."""

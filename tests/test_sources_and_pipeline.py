@@ -131,3 +131,45 @@ def test_write_parquet_partitioned(tmpdir, spark, meds_df):
     assert parts  # hive-partitioned layout
     back = spark.read.parquet(out)
     assert back.count() == meds_df.count()
+
+
+def test_bucketed_join_has_no_exchange(tmpdir, spark, meds_df):
+    """Tables bucketed on the same key/count join WITHOUT any shuffle:
+    the ingest-time bucketing replaces the per-query exchange — the
+    at-scale layout for a fact table repeatedly joined on one key."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from meds_polars_functions_spark.sources.writers import write_bucketed
+
+    stats = meds_df.groupBy("patient_id").agg(F.count(F.lit(1)).alias("n"))
+    try:
+        write_bucketed(
+            meds_df, "bkt_meds", ["patient_id"], 4,
+            sort_by=["patient_id"], path=os.path.join(tmpdir, "bkt_meds"),
+        )
+        write_bucketed(
+            stats, "bkt_stats", ["patient_id"], 4,
+            sort_by=["patient_id"], path=os.path.join(tmpdir, "bkt_stats"),
+        )
+        # disable auto-broadcast so the plan exercises the bucketed
+        # (shuffle-free sort-merge) path a big-table join would take
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_meds").join(
+                spark.table("bkt_stats"), "patient_id"
+            )
+            assert joined.count() == meds_df.count()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert not re.search(r"\(\d+\) Exchange", plan), plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_meds")
+        spark.sql("DROP TABLE IF EXISTS bkt_stats")
