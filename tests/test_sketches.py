@@ -1,0 +1,51 @@
+"""HLL distinct-count sketches: exactness in sparse mode, bounded error
+at scale, and lossless shard-merge (the property that makes per-dataset
+code metadata mergeable without re-scanning facts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.functions.sketches import (
+    estimate_sketch,
+    merge_sketch_tables,
+    sketch_distinct,
+)
+
+
+def test_sparse_mode_exact(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("code"), (F.col("id") % 150).alias("pid")
+    )
+    out = estimate_sketch(
+        sketch_distinct(df, ["code"], "pid", "sk"), "sk", "n_patients"
+    ).collect()
+    assert all(r["n_patients"] == 30 for r in out)
+
+
+def test_error_bounded_at_scale(spark):
+    df = spark.range(200_000).select(
+        (F.col("id") % 2).alias("code"), F.col("id").alias("pid")
+    )
+    out = estimate_sketch(
+        sketch_distinct(df, ["code"], "pid", "sk"), "sk", "est"
+    ).collect()
+    for r in out:
+        assert abs(r["est"] - 100_000) / 100_000 < 0.02
+
+
+def test_shard_merge_equals_whole(spark):
+    """Union of per-shard sketches == sketch of the union (merge is
+    lossless), so incremental/per-dataset metadata refresh is sound."""
+    df = spark.range(50_000).select(
+        (F.col("id") % 3).alias("code"), (F.col("id") % 7919).alias("pid")
+    )
+    shards = [df.filter(F.col("id") % 4 == i) for i in range(4)]
+    sketched = [sketch_distinct(s, ["code"], "pid", "sk") for s in shards]
+    merged = estimate_sketch(
+        merge_sketch_tables(sketched, ["code"], "sk"), "sk", "est"
+    )
+    whole = estimate_sketch(sketch_distinct(df, ["code"], "pid", "sk"), "sk", "est")
+    m = {r["code"]: r["est"] for r in merged.collect()}
+    w = {r["code"]: r["est"] for r in whole.collect()}
+    assert m == w
