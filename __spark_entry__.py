@@ -645,6 +645,24 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable train/tuning/held_out assignment
+    (md5-bucket map-side expression), counted per split."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.split_patients import hash_split_expr
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        users.select(
+            hash_split_expr(
+                "user_id", {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+            ).alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_code_patients_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-patient counts per code via native HLL sketch
     (datasketches). Exact in sparse mode — which covers the oracle scale
@@ -1209,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "hourly_event_counts": q_hourly_event_counts,
+        "hash_split": q_hash_split,
         "code_patients_hll": q_code_patients_hll,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohort": q_retention_cohort,
@@ -1531,6 +1550,16 @@ FROM events GROUP BY event_type
         "code_patients_hll": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "hash_split": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+b AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+        / 4294967296.0 AS bucket FROM u)
+SELECT CASE WHEN bucket < 0.8 THEN 'train'
+            WHEN bucket < 0.9 THEN 'tuning'
+            ELSE 'held_out' END AS split,
+  count(*) AS n_users
+FROM b GROUP BY 1
 """,
         "funnel_conversion": """
 WITH per_user AS (

@@ -96,3 +96,42 @@ def filter_to_split(df: DataFrame, splits_df: DataFrame, split: str) -> DataFram
     reference mapper.py:141-146 does isin against a collected list)."""
     ids = splits_df.filter(F.col("split") == split).select("patient_id")
     return df.join(F.broadcast(ids), on="patient_id", how="left_semi")
+
+
+def hash_split_expr(
+    id_col: str, fractions: dict[str, float], salt: str = ""
+) -> F.Column:
+    """Deterministic, engine-portable split assignment (train/val/test).
+
+    md5 of the id (+salt) → uniform bucket in [0,1) → cumulative-fraction
+    ranges → split name. Pure map-side column expression: the same row
+    lands in the same split on any engine, any run, any partitioning —
+    no RNG state, no driver-side id collection, no shuffle. This is the
+    at-scale alternative to the reference's seeded-NumPy permutation
+    split (split_and_shard_patients.py:16-153), which needs every id on
+    the driver; changing ``salt`` draws an independent assignment.
+    Fractions must sum to 1 (the last range absorbs rounding).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0x100000000))
+    )
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    conds = []
+    for name, frac in list(fractions.items())[:-1]:
+        acc += frac
+        conds.append((acc, name))
+    for acc, name in reversed(conds):
+        expr = F.when(bucket < acc, F.lit(name)).otherwise(expr)
+    return expr

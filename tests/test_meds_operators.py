@@ -241,3 +241,21 @@ def test_tokenization_event_seqs(meds_df):
     assert r["time_delta_days"][0] is None
     # 17:41:51 -> 17:48:48 is 417 s
     assert math.isclose(r["time_delta_days"][2], 417 / 86400, rel_tol=1e-6)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from meds_polars_functions_spark.operators.split_patients import hash_split_expr
+
+    ids = spark.range(20_000).select(F.col("id").alias("pid"))
+    fr = {"train": 0.8, "tuning": 0.1, "held_out": 0.1}
+    a = ids.select("pid", hash_split_expr("pid", fr).alias("s"))
+    b = ids.repartition(13).select("pid", hash_split_expr("pid", fr).alias("s"))
+    # identical assignment regardless of partitioning / evaluation order
+    assert a.exceptAll(b).count() == 0
+    counts = {r["s"]: r["n"] for r in a.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["tuning"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["held_out"] / 20_000 - 0.1) < 0.01
+    # salt draws an independent assignment
+    c = ids.select("pid", hash_split_expr("pid", fr, salt="v2").alias("s"))
+    assert a.join(c, "pid").filter(a["s"] != c["s"]).count() > 0
