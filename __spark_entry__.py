@@ -645,6 +645,48 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: md5-sharded contiguous fill into 2048-token
+    bins, reported as per-(shard, bin) fill stats."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing_stats(pack_sequences(docs, "text", "doc_id"), 2048)
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact dedup (keep min
+    id) → deterministic hash split → per-split doc/token totals. The
+    composition a 100 TB training-data pipeline actually runs, as one
+    declarative plan."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import exact_dedup
+    from meds_polars_functions_spark.operators.split_patients import hash_split_expr
+    from meds_polars_functions_spark.operators.text import quality_filter, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = quality_filter(docs, "text", "doc_id", min_words=30).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return (
+        deduped.select(
+            hash_split_expr(
+                "doc_id", {"train": 0.9, "validation": 0.05, "test": 0.05}
+            ).alias("split"),
+            token_count("text").alias("n"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("token_sum"),
+        )
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable train/tuning/held_out assignment
     (md5-bucket map-side expression), counted per split."""
@@ -1227,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "hourly_event_counts": q_hourly_event_counts,
+        "pack_sequences": q_pack_sequences,
+        "corpus_curation": q_corpus_curation,
         "hash_split": q_hash_split,
         "code_patients_hll": q_code_patients_hll,
         "funnel_conversion": q_funnel_conversion,
@@ -1550,6 +1594,58 @@ FROM events GROUP BY event_type
         "code_patients_hll": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+  FROM documents),
+b AS (
+  SELECT shard,
+    CAST(floor((sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) - n) / 2048.0) AS BIGINT) AS bin,
+    n FROM t)
+SELECT shard, bin, count(*) AS n_docs, sum(n) AS token_sum,
+  round(sum(n) / 2048.0, 6) AS fill_ratio
+FROM b GROUP BY 1, 2
+""",
+        "corpus_curation": r"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS words
+  FROM documents),
+stats AS (
+  SELECT doc_id, text,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE
+      / (CASE WHEN len(words) > 0 THEN len(words) END) AS mean_word_len,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+      / (CASE WHEN length(text) > 0 THEN length(text) END) AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+      / (CASE WHEN length(text) > 0 THEN length(text) END) AS digit_ratio,
+    len(list_filter(words, x -> list_contains(
+      ['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be'], x)))::DOUBLE
+      / (CASE WHEN len(words) > 0 THEN len(words) END) AS stopword_ratio
+  FROM w),
+kept AS (
+  SELECT doc_id, text FROM stats
+  WHERE n_words BETWEEN 30 AND 100000
+    AND punct_ratio <= 0.2 AND digit_ratio <= 0.2
+    AND stopword_ratio >= 0.02
+    AND mean_word_len BETWEEN 3.0 AND 12.0),
+ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+base AS (SELECT k.doc_id, k.text FROM kept k JOIN ded USING (doc_id)),
+spl AS (
+  SELECT
+    CASE WHEN b < 0.9 THEN 'train'
+         WHEN b < 0.95 THEN 'validation'
+         ELSE 'test' END AS split,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n
+  FROM (SELECT doc_id, text,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS b
+    FROM base))
+SELECT split, count(*) AS n_docs, sum(n) AS token_sum FROM spl GROUP BY 1
 """,
         "hash_split": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -1,0 +1,75 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+bins (context windows).
+
+Beyond-reference training-data operator. Real packers run greedy
+first-fit; the distributed, deterministic formulation here is
+contiguous-fill: documents are hash-sharded (engine-portable md5 bucket,
+map-side), deterministically ordered within each shard, and a per-shard
+running token total assigns each document to the bin its first token
+falls in. Every step is a native expression or window — the only
+exchange is the hash partition on (shard), and the cumulative-sum window
+is per-shard, so parallelism = n_shards (size it to the cluster; bins
+are shard-local so no coordination crosses shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(col: F.Column, n: int) -> F.Column:
+    """Engine-portable uniform bucket in [0, n): md5 hex prefix -> int.
+    Matches ``('0x' || substr(md5(x), 1, 8))::BIGINT % n`` in DuckDB."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(n)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(id, shard, bin, n_tokens): contiguous-fill packing of documents
+    into ``max_tokens`` context windows, per md5 shard.
+
+    bin = floor(exclusive-prefix-sum(n_tokens) / max_tokens) in shard
+    order of ``id_col`` — deterministic on any engine/partitioning.
+    Documents longer than ``max_tokens`` occupy (and overflow) their own
+    window, exactly as a sequential packer would before truncation.
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    )
+    sharded = df.select(
+        F.col(id_col).alias("id"),
+        _md5_bucket(F.col(id_col), n_shards).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sharded.select(
+        "id",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens)).alias("bin"),
+        "n_tokens",
+    )
+
+
+def packing_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:
+    """Per-(shard, bin) fill statistics: document count, token sum, and
+    fill ratio against the window budget."""
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_sum"),
+        F.round(F.sum("n_tokens") / F.lit(float(max_tokens)), 6).alias(
+            "fill_ratio"
+        ),
+    )

@@ -213,3 +213,29 @@ def test_embedding_near_dup_lsh_matches_brute_force(spark):
     }
     assert lsh <= brute
     assert {(0, 100), (1, 101)} <= lsh
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: bins fill contiguously per shard — every doc's bin equals
+    floor(exclusive-cumsum/budget) in id order, assignment is independent
+    of input partitioning, and no bin except possibly the last per shard
+    is left underfull by more than one document's spillover."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (17 + (i * 13) % 91)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    a = pack_sequences(docs, "text", "doc_id", max_tokens=128, n_shards=4)
+    b = pack_sequences(
+        docs.repartition(7), "text", "doc_id", max_tokens=128, n_shards=4
+    )
+    assert a.exceptAll(b).count() == 0
+    rows = a.orderBy("shard", "id").collect()
+    cum: dict[int, int] = {}
+    for r in rows:
+        expected = cum.get(r["shard"], 0) // 128
+        assert r["bin"] == expected, (r, expected)
+        cum[r["shard"]] = cum.get(r["shard"], 0) + r["n_tokens"]
