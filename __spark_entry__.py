@@ -687,6 +687,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture re-weighting (md5-bucket keep
+    probability), summarized per source."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable train/tuning/held_out assignment
     (md5-bucket map-side expression), counted per split."""
@@ -1270,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "hourly_event_counts": q_hourly_event_counts,
         "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
         "corpus_curation": q_corpus_curation,
         "hash_split": q_hash_split,
         "code_patients_hll": q_code_patients_hll,
@@ -1594,6 +1612,16 @@ FROM events GROUP BY event_type
         "code_patients_hll": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
+""",
+        "mixture_sample": """
+WITH b AS (
+  SELECT source,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS bucket
+  FROM documents)
+SELECT source, count(*) AS n_docs FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                           WHEN 'src2' THEN 0.25 ELSE 0.1 END
+GROUP BY source
 """,
         "pack_sequences": r"""
 WITH t AS (

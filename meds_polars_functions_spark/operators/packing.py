@@ -73,3 +73,36 @@ def packing_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic data-mixture downsampling: keep each row with its
+    source's probability, decided by the row's md5 bucket — map-side,
+    no RNG state, reproducible on any engine/partitioning (the same
+    mechanism as ``split_patients.hash_split_expr``; ``salt`` draws an
+    independent sample). This is how a 100 TB corpus gets re-weighted
+    (e.g. upweight books, downweight crawl) without a shuffle or a
+    driver-side plan: weight w keeps a w-fraction of each source.
+    Sources absent from ``weights`` keep ``default_weight``.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0x100000000))
+    )
+    w = F.lit(float(default_weight))
+    for name, frac in weights.items():
+        w = F.when(F.col(source_col) == name, F.lit(float(frac))).otherwise(w)
+    return df.filter(bucket < w)

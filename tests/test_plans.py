@@ -128,3 +128,27 @@ def test_minhash_verify_reuses_signature_exchange(spark, entry_mod):
     executed = out._jdf.queryExecution().executedPlan().toString()
     final = executed.split("+- == Initial Plan ==")[0]
     assert final.count("ReusedExchange") == 2
+
+
+def test_pack_sequences_window_is_sharded(spark, entry_mod):
+    """The packing cumsum window partitions by shard — a global-order
+    window (Exchange SinglePartition) must never sneak in."""
+    from meds_polars_functions_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(pack_sequences(docs, "text", "doc_id"))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_mixture_sample_is_map_side(spark, entry_mod):
+    """Mixture re-weighting is a pure filter over the scan: no exchange,
+    no join, no aggregation anywhere in the plan."""
+    import re
+
+    from meds_polars_functions_spark.operators.packing import mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(mixture_sample(docs, "source", "doc_id", {"src0": 0.5}))
+    assert not re.search(r"\(\d+\) Exchange", plan)
+    assert "Join" not in plan and "Aggregate" not in plan
