@@ -750,22 +750,38 @@ def embedding_near_dup_lsh(
     1-(1-p^planes)^tables, p = 1 - angle/pi — near 1 for the
     near-duplicate angles this is for.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     from .similarity import _dot, _norm, _seeded_hyperplanes
 
-    v = F.col(vec_col)
-    table_buckets = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for j, plane in enumerate(_seeded_hyperplanes(dim, n_planes, seed + t)):
-            p = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(_dot(v, p) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            bucket = bucket + bit * F.lit(2**j)
-        table_buckets.append(bucket)
-    banded = df.select(
+    # all tables' sign bits in ONE BLAS matmul per Arrow batch — the
+    # n_tables × n_planes interpreted-HOF dot products were measured ~8×
+    # slower; asNondeterministic pins a single evaluation (see
+    # minhash_dedup_pairs)
+    planes = np.concatenate(
+        [
+            np.array(_seeded_hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def table_buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(list(vecs), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([])
+        bits = (m @ planes.T > 0).reshape(len(m), n_tables, n_planes)
+        buckets = (bits * pow2).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    banded = _spread(df, None).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.array(*table_buckets)).alias("table_idx", "bucket"),
+        F.posexplode(
+            table_buckets.asNondeterministic()(F.col(vec_col))
+        ).alias("table_idx", "bucket"),
     )
     cands = _bucket_pairs(banded, ["table_idx", "bucket"], max_bucket_size)
     vecs = df.select(
