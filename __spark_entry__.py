@@ -1252,6 +1252,40 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path multimodal plumbing: typed metadata struct filtered
+    map-side WITHOUT touching blobs, frame-sampling plan as a native
+    sequence, Arrow-batched feature extraction over the binary column
+    (deterministic fake decoder; no SQL oracle — mapInPandas)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.multimodal import (
+        extract_image_features,
+        sample_frame_indices,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("audio"),
+        F.struct(
+            F.lit(16000).alias("sample_rate"),
+            (F.length("text") * 16).cast("long").alias("n_samples"),
+            F.lit("pcm").alias("format"),
+        ).alias("meta"),
+    )
+    # metadata-only gate (≥ 0.5 s of audio) — prunes without decoding
+    kept = docs.filter(F.col("meta.n_samples") >= 8000).withColumn(
+        "n_frames", (F.col("meta.n_samples") / 160).cast("int")
+    )
+    framed = sample_frame_indices(kept, "n_frames", every_n=30)
+    feats = extract_image_features(framed, blob_col="audio", id_col="doc_id")
+    frames = framed.select("doc_id", F.size("frame_indices").alias("n_sampled"))
+    return feats.join(frames, "doc_id").select(
+        "doc_id",
+        "n_sampled",
+        F.transform("features", lambda x: F.round(x, 4)).alias("features"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -1326,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
     }
 
 
