@@ -1252,6 +1252,33 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized deduped corpus: exact n-gram Jaccard pairs →
+    connected components → keep each cluster's min-id member + all
+    unpaired docs (oracle: recursive CTE + anti-join)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import (
+        near_dedup_keep_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4)
+    return near_dedup_keep_canonical(docs, pairs, "doc_id").select("doc_id")
+
+
+def q_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing: at most 10 docs per source, chosen
+    by md5 order (engine-portable rank)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import class_balanced_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return class_balanced_sample(docs, "source", "doc_id", 10).select(
+        "doc_id", "source"
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-path multimodal plumbing: typed metadata struct filtered
     map-side WITHOUT touching blobs, frame-sampling plan as a native
@@ -1361,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "near_dedup": q_near_dedup,
+        "class_balanced": q_class_balanced,
     }
 
 
@@ -2032,6 +2061,47 @@ reach(id, root) AS (
   UNION
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
 SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+""",
+        "near_dedup": """
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+posts AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, root) AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+labels AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+""",
+        "class_balanced": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= 10
 """,
         "embedding_topk": """
 WITH emb AS (

@@ -808,3 +808,25 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The deduped corpus itself: given near-duplicate pairs (from any
+    detector here — minhash, simhash, n-gram, embedding), cluster them by
+    connected components and keep only each cluster's canonical (min-id)
+    member plus every unpaired document. The final materializing step of
+    a dedup pipeline: pairs → clusters → one survivor per cluster.
+
+    Shuffle profile: the label-propagation rounds touch only the pair
+    graph (near-dup-sized, tiny next to the corpus); the corpus itself is
+    filtered with ONE broadcast-able anti-join against the non-canonical
+    id set."""
+    labels = connected_components(pairs, id_a, id_b)
+    doomed = labels.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(doomed, df[id_col] == doomed["id"], "left_anti")

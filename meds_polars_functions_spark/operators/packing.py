@@ -106,3 +106,25 @@ def mixture_sample(
     for name, frac in weights.items():
         w = F.when(F.col(source_col) == name, F.lit(float(frac))).otherwise(w)
     return df.filter(bucket < w)
+
+
+def class_balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    n_per_class: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic class balancing: keep at most ``n_per_class`` rows
+    per class, chosen by md5 order of the id (engine-portable, salt for
+    an independent draw). One exchange on the class key; the md5 rank is
+    map-side."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(class_col).orderBy(order, id_col)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n_per_class)
+        .drop("__rn__")
+    )
