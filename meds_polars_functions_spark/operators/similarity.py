@@ -265,6 +265,22 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], out_co
     return df.withColumn(out_col, best_idx)
 
 
+def _cell_distances(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """array<double> of squared distances to every centroid — literal-
+    folded, map-side."""
+    ds = []
+    for c in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        ds.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+    return F.array(*ds)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -274,16 +290,40 @@ def ivf_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     k: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe: score only the query's nearest cell (nprobe=1)."""
+    """IVF probe: score only within the query's ``nprobe`` nearest cells.
+
+    The corpus is assigned to its single nearest cell once (map-side);
+    multi-probe inflates only the query side — each query row explodes
+    into its nprobe closest cells by sorting the literal-folded distance
+    array, so recall grows without touching the corpus layout (same
+    asymmetry as multi-probe SRP-LSH)."""
     cc = ivf_assign(
         corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")),
         "__cv__", centroids,
     )
-    qc = ivf_assign(
-        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")),
-        "__qv__", centroids,
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")
     )
+    if nprobe <= 1:
+        qc = ivf_assign(qv, "__qv__", centroids)
+    else:
+        ranked = F.array_sort(
+            F.transform(
+                _cell_distances("__qv__", centroids),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+        qc = qv.withColumn(
+            "ivf_cell",
+            F.explode(
+                F.transform(
+                    F.slice(ranked, 1, min(nprobe, len(centroids))),
+                    lambda s: s["i"],
+                )
+            ),
+        )
     scored = cc.join(F.broadcast(qc), "ivf_cell").select(
         "query_id", "vec_id",
         cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),

@@ -58,3 +58,37 @@ def test_ivf_assign_deterministic(emb):
     assert {tuple(r) for r in a1.collect()} == {tuple(r) for r in a2.collect()}
     n_cells = a1.select("ivf_cell").distinct().count()
     assert 1 < n_cells <= 4
+
+
+def test_multiprobe_ivf_recall_not_worse(spark):
+    """nprobe>1 must recover at least the single-probe hits (it probes a
+    superset of cells) and strictly helps on queries whose neighbors sit
+    across a cell boundary."""
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    corpus_rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(corpus_rows[:5], "query_id long, embedding array<double>")
+    cents = train_ivf_centroids(corpus, "embedding", n_centroids=8, sample_fraction=1.0)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(corpus, queries, cents, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.5
