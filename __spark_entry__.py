@@ -1252,6 +1252,17 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (template/spam
+    signal the ratio gates miss)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import unigram_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_entropy(docs, "text", "doc_id")
+    return out.select("doc_id", F.round("entropy", 6).alias("entropy"))
+
+
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized deduped corpus: exact n-gram Jaccard pairs →
     connected components → keep each cluster's min-id member + all
@@ -1388,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "unigram_entropy": q_unigram_entropy,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
     }
@@ -2061,6 +2073,17 @@ reach(id, root) AS (
   UNION
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
 SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+""",
+        "unigram_entropy": """
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
+SELECT doc_id,
+  round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy
+FROM tf GROUP BY doc_id
 """,
         "near_dedup": """
 WITH RECURSIVE w AS (

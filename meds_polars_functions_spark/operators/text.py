@@ -196,3 +196,28 @@ def portable_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, w: (acc * F.lit(word_base) + word_hash(w)) % F.lit(mod),
     )
+
+
+def unigram_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (nats):
+    -Σ p·ln p over word frequencies. Low entropy flags repetitive /
+    template text (the classic "same sentence 500 times" spam that
+    length- and ratio-based gates miss); high entropy ≈ lexically
+    diverse. Posting-list formulation — shuffles (doc, word) pairs once;
+    the text itself never re-shuffles."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(_WORDS(F.col(text_col))).alias("w")
+    )
+    tf = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n"),
+            F.sum(F.col("tf") * F.log(F.col("tf"))).alias("sum_tlogt"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            # -Σ (tf/n) ln(tf/n) = ln n - (Σ tf ln tf)/n
+            (F.log("n") - F.col("sum_tlogt") / F.col("n")).alias("entropy"),
+        )
+    )
