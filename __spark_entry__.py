@@ -1252,6 +1252,52 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthesized PII-bearing text (docs get a per-id
+    email/IP/phone suffix): chained native regexp_replace; verified by
+    placeholder counts + scrubbed length."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0.1 or 555-867-5309 today"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs, "text")
+    n = lambda tok: (  # noqa: E731 — occurrences of a literal placeholder
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(tok), F.lit(""))))
+        / F.length(F.lit(tok))
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("scrubbed_len"),
+        n("<EMAIL>").alias("n_email"),
+        n("<IP>").alias("n_ip"),
+        n("<PHONE>").alias("n_phone"),
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (1000 chars, 100 overlap) — one
+    map-side Generate; chunks reported as (id, idx, len, md5)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", "doc_id", chunk_chars=1000, overlap=100)
+    return out.select(
+        "id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
 def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document word-distribution Shannon entropy (template/spam
     signal the ratio gates miss)."""
@@ -1399,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "scrub_pii": q_scrub_pii,
+        "chunk_documents": q_chunk_documents,
         "unigram_entropy": q_unigram_entropy,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
@@ -2073,6 +2121,37 @@ reach(id, root) AS (
   UNION
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
 SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+""",
+        "scrub_pii": r"""
+WITH synth AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR ||
+      '@example.com or 10.0.0.1 or 555-867-5309 today' AS text
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g') AS text
+  FROM synth)
+SELECT doc_id, length(text) AS scrubbed_len,
+  ((length(text) - length(replace(text, '<EMAIL>', ''))) / length('<EMAIL>'))::BIGINT AS n_email,
+  ((length(text) - length(replace(text, '<IP>', ''))) / length('<IP>'))::BIGINT AS n_ip,
+  ((length(text) - length(replace(text, '<PHONE>', ''))) / length('<PHONE>'))::BIGINT AS n_phone
+FROM scrubbed
+""",
+        "chunk_documents": """
+WITH starts AS (
+  SELECT doc_id AS id, text,
+    unnest(range(0, greatest(length(text) - 1, 0) + 1, 900)) AS s,
+    generate_subscripts(range(0, greatest(length(text) - 1, 0) + 1, 900), 1) - 1 AS chunk_idx
+  FROM documents)
+SELECT id, chunk_idx,
+  length(substr(text, s + 1, 1000)) AS chunk_len,
+  md5(substr(text, s + 1, 1000)) AS chunk_md5
+FROM starts
 """,
         "unigram_entropy": """
 WITH w AS (

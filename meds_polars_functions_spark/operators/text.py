@@ -221,3 +221,61 @@ def unigram_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             (F.log("n") - F.col("sum_tlogt") / F.col("n")).alias("entropy"),
         )
     )
+
+
+#: (pattern, replacement) pairs applied in order by ``scrub_pii``.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(?:\b(?:\+?\d{1,2}[ .-]?)?\d{3}|\(\d{3}\))[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, phone numbers, IPs, card-like
+    digit runs) with typed placeholders — chained native regexp_replace,
+    map-side, whole-stage codegen; the standard scrub pass before a
+    corpus ships to training."""
+    out_col = out_col or text_col
+    expr = F.col(text_col)
+    for pat, repl in patterns or PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out_col, expr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap:
+    (id, chunk_idx, chunk). Native sequence + substring explode — one
+    map-side Generate, no Python, no shuffle; the doc→chunk fan-out that
+    feeds context-window training or embedding indexing."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(starts).alias("chunk_idx", "__start__"),
+        F.col(text_col),
+    ).select(
+        "id",
+        "chunk_idx",
+        F.substring(F.col(text_col), F.col("__start__") + 1, chunk_chars).alias(
+            "chunk"
+        ),
+    )

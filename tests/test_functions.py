@@ -178,3 +178,36 @@ def test_fill_to_nans(spark):
 def test_normalize_time_unit():
     assert normalize_time_unit("yrs") == ("years", 31556926.080000002)
     assert normalize_time_unit("d")[1] == 86400
+
+
+def test_chunk_documents_overlap(spark):
+    from meds_polars_functions_spark.operators.text import chunk_documents
+
+    txt = "abcdefghij" * 25  # 250 chars
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "text", "doc_id", chunk_chars=100, overlap=20)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # starts at 0, 80, 160, 240
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [len(r["chunk"]) for r in rows] == [100, 100, 90, 10]
+    # overlap: each chunk re-covers the previous one's tail
+    assert rows[0]["chunk"][80:] == rows[1]["chunk"][:20]
+    # reassembly: dropping the 20-char overlap reconstructs the document
+    assert rows[0]["chunk"] + "".join(r["chunk"][20:] for r in rows[1:]) == txt
+
+
+def test_scrub_pii_patterns(spark):
+    from meds_polars_functions_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@c.io, call (555) 123-4567, host 10.0.0.1, "
+             "card 4111 1111 1111 1111, keep year 2024")],
+        "id long, text string",
+    )
+    out = scrub_pii(df, "text").first()["text"]
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out and "<CARD>" in out
+    assert "a.b@c.io" not in out and "10.0.0.1" not in out
+    assert "2024" in out  # plain years survive
