@@ -1370,6 +1370,117 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each purchase gets the user's
+    most recent click at-or-before it — union+window merge, ONE hash
+    exchange on user_id, no pair expansion. Right side deduped to one
+    click per (user, ts) (max event_id) so tie choice is deterministic
+    in both engines."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.expr import keep_first
+    from meds_polars_functions_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = keep_first(
+        ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        ["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    )
+    res = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["event_id"], suffix="_click"
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("event_id_click").alias("click_id"),
+        F.unix_micros("ts_click").alias("click_us"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join (operators/temporal.py): (click, purchase)
+    pairs by the same user within [0, 1h] — time-bucket equi-join with
+    fanout ≤ 2 per row, never a nested-loop plan."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = range_join(
+        clicks, purchases, ["user_id"], "ts", "ts", 0, 3_600_000_000, suffix="_p"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.col("purchase_id_p").alias("purchase_id"),
+        (F.unix_micros("ts_p") - F.unix_micros("ts")).alias("delta_us"),
+    )
+
+
+def q_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/temporal.py): lineitem rows
+    of high-value orders. The bloom pass drops non-matching rows
+    map-side before the shuffle; the exact semi join guarantees the
+    result is identical to the plain semi join the oracle runs."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import bloom_prefilter
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    pre = bloom_prefilter(li, "l_orderkey", keys, "o_orderkey")
+    exact = pre.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join (customer/orders/lineitem/
+    supplier/nation/region) with the local-supplier equi-constraint.
+    Dimensions broadcast; the fact table shuffles once on o_orderkey."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -1450,6 +1561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_entropy": q_unigram_entropy,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_events": q_range_join_events,
+        "bloom_semi_filter": q_bloom_semi_filter,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -2230,5 +2345,45 @@ WITH emb AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.n * b.n) >= 0.4
+""",
+        "asof_purchase_click": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id, user_id, us FROM (
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.us AS purchase_us,
+  c.event_id AS click_id, c.us AS click_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+""",
+        "range_join_events": """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+  epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+""",
+        "bloom_semi_filter": """
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY l_returnflag
+""",
+        "local_supplier_volume": """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
 """,
     }

@@ -1,0 +1,255 @@
+"""Temporal joins: as-of join, bounded time-range (interval) join, and a
+bloom-filter join prefilter.
+
+Beyond-reference operators (the reference has only equi-joins —
+SURVEY.md §2.3 / reference filters/filter_measurements.py:114-137 etc.),
+but core primitives for event-sequence work: "attach the most recent
+prior reading", "find event pairs within an hour", "prune a huge probe
+side before a shuffle join".
+
+Scale design — none of these ever degenerate into the plans Spark picks
+for naive inequality joins (BroadcastNestedLoopJoin / cartesian, which
+are O(n·m) and fatal at 100 TB):
+
+- ``asof_join``: union both sides tagged, ONE hash exchange on the key,
+  per-partition sort, and a running ``last(..., ignorenulls)`` window.
+  O(n log n/partition) with no pair expansion at all — the classic
+  union-merge as-of algorithm expressed in native window functions.
+- ``range_join``: time-bucket equi-join. Each left row explodes to the
+  tiny set of buckets its window can overlap (span/bucket + 1 ≈ 2), the
+  right side maps to its one bucket, and the join is a plain hash
+  equi-join on (key, bucket) with an exact residual filter. Shuffle
+  fanout is bounded and chosen, never data-dependent.
+- ``bloom_prefilter``: a bloom filter built and probed entirely with
+  native expressions (``xxhash64`` bit positions, ``bit_or`` word
+  aggregation, one broadcast single-row word-map, unrolled bit tests in
+  whole-stage codegen — Spark's internal ``BloomFilterAggregate`` is not
+  SQL-registered, so this is the public-API equivalent). The build side
+  collapses to ONE broadcast map; the probe side filters map-side BEFORE
+  its shuffle, so a large-large semi join ships only rows that can
+  match. No false negatives: prefilter + exact join ≡ exact join.
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join", "bloom_prefilter"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_us: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the nearest right row per key.
+
+    ``direction="backward"`` (default): nearest right row at-or-before
+    the left time (DuckDB ``ASOF JOIN`` / pandas ``merge_asof``
+    semantics); ``"forward"``: at-or-after. ``strict=True`` excludes
+    ties (strictly before/after). ``tolerance_us`` drops matches farther
+    than that many microseconds away (match columns become null — the
+    join stays left-outer).
+
+    Returns all left columns plus ``<right_time><suffix>`` and each of
+    ``right_cols`` as ``<col><suffix>``.
+
+    Algorithm: tag rows (right=0, left=1), align schemas, union, then a
+    running ``last(struct(right payload), ignorenulls=True)`` over
+    ``Window.partitionBy(on).orderBy(time, tie)`` carries the latest
+    right payload onto every left row in one pass. Tie ordering decides
+    whether an equal-time right row is visible (non-strict) or not
+    (strict). Forward direction mirrors with ``first`` over the
+    following frame.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = F.struct(
+        F.col(right_time).alias("__t__"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_time).alias("__time__"),
+        F.lit(0).alias("__side__"),
+        payload.alias("__payload__"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_time).alias("__time__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(r.schema["__payload__"].dataType).alias("__payload__"),
+    )
+    # Schema-align: right side gets nulls for left payload columns.
+    r = r.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        "__time__",
+        "__side__",
+        "__payload__",
+    )
+    unioned = l.unionByName(r)
+
+    # Tie visibility: for backward non-strict the right row must sort
+    # BEFORE the same-time left row (side 0 < 1, ascending); strict
+    # flips the tie so the equal-time right row falls outside the frame.
+    if direction == "backward":
+        tie = F.col("__side__").asc() if not strict else F.col("__side__").desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__time__").asc(), tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__payload__", ignorenulls=True).over(w)
+    else:
+        tie = F.col("__side__").desc() if not strict else F.col("__side__").asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__time__").asc(), tie)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("__payload__", ignorenulls=True).over(w)
+
+    out = unioned.withColumn("__match__", matched).filter(F.col("__side__") == 1)
+    if tolerance_us is not None:
+        delta = F.abs(
+            F.unix_micros(F.col("__match__.__t__")) - F.unix_micros(F.col(left_time))
+        )
+        out = out.withColumn(
+            "__match__", F.when(delta <= F.lit(tolerance_us), F.col("__match__"))
+        )
+    return out.select(
+        *left_cols,
+        F.col("__match__.__t__").alias(f"{right_time}{suffix}"),
+        *[F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    lower_us: int,
+    upper_us: int,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner-join pairs where ``right_time - left_time ∈ [lower_us,
+    upper_us]`` (microseconds) and the key columns match.
+
+    Expressed as a hash equi-join on (key, time-bucket): the left row
+    explodes to every bucket its window ``[t+lower, t+upper]`` can
+    touch, the right row lands in exactly one bucket, and an exact
+    residual filter keeps true pairs. Bucket width = window span, so the
+    per-row fanout is ≤ 2 regardless of data — Catalyst sees an ordinary
+    equi-join and never falls back to a nested-loop plan.
+    """
+    if upper_us < lower_us:
+        raise ValueError("upper_us must be >= lower_us")
+    span = max(upper_us - lower_us, 1)
+    lt = F.unix_micros(F.col(left_time))
+    rt = F.unix_micros(F.col(right_time))
+
+    lhs = left.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor((lt + F.lit(lower_us)) / F.lit(span)),
+                F.floor((lt + F.lit(upper_us)) / F.lit(span)),
+            )
+        ),
+    )
+    rename = {c: f"{c}{suffix}" for c in right.columns if c not in on}
+    rhs = right.withColumnsRenamed(rename).withColumn(
+        "__bucket__", F.floor(F.unix_micros(F.col(f"{right_time}{suffix}")) / F.lit(span))
+    )
+    delta = F.unix_micros(F.col(f"{right_time}{suffix}")) - F.unix_micros(F.col(left_time))
+    return (
+        lhs.join(rhs, on=[*on, "__bucket__"], how="inner")
+        .filter((delta >= F.lit(lower_us)) & (delta <= F.lit(upper_us)))
+        .drop("__bucket__")
+    )
+
+
+def _bloom_positions(col: str, num_bits: int, num_hashes: int) -> list[F.Column]:
+    """k independent bit positions: xxhash64 of (value, hash-index)."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def _bit_mask(bit_in_word: F.Column) -> F.Column:
+    """2^b as a long for a COLUMN b ∈ [0,64) — ``shiftleft`` only takes a
+    literal shift, so index a constant-folded 64-entry mask array
+    (top bit expressed as the signed-long value)."""
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    return F.element_at(masks, bit_in_word.cast("int") + 1)
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    probe_col: str,
+    build: DataFrame,
+    build_col: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``probe_col`` *might* appear in
+    ``build[build_col]`` — no false negatives, small false-positive rate
+    (~0.01 at n=500k with the defaults; size ``num_bits`` ≈ 10-15 bits
+    per distinct build key).
+
+    Build: each build key sets ``num_hashes`` bits; bits pack into
+    64-bit words via ``bit_or`` partial+final aggregation; the non-zero
+    words collapse to a single-row ``map<word_idx, bits>`` that is
+    broadcast. Probe: ``num_hashes`` unrolled native bit tests
+    (xxhash64 → element_at → bitwiseAND), all inside whole-stage
+    codegen, drop rows map-side BEFORE any exchange. Follow with the
+    exact join — results are identical, but the shuffle only carries
+    survivors. This is the manual form of Spark's runtime row-group
+    filtering, usable where the optimizer can't inject it (across a UDF
+    boundary, a pre-staged probe table, or a build side too big to
+    broadcast as a hash relation but fine as ``num_bits/8`` bytes).
+    """
+    bits = build.select(
+        F.explode(F.array(*_bloom_positions(build_col, num_bits, num_hashes))).alias(
+            "__bit__"
+        )
+    )
+    words = bits.select(
+        F.floor(F.col("__bit__") / F.lit(64)).alias("__word__"),
+        _bit_mask(F.col("__bit__") % 64).alias("__mask__"),
+    )
+    bitmap = (
+        words.groupBy("__word__")
+        .agg(F.bit_or("__mask__").alias("__bits__"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__word__", "__bits__"))
+            ).alias("__bloom__")
+        )
+    )
+    out = probe.join(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for pos in _bloom_positions(probe_col, num_bits, num_hashes):
+        word = F.floor(pos / F.lit(64))
+        mask = _bit_mask(pos % 64)
+        hit = (
+            F.coalesce(F.element_at(F.col("__bloom__"), word), F.lit(0).cast("long"))
+            .bitwiseAND(mask)
+            != 0
+        )
+        cond = cond & hit
+    return out.filter(cond).drop("__bloom__")

@@ -1,0 +1,106 @@
+"""Scale-stress harness: blow /root/testdata/sf0.1 up N× (id-offset
+unions, written once to a scratch dir) and measure how the headline
+plans scale. Near-linear wall-clock growth = the plan is shuffle/agg
+bound the way SCALE.md claims; superlinear growth flags a plan that
+would not survive the 100 TB case.
+
+Usage: python scripts/stress_scale.py [N_COPIES] [SCRATCH_DIR]
+Defaults: 16 copies (~9.6M lineitem rows), /tmp/spark_graft_stress.
+Prints one JSON line per dataset scale with per-query seconds.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from meds_polars_functions_spark.session import get_spark
+
+#: queries spanning the main plan shapes: scan+agg, star join, window,
+#: patient regroup, text map-side, minhash (UDF+bucket), packing window
+STRESS_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "agg_code_metadata",
+    "dedup_keep_first",
+    "hourly_event_counts",
+    "text_quality",
+    "minhash_near_dup",
+    "pack_sequences",
+]
+
+# id columns to offset per copy so blown-up keys stay distinct
+OFFSET_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": [],
+    "region": [],
+}
+
+
+def materialize(spark, src_dir: str, out_dir: str, n_copies: int) -> None:
+    for table, id_cols in OFFSET_COLS.items():
+        src = em._t(spark, src_dir, table)
+        n_rows = src.count()
+        copies = []
+        for i in range(n_copies):
+            c = src
+            for col in id_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * (n_rows * 10)))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def run_suite(spark, sf_dir: str, label: str) -> None:
+    queries = em.queries()
+    timings = {}
+    for name in STRESS_QUERIES:
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {"dataset": label, "total": round(sum(timings.values()), 3), "queries": timings}
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress"
+    src = "/root/testdata/sf0.1"
+    spark = get_spark("stress")
+    em._prep(spark)  # nanos-timestamp reads + non-ANSI semantics
+
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    t0 = time.time()
+    materialize(spark, src, scratch, n_copies)
+    print(json.dumps({"materialize_sec": round(time.time() - t0, 3), "copies": n_copies}), flush=True)
+
+    # warm (same rationale as bench.py), then measure base and blown-up
+    run_suite(spark, src, "warmup@sf0.1")
+    run_suite(spark, src, "sf0.1")
+    run_suite(spark, scratch, f"sf0.1x{n_copies}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Temporal joins (operators/temporal.py): as-of join semantics
+(direction / strictness / tolerance / unmatched keys), bucketed range
+join vs a naive inequality join, and the bloom prefilter's
+no-false-negatives contract — plus plan-shape checks that the range
+join stays an equi-join (never BroadcastNestedLoopJoin / cartesian,
+the plans Spark picks for raw inequality joins)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.operators.temporal import (
+    asof_join,
+    bloom_prefilter,
+    range_join,
+)
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "l10"),
+            (1, _ts(20), "l20"),
+            (2, _ts(5), "l5"),
+            (3, _ts(100), "l100"),  # key with no right rows
+        ],
+        "key long, t timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), "r10"),  # tie with left t=10
+            (1, _ts(15), "r15"),
+            (1, _ts(30), "r30"),
+            (2, _ts(7), "r7"),
+        ],
+        "key long, t timestamp, rval string",
+    )
+    return left, right
+
+
+def _matches(df):
+    rows = df.orderBy("key", "t").collect()
+    return [(r.key, r.lval, r.rval_right) for r in rows]
+
+
+def test_asof_backward_nonstrict_takes_ties(sides):
+    left, right = sides
+    out = asof_join(left, right, ["key"], "t", "t", ["rval"])
+    assert _matches(out) == [
+        (1, "l10", "r10"),  # tie visible
+        (1, "l20", "r15"),
+        (2, "l5", None),  # nothing at-or-before
+        (3, "l100", None),  # key absent from right
+    ]
+
+
+def test_asof_backward_strict_excludes_ties(sides):
+    left, right = sides
+    out = asof_join(left, right, ["key"], "t", "t", ["rval"], strict=True)
+    assert _matches(out) == [
+        (1, "l10", None),  # tie excluded, nothing strictly before
+        (1, "l20", "r15"),
+        (2, "l5", None),
+        (3, "l100", None),
+    ]
+
+
+def test_asof_forward(sides):
+    left, right = sides
+    out = asof_join(left, right, ["key"], "t", "t", ["rval"], direction="forward")
+    assert _matches(out) == [
+        (1, "l10", "r10"),
+        (1, "l20", "r30"),
+        (2, "l5", "r7"),
+        (3, "l100", None),
+    ]
+    strict = asof_join(
+        left, right, ["key"], "t", "t", ["rval"], direction="forward", strict=True
+    )
+    assert _matches(strict)[0] == (1, "l10", "r15")
+
+
+def test_asof_tolerance_nulls_far_matches(sides):
+    left, right = sides
+    out = asof_join(
+        left, right, ["key"], "t", "t", ["rval"], tolerance_us=4_000_000
+    )
+    # l20's nearest prior is r15, 5 s away — outside the 4 s tolerance.
+    assert _matches(out) == [
+        (1, "l10", "r10"),
+        (1, "l20", None),
+        (2, "l5", None),
+        (3, "l100", None),
+    ]
+
+
+def test_asof_preserves_left_rowcount_and_columns(sides):
+    left, right = sides
+    out = asof_join(left, right, ["key"], "t", "t", ["rval"])
+    assert out.count() == left.count()
+    assert out.columns == ["key", "t", "lval", "t_right", "rval_right"]
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "user_id", "ts")
+    )
+    a = ev.withColumnRenamed("event_id", "a_id")
+    b = ev.withColumnRenamed("event_id", "b_id")
+    lo, hi = 1, 7_200_000_000  # (0, 2h] — excludes self-pairs
+    got = range_join(a, b, ["user_id"], "ts", "ts", lo, hi).select(
+        "a_id", F.col("b_id_right").alias("b_id")
+    )
+    naive = (
+        a.join(b.withColumnRenamed("ts", "ts_b"), "user_id")
+        .filter(
+            (F.unix_micros("ts_b") - F.unix_micros("ts")).between(lo, hi)
+        )
+        .select("a_id", "b_id")
+    )
+    assert got.count() > 0
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_range_join_plan_is_equi_join(spark, sides):
+    left, right = sides
+    out = range_join(left, right, ["key"], "t", "t", 0, 10_000_000)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    build = spark.range(0, 20000, 7).select(F.col("id").alias("b"))
+    pre = bloom_prefilter(probe, "k", build, "b", num_bits=1 << 18)
+    kept = {r.k for r in pre.collect()}
+    true_keys = {r.b for r in build.collect()}
+    assert true_keys <= kept  # every real match survives
+    # false-positive rate stays small at ~14 bits/key
+    assert len(kept) < 20000 * 0.25
+    # prefilter + exact join ≡ exact join
+    sem = build.withColumnRenamed("b", "k")
+    assert (
+        pre.join(sem, "k", "left_semi").count()
+        == probe.join(sem, "k", "left_semi").count()
+    )
+
+
+def test_bloom_prefilter_on_strings(spark):
+    probe = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "s string"
+    )
+    build = spark.createDataFrame([("b",), ("d",), ("zz",)], "s2 string")
+    kept = {r.s for r in bloom_prefilter(probe, "s", build, "s2").collect()}
+    assert {"b", "d"} <= kept
