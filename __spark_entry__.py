@@ -1481,6 +1481,85 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation
+    (operators/temporal.py): null out every 5th event's value, then fill
+    from the most recent non-null value of the same (user, event_type) —
+    one exchange, running window, the standard EHR imputation."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import locf_impute
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    )
+    out = locf_impute(
+        ev, ["user_id", "event_type"], "ts", "value", tie_cols=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value_filled"),
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — lineitem⋈orders⋈customer⋈supplier with TWO broadcast nation
+    joins, cross-nation predicate, year extraction, conditional agg."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair | rev_pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-revenue share — lineitem⋈part
+    broadcast join, conditional-sum ratio, month truncation."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -1565,6 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "bloom_semi_filter": q_bloom_semi_filter,
         "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "promo_revenue": q_promo_revenue,
+        "locf_impute": q_locf_impute,
     }
 
 
@@ -2385,5 +2467,39 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY n_name
+""",
+        "volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "promo_revenue": """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+  round(100 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+        "locf_impute": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts,
+    CASE WHEN event_id % 5 <> 0 THEN value END AS value
+  FROM events)
+SELECT event_id, user_id, event_type,
+  round(last_value(value IGNORE NULLS) OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+FROM e
 """,
     }

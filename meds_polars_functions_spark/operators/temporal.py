@@ -33,7 +33,38 @@ are O(n·m) and fatal at 100 TB):
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "bloom_prefilter"]
+__all__ = ["asof_join", "range_join", "bloom_prefilter", "locf_impute"]
+
+
+def locf_impute(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    tie_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward: fill null ``value_col`` with the
+    most recent non-null value for the same key, ordered by time (the
+    standard EHR imputation the MEDS model implies but the reference
+    leaves to downstream — a degenerate self as-of join, so it gets the
+    same one-exchange running-window plan, not a join).
+
+    ``tie_cols`` break equal-time ordering deterministically (MEDS
+    convention: event_id or the canonical tiebreak). Rows with null
+    ``time_col`` (static measurements) sort first and only inherit from
+    other static rows of the same key.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col(time_col).asc_nulls_first(),
+            *[F.col(c).asc() for c in (tie_cols or [])],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(F.col(value_col), ignorenulls=True).over(w)
+    return df.withColumn(out_col or value_col, filled)
 
 
 def asof_join(

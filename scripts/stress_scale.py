@@ -36,30 +36,58 @@ STRESS_QUERIES = [
     "pack_sequences",
 ]
 
-# id columns to offset per copy so blown-up keys stay distinct
-OFFSET_COLS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "nation": [],
-    "region": [],
+# Key DOMAINS: every column in a domain (primary key + the foreign keys
+# that reference it) must shift by the SAME per-copy offset, or the
+# blown-up data loses referential integrity — fact-dim joins shrink
+# (disjoint key ranges) or fan out (duplicated dim keys), and measured
+# "scaling" is an artifact of broken data, not the plan. Offset = max
+# key in the domain + 1, so copies are disjoint self-consistent
+# universes. nation/region carry no offset columns and are written
+# ONCE: duplicating a dimension key 16× would multiply every broadcast
+# join's output 16× per copy.
+DOMAINS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
 }
+COPIED_TABLES = [
+    "lineitem", "orders", "customer", "supplier", "part",
+    "events", "documents", "embeddings",
+]
+SHARED_DIMS = ["nation", "region"]
 
 
 def materialize(spark, src_dir: str, out_dir: str, n_copies: int) -> None:
-    for table, id_cols in OFFSET_COLS.items():
+    # per-domain offset from the primary table's max key
+    offsets = {}
+    for domain, cols in DOMAINS.items():
+        table, col = cols[0]
+        offsets[domain] = (
+            em._t(spark, src_dir, table).agg(F.max(col)).collect()[0][0] + 1
+        )
+    col_domain = {
+        (table, col): domain
+        for domain, cols in DOMAINS.items()
+        for table, col in cols
+    }
+    for table in SHARED_DIMS:
+        em._t(spark, src_dir, table).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+    for table in COPIED_TABLES:
         src = em._t(spark, src_dir, table)
-        n_rows = src.count()
         copies = []
         for i in range(n_copies):
             c = src
-            for col in id_cols:
-                c = c.withColumn(col, F.col(col) + F.lit(i * (n_rows * 10)))
+            for col in src.columns:
+                domain = col_domain.get((table, col))
+                if domain is not None:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * offsets[domain]))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:

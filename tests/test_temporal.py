@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from meds_polars_functions_spark.operators.temporal import (
     asof_join,
     bloom_prefilter,
+    locf_impute,
     range_join,
 )
 
@@ -162,6 +163,25 @@ def test_bloom_prefilter_no_false_negatives(spark):
         pre.join(sem, "k", "left_semi").count()
         == probe.join(sem, "k", "left_semi").count()
     )
+
+
+def test_locf_impute_fills_forward_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1), 1, 10.0),
+            (1, _ts(2), 2, None),  # <- fills from t=1
+            (1, _ts(3), 3, 30.0),
+            (1, _ts(3), 4, None),  # tie: event 4 after event 3 -> 30.0
+            (2, None, 6, 7.0),  # static row sorts first (nulls first)
+            (2, _ts(1), 5, None),  # inherits the static baseline
+            (2, _ts(9), 7, None),  # still the static value
+            (3, _ts(1), 8, None),  # nothing before -> stays null
+        ],
+        "pid long, t timestamp, eid long, v double",
+    )
+    out = locf_impute(df, ["pid"], "t", "v", tie_cols=["eid"])
+    got = {r.eid: r.v for r in out.collect()}
+    assert got == {1: 10.0, 2: 10.0, 3: 30.0, 4: 30.0, 5: 7.0, 6: 7.0, 7: 7.0, 8: None}
 
 
 def test_bloom_prefilter_on_strings(spark):
