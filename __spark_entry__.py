@@ -1503,6 +1503,34 @@ def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py) executed on the
+    batch path (withWatermark is a batch no-op, so this IS the streaming
+    plan's semantics): click→purchase pairs within 1h. The watermarked
+    interval bound is what keeps stream state finite at scale."""
+    _prep(spark)
+    from meds_polars_functions_spark.streaming.joins import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = stream_interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts", 0, 3600
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delta_us"),
+    )
+
+
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
     year — lineitem⋈orders⋈customer⋈supplier with TWO broadcast nation
@@ -1647,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "promo_revenue": q_promo_revenue,
         "locf_impute": q_locf_impute,
+        "stream_interval_join": q_stream_interval_join,
     }
 
 
@@ -2501,5 +2530,13 @@ SELECT event_id, user_id, event_type,
     PARTITION BY user_id, event_type ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
 FROM e
+""",
+        "stream_interval_join": """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+  epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
 """,
     }

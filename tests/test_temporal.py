@@ -137,6 +137,21 @@ def test_range_join_matches_naive_inequality_join(spark):
     assert naive.exceptAll(got).count() == 0
 
 
+def test_asof_plan_has_single_exchange(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, ["key"], "t", "t", ["rval"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # union + running window: ONE hash exchange on the key, no join at all
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(key" in plan
+    assert "Join" not in plan
+
+
 def test_range_join_plan_is_equi_join(spark, sides):
     left, right = sides
     out = range_join(left, right, ["key"], "t", "t", 0, 10_000_000)
