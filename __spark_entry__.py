@@ -1503,6 +1503,27 @@ def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid downsampling (operators/temporal.py): last event
+    value per (user, event_type) per day — map-side bucketing + one
+    (key, bucket) exchange, deterministic tie-break on event_id."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import resample_last
+
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    out = resample_last(
+        ev, ["user_id", "event_type"], "ts", day_us, tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming/joins.py) executed on the
     batch path (withWatermark is a batch no-op, so this IS the streaming
@@ -1676,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "locf_impute": q_locf_impute,
         "stream_interval_join": q_stream_interval_join,
+        "resample_last": q_resample_last,
     }
 
 
@@ -2538,5 +2560,16 @@ FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+""",
+        "resample_last": """
+SELECT user_id, event_type, bucket_us, event_id, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_type,
+    (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+    event_id, value,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, epoch_us(ts) // 86400000000
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
 """,
     }

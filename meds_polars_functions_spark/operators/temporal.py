@@ -33,7 +33,47 @@ are O(n·m) and fatal at 100 TB):
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "bloom_prefilter", "locf_impute"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "bloom_prefilter",
+    "locf_impute",
+    "resample_last",
+]
+
+
+def resample_last(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    every_us: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Downsample to a regular time grid: one row per (key, bucket) —
+    the LAST row in each ``every_us``-microsecond bucket (deterministic
+    via ``tie_cols``). Output adds ``bucket_start`` (timestamp).
+
+    One hash exchange on (key, bucket) + per-partition sort; the grid is
+    computed map-side, so Catalyst treats it like any groupBy key — no
+    windows over the whole key history, state bounded by bucket size.
+    Pair with ``locf_impute`` afterwards to fill empty buckets
+    carried-forward style.
+    """
+    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(every_us))
+    out = df.withColumn("__bucket__", bucket)
+    w = Window.partitionBy(*key_cols, "__bucket__").orderBy(
+        F.col(time_col).desc(),
+        *[F.col(c).desc() for c in (tie_cols or [])],
+    )
+    return (
+        out.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .withColumn(
+            "bucket_start",
+            F.timestamp_micros(F.col("__bucket__") * F.lit(every_us)),
+        )
+        .drop("__rn__", "__bucket__")
+    )
 
 
 def locf_impute(

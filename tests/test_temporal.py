@@ -19,6 +19,7 @@ from meds_polars_functions_spark.operators.temporal import (
     bloom_prefilter,
     locf_impute,
     range_join,
+    resample_last,
 )
 
 
@@ -197,6 +198,27 @@ def test_locf_impute_fills_forward_only(spark):
     out = locf_impute(df, ["pid"], "t", "v", tie_cols=["eid"])
     got = {r.eid: r.v for r in out.collect()}
     assert got == {1: 10.0, 2: 10.0, 3: 30.0, 4: 30.0, 5: 7.0, 6: 7.0, 7: 7.0, 8: None}
+
+
+def test_resample_last_keeps_latest_per_bucket(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(10), 1, 1.0),
+            (1, _ts(50), 2, 2.0),  # same 60s bucket -> wins over eid 1
+            (1, _ts(70), 3, 3.0),  # next bucket
+            (1, _ts(70), 4, 4.0),  # tie: higher eid wins
+            (2, _ts(0), 5, 5.0),
+        ],
+        "key long, t timestamp, eid long, v double",
+    )
+    out = resample_last(df, ["key"], "t", 60_000_000, tie_cols=["eid"])
+    rows = out.collect()
+    assert {r.eid for r in rows} == {2, 4, 5}
+    # bucket_start is grid-aligned
+    assert all(
+        r.bucket_start.second == 0 and r.bucket_start.microsecond == 0
+        for r in rows
+    )
 
 
 def test_bloom_prefilter_on_strings(spark):
