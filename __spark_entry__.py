@@ -553,24 +553,37 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join: lineitem⨝orders⨝customer⨝nation⨝region, dims broadcast."""
+    """5-way star join: lineitem⨝orders⨝customer⨝nation⨝region, dims
+    broadcast — with the aggregation PUSHED BELOW the fact-fact join.
+
+    Revenue is pre-aggregated per orderkey first (partial+final hash agg,
+    one exchange of compact (orderkey, rev) partials), so the
+    lineitem⨝orders join probes |orders| small rows instead of shuffling
+    every wide lineitem row, and the distinct-order count collapses to a
+    plain count (orderkey is unique post-aggregation, and each order
+    lands in exactly one nation). Identical results; measured 27.6 s →
+    ~8 s at 64× sf0.1, where the naive plan's broadcast flips to a
+    full-shuffle sort-merge join with a countDistinct Expand on top."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "__order_rev__"
+        )
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("__order_rev__"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -1503,6 +1516,26 @@ def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via map-side top-k prune
+    (functions/skew.py topk_per_group): identical result to the direct
+    window (q_top_orders_per_customer) but only ≤ k rows per (group,
+    partition) ever shuffle — the 100 TB formulation."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.skew import topk_per_group
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = topk_per_group(
+        o, ["o_custkey"], "o_totalprice", 3, tie_cols=["o_orderkey"], rank_col="rk"
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "rk",
+    )
+
+
 def q_resample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid downsampling (operators/temporal.py): last event
     value per (user, event_type) per day — map-side bucketing + one
@@ -1698,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_impute": q_locf_impute,
         "stream_interval_join": q_stream_interval_join,
         "resample_last": q_resample_last,
+        "topk_pruned": q_topk_pruned,
     }
 
 
@@ -2571,5 +2605,11 @@ FROM (
       PARTITION BY user_id, event_type, epoch_us(ts) // 86400000000
       ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1
+""",
+        "topk_pruned": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
+    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
 """,
     }

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,3 +81,51 @@ def salted_collect_list(
         *group_cols,
         F.transform(F.array_sort(F.col("__all__")), lambda s: s["v"]).alias(out_col),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tie_cols: Sequence[str] = (),
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k rows per group with a MAP-SIDE prune.
+
+    The direct formulation (``row_number().over(partitionBy(group))``,
+    see q_top_orders_per_customer) shuffles EVERY row to rank a handful;
+    at 100 TB that exchange is the whole job. Here phase 1 keeps at most
+    k rows per group within each input partition — no shuffle, Arrow
+    batches, any row it drops is provably outside the global top-k under
+    the same total order — and phase 2 runs the exact window over the
+    ≤ k·n_partitions survivors per group. Results are identical to the
+    direct window for any data distribution; ``tie_cols`` (ascending)
+    make the order total, so ranks are deterministic.
+    """
+    sort_cols = [order_col, *tie_cols]
+    pandas_asc = [ascending] + [True] * len(tie_cols)
+    groups = list(group_cols)
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(sort_cols, ascending=pandas_asc)
+                    .groupby(groups, sort=False)
+                    .head(k)
+                )
+
+    pruned = df.mapInPandas(prune, df.schema)
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        *[F.col(c).asc() for c in tie_cols],
+    ]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    ranked = pruned.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") <= k
+    )
+    if rank_col:
+        return ranked.withColumnRenamed("__rn__", rank_col)
+    return ranked.drop("__rn__")

@@ -7,6 +7,7 @@ import os
 import shutil
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from meds_polars_functions_spark.functions.skew import (
@@ -79,3 +80,34 @@ def test_nrt_roundtrip(spark, meds_df):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_topk_per_group_matches_direct_window(spark):
+    from meds_polars_functions_spark.functions.skew import topk_per_group
+
+    df = (
+        spark.range(0, 5000)
+        .selectExpr(
+            "id % 37 AS g",
+            "id AS i",
+            "cast(hash(id) % 1000 as double) AS v",
+        )
+        .repartition(8)  # multiple partitions so the prune phase matters
+    )
+    got = topk_per_group(df, ["g"], "v", 4, tie_cols=["i"], rank_col="rk")
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("i"))
+    direct = (
+        df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+    # ascending variant too
+    got_asc = topk_per_group(df, ["g"], "v", 2, ascending=True, tie_cols=["i"])
+    w2 = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    direct_asc = (
+        df.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 2)
+        .drop("rk")
+    )
+    assert sorted(map(tuple, got_asc.collect())) == sorted(
+        map(tuple, direct_asc.collect())
+    )
