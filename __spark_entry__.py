@@ -1642,6 +1642,306 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one line
+    shipped >60 days after the order date — EXISTS expressed as a
+    LEFT SEMI join so each order is emitted once regardless of how many
+    lines qualify (no dedup pass, no row explosion at scale)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    The global rank runs over the ALREADY-AGGREGATED per-customer frame
+    (bounded by |customers|, not |lineitem|), so the single-partition
+    window is a post-reduce nit, not a scale hazard. Rank on the rounded
+    revenue so cross-engine double-sum ulp noise can't reorder ties."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def q_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: return flag plays ship mode): per
+    l_returnflag, how many lines belong to high- vs low-priority orders
+    — join + CASE-conditional counts folded into one partial agg."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a ship
+    window. The scalar max is joined back via a one-row BROADCAST
+    cross-join (never a single-partition window over the fact table);
+    equality tests the 6-dp rounded revenue on both engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx__"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below half
+    the part's average quantity — the correlated scalar subquery
+    decorrelated into a per-part aggregate joined back on l_partkey.
+    Quantities are integral doubles, so avg is bit-identical across
+    engines and the boundary comparison is deterministic."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_qty__"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty__"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind orders totalling >300 units —
+    the HAVING filter runs on the compact per-order aggregate BEFORE any
+    join, so only qualifying orderkeys (a few dozen per million) reach
+    the orders/customer joins."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def q_brand_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs brand/size/quantity predicate across
+    a lineitem⋈part broadcast join. The part-only disjuncts (brand+size)
+    are pushed to the part scan; Catalyst keeps the residual mixed
+    predicate above the join."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cases = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cases)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO order
+    since 2000 — scalar subquery as a one-row broadcast cross-join plus
+    a LEFT ANTI join (Spark's NOT EXISTS), grouped by nation."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal__")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal__"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
+
+
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling analytics: daily order revenue with a 7-day (ROWS-framed)
+    moving average and a running cumulative total. Windows run over the
+    per-day aggregate (|days| rows), not the fact table. Sums accumulate
+    in integer CENTS so the running total is bit-exact cross-engine (a
+    double cumsum at ~1e9 needs 16 significant digits — past double's
+    ulp at 6 dp); the only float ops are final divisions, which IEEE
+    makes deterministic."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("__cents__")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.round(F.col("__cents__") / 100.0, 6).alias("revenue"),
+        F.round(
+            F.sum("__cents__").over(w7)
+            / (100.0 * F.count(F.lit(1)).over(w7)),
+            6,
+        ).alias("ma7"),
+        F.round(F.sum("__cents__").over(wcum) / 100.0, 6).alias("cum_revenue"),
+    )
+
+
+def q_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: quartile (ntile) and percent_rank of each
+    customer's balance within their nation, totally ordered by
+    (acctbal, custkey) so both engines tile identically."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot (wide→long): per-nation customer metrics melted to
+    (nation, metric, value) rows with Spark's built-in ``unpivot`` —
+    the inverse of q_pivot_status, map-side only above the agg."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 6).alias("sum_bal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["sum_bal", "avg_bal", "n_cust"], "metric", "value"
+    )
+
+
+def q_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to shipdate): on multi-supplier orders,
+    the UNIQUE supplier whose lines shipped strictly last. The
+    EXISTS/NOT-EXISTS pair is re-expressed as ONE per-(order,supplier)
+    aggregate plus per-order windows over that compact frame — a single
+    key exchange instead of two self-joins of the fact table."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__s_max__")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("__o_max__", F.max("__s_max__").over(w))
+        .withColumn("__n_supp__", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__n_at_max__",
+            F.sum(
+                F.when(F.col("__s_max__") == F.col("__o_max__"), 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    return (
+        flagged.filter(
+            (F.col("__n_supp__") >= 2)
+            & (F.col("__n_at_max__") == 1)
+            & (F.col("__s_max__") == F.col("__o_max__"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -1732,6 +2032,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "resample_last": q_resample_last,
         "topk_pruned": q_topk_pruned,
+        "late_order_priority": q_late_order_priority,
+        "returned_item_revenue": q_returned_item_revenue,
+        "ship_priority_mix": q_ship_priority_mix,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "brand_predicate_revenue": q_brand_predicate_revenue,
+        "dormant_customers": q_dormant_customers,
+        "moving_avg_revenue": q_moving_avg_revenue,
+        "ntile_acctbal": q_ntile_acctbal,
+        "unpivot_nation_metrics": q_unpivot_nation_metrics,
+        "only_late_supplier": q_only_late_supplier,
     }
 
 
@@ -2611,5 +2923,132 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
     (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
   FROM orders) WHERE rk <= 3
+""",
+        "late_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+        "returned_item_revenue": """
+SELECT rk, c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name, revenue,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+  FROM (
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name))
+WHERE rk <= 20
+""",
+        "ship_priority_mix": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+""",
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 6)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+        "small_qty_revenue": """
+SELECT p_brand, round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN (SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+GROUP BY p_brand
+""",
+        "large_volume_customers": """
+SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       round(o_totalprice, 6) AS o_totalprice, sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "brand_predicate_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+        "dormant_customers": """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 6) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+        "moving_avg_revenue": """
+SELECT epoch_us(day) AS day_us, round(cents / 100.0, 6) AS revenue,
+       round(sum(cents) OVER w7 / (100.0 * count(*) OVER w7), 6) AS ma7,
+       round(sum(cents) OVER wc / 100.0, 6) AS cum_revenue
+FROM (SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1)
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wc AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "ntile_acctbal": """
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+        "unpivot_nation_metrics": """
+WITH wide AS (
+  SELECT n_name, round(sum(c_acctbal), 6) AS sum_bal,
+         round(avg(c_acctbal), 6) AS avg_bal,
+         CAST(count(*) AS DOUBLE) AS n_cust
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, 'sum_bal' AS metric, sum_bal AS value FROM wide
+UNION ALL SELECT n_name, 'avg_bal', avg_bal FROM wide
+UNION ALL SELECT n_name, 'n_cust', n_cust FROM wide
+""",
+        "only_late_supplier": """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+w1 AS (
+  SELECT l_orderkey, l_suppkey, s_max,
+         max(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+  FROM per_os),
+flagged AS (
+  SELECT *, sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1)
+SELECT s_name, count(*) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
+GROUP BY s_name
 """,
     }
