@@ -1942,6 +1942,68 @@ def q_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/temporal.py streaks): maximal runs of
+    consecutive active DAYS per user — distinct day grid, row_number
+    island trick, one exchange shared by distinct+window+agg."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import streaks
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaks(ev, ["user_id"], "ts", bucket="day")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("streak_start").cast("timestamp")).alias("start_us"),
+        "streak_len",
+    )
+
+
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via native bitmap aggregates
+    (functions/sketches.py bitmap_distinct): two narrow bitmap exchanges
+    instead of a wide distinct shuffle — the zero-error, mergeable
+    counterpart of the HLL path (code_patients_hll)."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import bitmap_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return bitmap_distinct(ev, ["event_type"], "user_id", "n_users")
+
+
+def q_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a join-back or window: per nation, the customer
+    holding the max balance via ``max_by`` over a (balance, custkey)
+    struct — one partial-aggregating exchange; the struct tiebreak makes
+    the argmax total-ordered and cross-engine deterministic."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    best = F.max(F.struct("c_acctbal", "c_custkey", "c_name"))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(best.alias("__b__"))
+        .select(
+            "c_nationkey",
+            F.col("__b__.c_custkey").alias("best_custkey"),
+            F.col("__b__.c_name").alias("best_name"),
+            F.round("__b__.c_acctbal", 6).alias("best_acctbal"),
+        )
+    )
+
+
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + p90 per event type (native
+    ``percentile``, sort-based exact path). Complements the
+    approx-sketch path (value_percentiles uses the same exact fn —
+    this adds multi-quantile + count in one agg)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -2044,6 +2106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_acctbal": q_ntile_acctbal,
         "unpivot_nation_metrics": q_unpivot_nation_metrics,
         "only_late_supplier": q_only_late_supplier,
+        "user_streaks": q_user_streaks,
+        "bitmap_distinct_users": q_bitmap_distinct_users,
+        "argmax_customer": q_argmax_customer,
+        "group_median": q_group_median,
     }
 
 
@@ -3050,5 +3116,37 @@ SELECT s_name, count(*) AS numwait
 FROM flagged JOIN supplier ON l_suppkey = s_suppkey
 WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
 GROUP BY s_name
+""",
+        "user_streaks": """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         CAST(epoch(d) AS BIGINT) // 86400
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days)
+SELECT user_id, epoch_us(min(d)) AS start_us, count(*) AS streak_len
+FROM isl GROUP BY user_id, g
+""",
+        "bitmap_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+        "argmax_customer": """
+SELECT c_nationkey, best_custkey, best_name,
+       round(best_acctbal, 6) AS best_acctbal FROM (
+  SELECT c_nationkey, c_custkey AS best_custkey, c_name AS best_name,
+         c_acctbal AS best_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer) WHERE rn = 1
+""",
+        "group_median": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value,
+       count(*) AS n_values
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
 """,
     }

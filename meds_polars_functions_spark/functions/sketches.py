@@ -61,3 +61,64 @@ def estimate_sketch(df: DataFrame, sketch_col: str, out_col: str | None = None) 
     return df.withColumn(out_col, F.hll_sketch_estimate(sketch_col)).drop(
         *([] if out_col == sketch_col else [sketch_col])
     )
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """EXACT mergeable distinct count of an integer key via Spark's
+    native roaring-style bitmap aggregates (``bitmap_bucket_number`` /
+    ``bitmap_bit_position`` / ``bitmap_construct_agg``): keys hash to a
+    (bucket, bit) address, each (group, bucket) reduces to one 4 KB
+    bitmap with map-side partial combine, and the per-group count is the
+    sum of per-bucket popcounts. Two narrow exchanges of bitmap rows —
+    never a wide distinct shuffle of the raw keys — and, unlike the HLL
+    path above, zero error. Use for integer ids at any cardinality; use
+    HLL when keys aren't integral or ±1% is acceptable."""
+    addressed = df.select(
+        *group_cols,
+        F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt__"),
+        F.expr(f"bitmap_bit_position({key_col})").alias("__pos__"),
+    )
+    per_bucket = addressed.groupBy(*group_cols, "__bkt__").agg(
+        F.expr("bitmap_construct_agg(__pos__)").alias("__bm__")
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.sum(F.expr("bitmap_count(__bm__)")).alias(out_col)
+    )
+
+
+def bitmap_distinct_state(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-(group, bucket) bitmap state — the storable/mergeable form of
+    :func:`bitmap_distinct` (write next to other shard aggregates)."""
+    return (
+        df.select(
+            *group_cols,
+            F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt__"),
+            F.expr(f"bitmap_bit_position({key_col})").alias("__pos__"),
+        )
+        .groupBy(*group_cols, "__bkt__")
+        .agg(F.expr("bitmap_construct_agg(__pos__)").alias("__bm__"))
+    )
+
+
+def merge_bitmap_states(
+    tables: list[DataFrame], group_cols: list[str], out_col: str = "n_distinct"
+) -> DataFrame:
+    """Merge per-shard bitmap states losslessly (``bitmap_or_agg``) and
+    finish to exact per-group counts — the bitmap analogue of
+    :func:`merge_sketch_tables`, with no accuracy loss."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    merged = out.groupBy(*group_cols, "__bkt__").agg(
+        F.expr("bitmap_or_agg(__bm__)").alias("__bm__")
+    )
+    return merged.groupBy(*group_cols).agg(
+        F.sum(F.expr("bitmap_count(__bm__)")).alias(out_col)
+    )

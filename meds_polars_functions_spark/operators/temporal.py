@@ -30,6 +30,8 @@ are O(n·m) and fatal at 100 TB):
   match. No false negatives: prefilter + exact join ≡ exact join.
 """
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,7 @@ __all__ = [
     "bloom_prefilter",
     "locf_impute",
     "resample_last",
+    "streaks",
 ]
 
 
@@ -324,3 +327,40 @@ def bloom_prefilter(
         )
         cond = cond & hit
     return out.filter(cond).drop("__bloom__")
+
+
+def streaks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active time buckets
+    per key. Classic sessionization-by-calendar (login streaks, daily
+    actives): distinct (key, bucket) first — the frame every later step
+    sees is bounded by keys × buckets, not raw events — then the
+    row_number trick (bucket_ordinal - rank is constant within a run) and
+    one count per island. All three steps share the single exchange on
+    ``key_cols`` (distinct, window, and group reuse the partitioning).
+
+    Returns one row per island: key cols, ``streak_start`` (bucket
+    timestamp), ``streak_len`` (number of consecutive buckets).
+    """
+    keys = list(key_cols)
+    seconds = {"day": 86400, "hour": 3600, "week": 604800}[bucket]
+    b = F.date_trunc(bucket, F.col(time_col))
+    days = df.select(*keys, b.alias("__b__")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__b__")
+    isl = days.withColumn(
+        "__g__",
+        (F.unix_timestamp("__b__") / seconds).cast("long")
+        - F.row_number().over(w),
+    )
+    return (
+        isl.groupBy(*keys, "__g__")
+        .agg(
+            F.min("__b__").alias("streak_start"),
+            F.count(F.lit(1)).alias("streak_len"),
+        )
+        .drop("__g__")
+    )

@@ -49,3 +49,33 @@ def test_shard_merge_equals_whole(spark):
     m = {r["code"]: r["est"] for r in merged.collect()}
     w = {r["code"]: r["est"] for r in whole.collect()}
     assert m == w
+
+
+def test_bitmap_distinct_exact_and_mergeable(spark):
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_distinct,
+        bitmap_distinct_state,
+        merge_bitmap_states,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("code"), (F.col("id") % 7919).alias("pid")
+    )
+    got = {r["code"]: r["n"] for r in bitmap_distinct(df, ["code"], "pid", "n").collect()}
+    exact = {
+        r["code"]: r["n"]
+        for r in df.groupBy("code").agg(F.countDistinct("pid").alias("n")).collect()
+    }
+    assert got == exact  # zero-error, unlike HLL
+
+    # shard-merge: two disjoint-ish shards, merged state == whole-data count
+    a, b = df.filter("pid % 2 = 0"), df.filter("pid % 2 = 1")
+    merged = merge_bitmap_states(
+        [
+            bitmap_distinct_state(a, ["code"], "pid"),
+            bitmap_distinct_state(b, ["code"], "pid"),
+        ],
+        ["code"],
+        "n",
+    )
+    assert {r["code"]: r["n"] for r in merged.collect()} == exact

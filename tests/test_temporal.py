@@ -228,3 +228,24 @@ def test_bloom_prefilter_on_strings(spark):
     build = spark.createDataFrame([("b",), ("d",), ("zz",)], "s2 string")
     kept = {r.s for r in bloom_prefilter(probe, "s", build, "s2").collect()}
     assert {"b", "d"} <= kept
+
+
+def test_streaks_islands(spark):
+    import datetime as dt
+
+    from meds_polars_functions_spark.operators.temporal import streaks
+
+    d = dt.datetime
+    rows = [
+        # user 1: days 1,2,3 then 7,8  -> streaks 3 and 2
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 1, 9)), (1, d(2024, 1, 2)),
+        (1, d(2024, 1, 3)), (1, d(2024, 1, 7)), (1, d(2024, 1, 8)),
+        # user 2: single day -> streak 1
+        (2, d(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["user_id"], r["streak_start"].day, r["streak_len"])
+        for r in streaks(df, ["user_id"], "ts").collect()
+    }
+    assert got == {(1, 1, 3), (1, 7, 2), (2, 5, 1)}
