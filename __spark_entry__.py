@@ -2004,6 +2004,41 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance-≤1 name matching WITHOUT the O(n²) cross join
+    (operators/dedup.py fuzzy_pairs_ed1): SymSpell deletion-neighborhood
+    blocking + native levenshtein verify. The oracle IS the quadratic
+    cross join — identical output, |corpus|·len vs |corpus|² work."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import fuzzy_pairs_ed1
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs_ed1(c, "c_name", "c_custkey")
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate in ONE pass: GROUPING SETS
+    ((flag,status),(flag),()) over lineitem revenue with grouping_id
+    disambiguating the all-rows NULLs — Catalyst's Expand feeds a single
+    shared partial agg instead of three scans."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -2110,6 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct_users": q_bitmap_distinct_users,
         "argmax_customer": q_argmax_customer,
         "group_median": q_group_median,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
     }
 
 
@@ -3148,5 +3185,19 @@ SELECT event_type,
        count(*) AS n_values
 FROM events WHERE value IS NOT NULL
 GROUP BY event_type
+""",
+        "fuzzy_name_pairs": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+        "grouping_sets_revenue": """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
     }

@@ -129,3 +129,33 @@ def topk_per_group(
     if rank_col:
         return ranked.withColumnRenamed("__rn__", rank_col)
     return ranked.drop("__rn__")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the skewed ``left``, REPLICATE ``right``
+    across all salts, join on (keys, salt).
+
+    AQE's skew-join split handles most cases at runtime; this is the
+    explicit fallback for the ones it can't — a skewed stream side, a
+    key so hot one split still overflows, or an engine-pinned plan where
+    AQE is off. Each hot key's rows spread over ``n_salts`` tasks at the
+    cost of shuffling ``right`` ``n_salts``× (keep right the smaller
+    side). Result is identical to ``left.join(right, on, how)`` for
+    inner/left joins (each right row meets each left row exactly once —
+    on its salt).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = list(on)
+    salt = (F.hash(F.monotonically_increasing_id()) % n_salts + n_salts) % n_salts
+    l_salted = left.withColumn("__salt__", salt.cast("int"))
+    r_replicated = right.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt__", F.col("__salt__").cast("int"))
+    return l_salted.join(r_replicated, [*keys, "__salt__"], how).drop("__salt__")

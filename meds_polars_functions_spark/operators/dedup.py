@@ -830,3 +830,53 @@ def near_dedup_keep_canonical(
     labels = connected_components(pairs, id_a, id_b)
     doomed = labels.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(doomed, df[id_col] == doomed["id"], "left_anti")
+
+
+def _deletion_variants(col: str) -> F.Column:
+    """All strings obtained by deleting exactly one character, plus the
+    string itself — the SymSpell 1-deletion neighborhood."""
+    s = F.col(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    return F.array_distinct(F.array_union(F.array(s), dels))
+
+
+def fuzzy_pairs_ed1(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT pairs with Levenshtein distance ≤ 1, without the O(n²)
+    cross-join: two strings are within one edit iff their 1-deletion
+    neighborhoods intersect (substitution → delete the differing char
+    from both; insertion/deletion → the shorter string is itself in the
+    longer's neighborhood). Each row explodes to |s|+1 variant keys, the
+    shared ``_bucket_pairs`` machinery emits co-bucketed id pairs from
+    ONE exchange, and a native ``levenshtein`` check removes the
+    neighborhood's only false-positive class (two deletions at different
+    positions). At scale this is |corpus|·avg_len small rows instead of
+    |corpus|² comparisons; ``max_bucket_size`` guards degenerate variant
+    buckets exactly like the LSH families above.
+
+    Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    variants = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_deletion_variants(text_col)).alias("__var__"),
+    )
+    cands = _bucket_pairs(variants, ["__var__"], max_bucket_size)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dist", F.levenshtein("__ta__", "__tb__"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

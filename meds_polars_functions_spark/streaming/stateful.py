@@ -134,3 +134,21 @@ def streaming_first_seen_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Native bounded-state streaming dedup: emit each key's FIRST
+    arrival, drop re-arrivals within the watermark horizon, and — the
+    part plain ``dropDuplicates`` on a stream cannot do — EXPIRE state
+    once the watermark passes, so state size tracks the late-data bound
+    instead of growing with total distinct keys forever. This is the
+    production form of the first-seen dedup above for the common case
+    (exact key, bounded lateness); the applyInPandasWithState variant
+    remains the escape hatch for custom digests/TTL policies."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)

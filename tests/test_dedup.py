@@ -239,3 +239,31 @@ def test_pack_sequences_invariants(spark):
         expected = cum.get(r["shard"], 0) // 128
         assert r["bin"] == expected, (r, expected)
         cum[r["shard"]] = cum.get(r["shard"], 0) + r["n_tokens"]
+
+
+def test_fuzzy_pairs_ed1_exact_vs_bruteforce(spark):
+    from meds_polars_functions_spark.operators.dedup import fuzzy_pairs_ed1
+
+    rows = [
+        (1, "abc"), (2, "abxc"),   # insertion
+        (3, "ab"),                  # deletion from abc
+        (4, "aXc"),                 # substitution of abc
+        (5, "abc"),                 # exact duplicate of 1
+        (6, "zzz"),                 # unrelated
+        (7, "abcd"), (8, "bcda"),  # shared 1-deletion but distance 2
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs_ed1(df, "name", "id").collect()
+    )
+    a = df.selectExpr("id AS ia", "name AS na")
+    brute = sorted(
+        (r["ia"], r["ib"], r["d"])
+        for r in a.crossJoin(df.selectExpr("id AS ib", "name AS nb"))
+        .filter("ia < ib AND levenshtein(na, nb) <= 1")
+        .selectExpr("ia", "ib", "levenshtein(na, nb) AS d")
+        .collect()
+    )
+    assert got == brute
+    assert (7, 8, 2) not in [(x, y, d) for x, y, d in got]

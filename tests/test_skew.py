@@ -111,3 +111,19 @@ def test_topk_per_group_matches_direct_window(spark):
     assert sorted(map(tuple, got_asc.collect())) == sorted(
         map(tuple, direct_asc.collect())
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from meds_polars_functions_spark.functions.skew import salted_join
+
+    # heavily skewed left: 90% of rows on key 0
+    left = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k", "id AS lv"
+    )
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS rv")
+    for how in ("inner", "left"):
+        got = salted_join(left, right.limit(30), ["k"], n_salts=4, how=how)
+        want = left.join(right.limit(30), ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), how

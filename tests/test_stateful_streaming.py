@@ -85,3 +85,46 @@ def test_first_seen_dedup(spark, two_batch_dir):
     # user 7's second 'click' (batch 2) must NOT re-emit
     assert emitted == {(7, "click"), (7, "view"), (9, "click"), (9, "purchase")}
     assert len(rows) == 4
+
+
+def test_dedup_within_watermark_drops_cross_batch_dupes(spark):
+    import datetime as dt
+
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    d = tempfile.mkdtemp(prefix="wmdedup_")
+    b1 = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 10, 1), 7, "view", 5.0, None),
+    ]
+    b2 = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, None),  # dupe
+        (3, dt.datetime(2024, 1, 1, 10, 5), 9, "click", 2.0, None),
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.parquet(os.path.join(d, "f2"))
+    try:
+        schema = spark.read.parquet(os.path.join(d, "f1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        q = (
+            streaming_dedup_within_watermark(stream)
+            .writeStream.format("memory")
+            .queryName("wm_dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.table("wm_dedup_out").collect()
+        assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
