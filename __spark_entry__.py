@@ -2039,6 +2039,57 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (functions/profile.py): per-column
+    nulls / exact distincts / min / max for four events columns in a
+    SINGLE wide aggregate — one scan, pruned to exactly those columns."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, ["event_id", "user_id", "event_type", "value"])
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters by composition: count (event_type, user_id)
+    pairs, then map-side top-k prune (functions/skew.py topk_per_group)
+    for the 5 busiest users per event type — the prune runs on the
+    already-compact count frame, so the global window never sees raw
+    events."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.skew import topk_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return topk_per_group(
+        counts, ["event_type"], "n_events", 5, tie_cols=["user_id"], rank_col="rk"
+    )
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the supplier→customer trade
+    graph (edges = distinct lineitem⋈orders pairs; customer ids offset
+    so the two key spaces stay disjoint). Iterative — no SQL oracle; the
+    numpy power-iteration equivalence lives in tests/test_graph.py."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, n_iter=5)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -2147,6 +2198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_median": q_group_median,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        "profile_events": q_profile_events,
+        "heavy_hitters": q_heavy_hitters,
+        "pagerank_trade": q_pagerank_trade,
     }
 
 
@@ -3199,5 +3253,40 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+        "profile_events": """
+SELECT 'event_id' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_repr,
+       CAST(max(event_id) AS VARCHAR) AS max_repr
+FROM events
+UNION ALL
+SELECT 'user_id', count(*),
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT event_type),
+       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', count(*),
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT value),
+       CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+FROM events
+""",
+        "heavy_hitters": """
+SELECT event_type, user_id, n_events, rk FROM (
+  SELECT event_type, user_id, n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, user_id) AS rk
+  FROM (SELECT event_type, user_id, count(*) AS n_events
+        FROM events GROUP BY 1, 2))
+WHERE rk <= 5
 """,
     }

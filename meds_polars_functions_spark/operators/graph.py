@@ -1,0 +1,88 @@
+"""Iterative graph algorithms on DataFrames.
+
+Companion to the connected-components clustering in dedup.py (which
+drives near-dedup); PageRank is the canonical "importance over a link
+graph" signal used to weight training corpora (e.g. page quality from a
+hyperlink graph).
+
+Scale design: the rank vector and edge list stay DataFrames end to end —
+each iteration is one shuffle-join on ``src`` plus one aggregation on
+``dst``. Edges are the big side and their partitioning on ``src`` is
+REUSED every iteration (persisted once, repartitioned on the join key up
+front); ranks are |nodes|-sized. The dangling-node mass and the global
+rank sum are one-row aggregates cross-joined back (broadcast), never
+driver round-trips. Lineage is cut with localCheckpoint every few
+iterations so the plan doesn't grow unboundedly with iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Returns (node, rank); ranks sum to 1. Dangling nodes (no out-edges)
+    redistribute their mass uniformly — the standard stochastic-matrix
+    completion, so results match the textbook formulation exactly.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # edges pre-partitioned on the per-iteration join key, cached once
+    e = e.repartition("src").persist()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
+
+    for it in range(n_iter):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # mass sitting on dangling nodes this round (one-row broadcast)
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling__")
+        )
+        contrib = (
+            with_deg.join(e, with_deg.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("__c__"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c__").alias("__in__"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in__"), F.lit(0.0))
+                        + F.col("__dangling__") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        old = ranks
+        ranks = new_ranks.persist()
+        old.unpersist()
+    e.unpersist()
+    return ranks

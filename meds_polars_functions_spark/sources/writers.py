@@ -171,3 +171,28 @@ def read_nrt(path: str) -> dict[str, "object"]:
         else:
             out[key] = np.concatenate([p[key] for p in parts])
     return out
+
+
+def write_sorted_ranges(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int | None = None,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on
+    ``range_cols`` (sampled range boundaries → files hold DISJOINT key
+    ranges) + ``sortWithinPartitions`` so each file is internally ordered.
+
+    Why this is the 100 TB layout move: parquet footers carry per-file /
+    per-row-group min-max on the clustered columns, so any later
+    range/equality predicate on them prunes whole files at planning time
+    and whole row groups at scan time — the poor-engine's zone map. A
+    hash-partitioned write scatters every key range across every file
+    and no scan can skip anything.
+    """
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartitionByRange(parts, *range_cols).sortWithinPartitions(
+        *(sort_within or range_cols)
+    )
+    out.write.mode("overwrite").parquet(path)

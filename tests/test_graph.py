@@ -1,0 +1,35 @@
+"""PageRank vs an independent dense power iteration (numpy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from meds_polars_functions_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, n, d=0.85, n_iter=10):
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[t, s] += 1.0
+    col = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        nz = col > 0
+        contrib += M[:, nz] @ (r[nz] / col[nz])
+        dangling = r[~nz].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return r
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    # graph with a dangling node (3) and a hub (0)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 0), (4, 3), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    want = _numpy_pagerank(edges, 5, n_iter=10)
+    assert set(got) == set(range(5))
+    for i in range(5):
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -127,3 +127,18 @@ def test_salted_join_matches_plain_join(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), how
+
+
+def test_profile_table_one_pass(spark, meds_df):
+    from meds_polars_functions_spark.functions.profile import profile_table
+
+    out = {r["column"]: r for r in profile_table(meds_df, ["code", "numeric_value"]).collect()}
+    n = meds_df.count()
+    assert out["code"]["n_rows"] == n
+    assert out["code"]["n_nulls"] == 0
+    assert out["code"]["n_distinct"] == meds_df.select("code").distinct().count()
+    nv = out["numeric_value"]
+    assert nv["n_nulls"] == meds_df.filter("numeric_value IS NULL").count()
+    # single job: plan has exactly one scan of the source
+    plan = profile_table(meds_df, ["code", "numeric_value"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") <= 1

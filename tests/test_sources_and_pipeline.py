@@ -173,3 +173,33 @@ def test_bucketed_join_has_no_exchange(tmpdir, spark, meds_df):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_meds")
         spark.sql("DROP TABLE IF EXISTS bkt_stats")
+
+
+def test_write_sorted_ranges_files_disjoint_and_prunable(spark):
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from meds_polars_functions_spark.sources.writers import write_sorted_ranges
+
+    d = tempfile.mkdtemp(prefix="ranges_")
+    try:
+        df = spark.range(0, 10_000).selectExpr("id AS k", "id % 97 AS v")
+        write_sorted_ranges(df, d, ["k"], n_files=8)
+        spans = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            stats = [
+                md.row_group(i).column(0).statistics for i in range(md.num_row_groups)
+            ]
+            spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+        spans.sort()
+        assert len(spans) >= 4  # really split into multiple files
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2  # files hold disjoint key ranges -> prunable
+        # round-trip intact
+        assert spark.read.parquet(d).count() == 10_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
