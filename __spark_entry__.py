@@ -2090,6 +2090,33 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_interpolate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a 6-hour grid per user
+    (operators/temporal.py resample_interpolate): union obs+grid, ONE
+    key exchange, running back/forward ignorenulls windows — no
+    self-join, no per-point probe. Output in epoch-µs + 6-dp value; the
+    oracle replicates the identical window formulation so the float ops
+    are the same IEEE sequence on both engines."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+    )
+    out = resample_interpolate(
+        ev, ["user_id"], "ts", "value", step_seconds=21600, tie_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("grid_time").cast("timestamp")).alias("grid_us"),
+        F.round("interp_value", 6).alias("interp_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -2201,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
+        "interpolate_values": q_interpolate_values,
     }
 
 
@@ -3288,5 +3316,39 @@ SELECT event_type, user_id, n_events, rk FROM (
   FROM (SELECT event_type, user_id, count(*) AS n_events
         FROM events GROUP BY 1, 2))
 WHERE rk <= 5
+""",
+        "interpolate_values": """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS obs_v,
+         0 AS is_grid, event_id
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+spans AS (SELECT user_id, min(t_us) AS lo, max(t_us) AS hi
+          FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(range(lo - lo % 21600000000, hi + 1, 21600000000))
+           AS t_us,
+         NULL::DOUBLE AS obs_v, 1 AS is_grid, NULL::BIGINT AS event_id
+  FROM spans),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+e AS (
+  SELECT user_id, t_us, is_grid,
+    last_value(obs_v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS) OVER wb AS pt,
+    first_value(obs_v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS) OVER wf AS nt
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY t_us, is_grid, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY t_us, is_grid, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, t_us AS grid_us,
+       round(CASE
+         WHEN pt IS NULL THEN NULL
+         WHEN pt = t_us THEN pv
+         WHEN nt IS NULL THEN NULL
+         ELSE pv + (nv - pv) * ((t_us - pt) / CAST(nt - pt AS DOUBLE))
+       END, 6) AS interp_value
+FROM e WHERE is_grid = 1
 """,
     }

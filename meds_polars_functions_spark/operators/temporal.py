@@ -364,3 +364,106 @@ def streaks(
         )
         .drop("__g__")
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    step_seconds: int,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Linear interpolation onto a regular time grid (the TimescaleDB
+    ``interpolate`` / pandas ``resample().interpolate()`` primitive,
+    companion to ``resample_last`` and ``locf_impute``).
+
+    Per key, a grid point every ``step_seconds`` spans the key's
+    observed range; each grid value interpolates linearly between the
+    nearest observation at-or-before and at-or-after. Grid points before
+    the first / after the last observation yield NULL.
+
+    Scale design: observations and grid rows UNION into one frame, ONE
+    exchange on ``key_cols``, and both neighbours come from running
+    windows over that frame (``last ignorenulls`` looking back,
+    ``first ignorenulls`` looking forward) — no self-join, no per-grid-
+    point probe, state bounded by the partition sort. The grid itself is
+    generated from a per-key (min, max) aggregate — |keys| small rows
+    exploded map-side, never a driver loop.
+    """
+    keys = list(key_cols)
+    step_us = F.lit(int(step_seconds) * 1_000_000)
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    obs = df.select(
+        *keys,
+        t_us.alias("__t_us__"),
+        F.col(value_col).cast("double").alias("__obs_v__"),
+        F.lit(0).alias("__is_grid__"),
+        *[F.col(c) for c in tie_cols],
+    )
+    spans = df.groupBy(*keys).agg(
+        F.min(t_us).alias("__lo__"), F.max(t_us).alias("__hi__")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                # integer floor-to-step: epoch-µs magnitudes sit near
+                # double's 2^53 edge, so never divide as double here
+                (F.col("__lo__") - F.col("__lo__") % step_us).cast("long"),
+                F.col("__hi__"),
+                step_us,
+            )
+        ).alias("__t_us__"),
+    ).select(
+        *keys,
+        "__t_us__",
+        F.lit(None).cast("double").alias("__obs_v__"),
+        F.lit(1).alias("__is_grid__"),
+        *[F.lit(None).cast(dict(df.dtypes)[c]).alias(c) for c in tie_cols],
+    )
+    unioned = obs.unionByName(grid)
+    # observations sort BEFORE the grid row at the same instant, so an
+    # exact hit interpolates to itself with factor 0
+    order = [F.col("__t_us__"), F.col("__is_grid__")] + [
+        F.col(c) for c in tie_cols
+    ]
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("__is_grid__") == 0, F.col("__t_us__"))
+    enriched = unioned.select(
+        *keys,
+        "__t_us__",
+        "__is_grid__",
+        F.last("__obs_v__", ignorenulls=True).over(w_back).alias("__pv__"),
+        F.last(obs_t, ignorenulls=True).over(w_back).alias("__pt__"),
+        F.first("__obs_v__", ignorenulls=True).over(w_fwd).alias("__nv__"),
+        F.first(obs_t, ignorenulls=True).over(w_fwd).alias("__nt__"),
+    )
+    frac = (F.col("__t_us__") - F.col("__pt__")) / (
+        F.col("__nt__") - F.col("__pt__")
+    )
+    interp = (
+        F.when(F.col("__pt__").isNull(), F.lit(None))
+        # exact hit: an observation sits on this grid instant (it sorts
+        # before the grid row, so the forward window may be empty)
+        .when(F.col("__pt__") == F.col("__t_us__"), F.col("__pv__"))
+        .when(F.col("__nt__").isNull(), F.lit(None))
+        .otherwise(F.col("__pv__") + (F.col("__nv__") - F.col("__pv__")) * frac)
+    )
+    return (
+        enriched.filter(F.col("__is_grid__") == 1)
+        .select(
+            *keys,
+            F.timestamp_micros(F.col("__t_us__")).alias("grid_time"),
+            interp.alias("interp_value"),
+        )
+    )

@@ -249,3 +249,36 @@ def test_streaks_islands(spark):
         for r in streaks(df, ["user_id"], "ts").collect()
     }
     assert got == {(1, 1, 3), (1, 7, 2), (2, 5, 1)}
+
+
+def test_resample_interpolate_linear_and_edges(spark):
+    import datetime as dt
+
+    from meds_polars_functions_spark.operators.temporal import resample_interpolate
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # key 1: obs at 10s->10.0 and 100s->100.0
+        (1, base + dt.timedelta(seconds=10), 10.0, 1),
+        (1, base + dt.timedelta(seconds=100), 100.0, 2),
+        # key 2: single obs exactly on a grid point
+        (2, base + dt.timedelta(seconds=30), 5.0, 3),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = resample_interpolate(
+        df, ["k"], "ts", "v", step_seconds=30, tie_cols=["eid"]
+    )
+    got = {
+        (r["k"], int(r["grid_time"].timestamp()) % 86400): (
+            None if r["interp_value"] is None else round(r["interp_value"], 9)
+        )
+        for r in out.collect()
+    }
+    # key 1 grid: 0s (before first obs -> null), 30,60,90 interpolated
+    assert got[(1, 0)] is None
+    assert got[(1, 30)] == round(10 + 90 * (20 / 90), 9)
+    assert got[(1, 60)] == round(10 + 90 * (50 / 90), 9)
+    assert got[(1, 90)] == round(10 + 90 * (80 / 90), 9)
+    # key 2: exact hit -> its own value, single grid point
+    assert got[(2, 30)] == 5.0
+    assert len([k for k in got if k[0] == 2]) == 1
