@@ -2117,6 +2117,64 @@ def q_interpolate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build (operators/temporal.py scd2_intervals):
+    per customer, collapse the order stream into validity intervals of
+    o_orderpriority — lag change-detect, running version sum, interval
+    agg and lead valid_to, all in ONE exchange on the key."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    out = scd2_intervals(
+        o, ["o_custkey"], "o_orderdate", ["o_orderpriority"],
+        tie_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (functions/diff.py table_diff): classify
+    each orderkey across two simulated versions of orders
+    (old = keys %11≠0; new = keys %13≠0 with prices bumped on %7=0) as
+    added/removed/changed/unchanged — one full-outer hash join, null-
+    safe comparisons in codegen."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_repeat_buyers_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set operators: customers ordering in BOTH 1996 and 1997
+    (INTERSECT) minus any who ordered in 1998 (EXCEPT) — three pruned
+    scans of the same table, distinct-based set ops on a single key."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+
+    def yr(y: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey")
+
+    return yr(1996).intersect(yr(1997)).exceptAll(yr(1998).distinct())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -2229,6 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
         "interpolate_values": q_interpolate_values,
+        "scd2_priority": q_scd2_priority,
+        "snapshot_diff": q_snapshot_diff,
+        "repeat_buyers_setop": q_repeat_buyers_setop,
     }
 
 
@@ -3350,5 +3411,50 @@ SELECT user_id, t_us AS grid_us,
          ELSE pv + (nv - pv) * ((t_us - pt) / CAST(nt - pt AS DOUBLE))
        END, 6) AS interp_value
 FROM e WHERE is_grid = 1
+""",
+        "scd2_priority": """
+WITH marked AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
+                THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+versioned AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS ver
+  FROM marked),
+intervals AS (
+  SELECT o_custkey, ver, o_orderpriority, min(o_orderdate) AS valid_from
+  FROM versioned GROUP BY o_custkey, ver, o_orderpriority)
+SELECT o_custkey, o_orderpriority, epoch_us(valid_from) AS from_us,
+       epoch_us(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver))
+         AS to_us
+FROM intervals
+""",
+        "snapshot_diff": """
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+             AND old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+              THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+""",
+        "repeat_buyers_setop": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
 """,
     }

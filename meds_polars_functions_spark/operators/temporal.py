@@ -467,3 +467,45 @@ def resample_interpolate(
             interp.alias("interp_value"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse a keyed event
+    stream into validity intervals — one row per (key, value-version)
+    with ``valid_from`` / ``valid_to`` (null = still current).
+
+    Consecutive rows with identical ``value_cols`` merge into one
+    interval (null-safe comparison, so null→null is "no change").
+    Everything runs in ONE exchange on ``key_cols``: change detection is
+    a lag window, version ids a running sum, intervals a groupBy on
+    (key, version), and ``valid_to`` a lead window over the per-version
+    frame — the standard warehouse snapshot build with no self-join.
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    order = [F.col(time_col).asc(), *[F.col(c).asc() for c in tie_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in vals:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first_row = F.row_number().over(w) == 1
+    marked = df.withColumn(
+        "__chg__", F.when(first_row, F.lit(1)).otherwise(changed.cast("int"))
+    ).withColumn(
+        "__ver__",
+        F.sum("__chg__").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = marked.groupBy(*keys, "__ver__", *vals).agg(
+        F.min(time_col).alias("valid_from")
+    )
+    w_ver = Window.partitionBy(*keys).orderBy("__ver__")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(w_ver))
+        .drop("__ver__")
+    )

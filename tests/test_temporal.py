@@ -282,3 +282,31 @@ def test_resample_interpolate_linear_and_edges(spark):
     # key 2: exact hit -> its own value, single grid point
     assert got[(2, 30)] == 5.0
     assert len([k for k in got if k[0] == 2]) == 1
+
+
+def test_scd2_intervals_collapse_and_bounds(spark):
+    import datetime as dt
+
+    from meds_polars_functions_spark.operators.temporal import scd2_intervals
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1), "A", 1),
+        (1, d(2024, 1, 2), "A", 2),   # no change -> merges
+        (1, d(2024, 1, 3), "B", 3),   # change
+        (1, d(2024, 1, 4), "A", 4),   # back to A -> NEW interval
+        (2, d(2024, 1, 1), None, 5),
+        (2, d(2024, 1, 2), None, 6),  # null == null -> merges
+        (2, d(2024, 1, 3), "C", 7),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = scd2_intervals(df, ["k"], "ts", ["v"], tie_cols=["eid"])
+    got = {
+        (r["k"], r["v"], r["valid_from"].day,
+         None if r["valid_to"] is None else r["valid_to"].day)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "A", 1, 3), (1, "A", 4, None), (1, "B", 3, 4),
+        (2, None, 1, 3), (2, "C", 3, None),
+    }
