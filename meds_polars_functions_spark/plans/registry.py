@@ -155,6 +155,60 @@ def _tensorization(cfg: dict[str, Any]) -> Stage:
     return Stage("tensorization", fn)
 
 
+def _locf_impute(cfg: dict[str, Any]) -> Stage:
+    from ..operators.temporal import locf_impute
+
+    return Stage(
+        "locf_impute",
+        lambda df: locf_impute(
+            df,
+            cfg.get("key_cols", ["patient_id", "code"]),
+            cfg.get("time_col", "time"),
+            cfg.get("value_col", "numeric_value"),
+            tie_cols=cfg.get("tie_cols"),
+        ),
+    )
+
+
+def _resample_interpolate(cfg: dict[str, Any]) -> Stage:
+    from ..operators.temporal import resample_interpolate
+
+    return Stage(
+        "resample_interpolate",
+        lambda df: resample_interpolate(
+            df,
+            cfg.get("key_cols", ["patient_id", "code"]),
+            cfg.get("time_col", "time"),
+            cfg.get("value_col", "numeric_value"),
+            step_seconds=cfg.get("step_seconds", 86400),
+            tie_cols=cfg.get("tie_cols", ()),
+        ),
+    )
+
+
+def _dedup_keep_first(cfg: dict[str, Any]) -> Stage:
+    from ..functions.expr import keep_first
+
+    def fn(df):
+        subset = cfg.get("subset") or list(df.columns)
+        order_by = cfg.get("order_by") or subset
+        return keep_first(df, subset, order_by)
+
+    return Stage("dedup_keep_first", fn)
+
+
+def _profile(cfg: dict[str, Any]) -> Stage:
+    from ..functions.profile import profile_table
+
+    return Stage(
+        "profile",
+        lambda df: profile_table(
+            df, columns=cfg.get("columns"), approx=cfg.get("approx", False)
+        ),
+        kind="metadata",
+    )
+
+
 STAGE_REGISTRY = {
     "filter_patients": _filter_patients,
     "filter_measurements": _filter_measurements,
@@ -167,6 +221,10 @@ STAGE_REGISTRY = {
     "tokenization_schemas": _tokenization_schemas,
     "tokenization_event_seqs": _tokenization_event_seqs,
     "tensorization": _tensorization,
+    "locf_impute": _locf_impute,
+    "resample_interpolate": _resample_interpolate,
+    "dedup_keep_first": _dedup_keep_first,
+    "profile": _profile,
 }
 
 

@@ -109,3 +109,25 @@ def test_cli_full_pipeline_to_tensors(workdir, spark):
     assert {"patient_id", "time_delta_days", "code", "numeric_value"} <= set(seqs.columns)
     row = seqs.first()
     assert isinstance(row["code"][0], list)  # doubly-nested, normalized codes
+
+
+def test_new_registry_stages_run_in_process(spark, meds_df):
+    from meds_polars_functions_spark.plans.pipeline import Pipeline
+    from meds_polars_functions_spark.plans.registry import build_stages
+
+    cfg = {
+        "stages": ["dedup_keep_first", "locf_impute", "profile"],
+        "stage_configs": {
+            "dedup_keep_first": {
+                "subset": ["patient_id", "time", "code"],
+                "order_by": ["numeric_value"],
+            },
+            "locf_impute": {"tie_cols": ["code"]},
+            "profile": {"columns": ["code", "numeric_value"]},
+        },
+    }
+    data, meta = Pipeline(build_stages(cfg)).run(spark, meds_df)
+    assert data.count() > 0
+    prof = {r["column"]: r for r in meta.collect()}
+    assert set(prof) == {"code", "numeric_value"}
+    assert prof["code"]["n_nulls"] == 0
