@@ -103,6 +103,12 @@ def topk_per_group(
     ≤ k·n_partitions survivors per group. Results are identical to the
     direct window for any data distribution; ``tie_cols`` (ascending)
     make the order total, so ranks are deterministic.
+
+    Regime note (measured, SCALE.md): on local[32] the RAM-speed shuffle
+    makes the direct window FASTER — the Arrow prune pass costs more
+    than the bytes it saves. Reach for this form when the shuffle is
+    network-bound or the group×row volume makes the full exchange the
+    bottleneck; default to the plain window below that.
     """
     sort_cols = [order_col, *tie_cols]
     pandas_asc = [ascending] + [True] * len(tie_cols)

@@ -34,6 +34,17 @@ STRESS_QUERIES = [
     "text_quality",
     "minhash_near_dup",
     "pack_sequences",
+    # scale-path additions (round-1 late): map-side top-k prune vs the
+    # direct window above it, bitmap exact distinct, gaps-and-islands,
+    # grid interpolation, SCD2 build, CDC diff, deletion-neighborhood
+    # fuzzy join
+    "topk_pruned",
+    "bitmap_distinct_users",
+    "user_streaks",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "fuzzy_name_pairs",
 ]
 
 # Key DOMAINS: every column in a domain (primary key + the foreign keys
