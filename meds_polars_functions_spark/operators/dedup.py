@@ -865,18 +865,63 @@ def fuzzy_pairs_ed1(
     buckets exactly like the LSH families above.
 
     Returns (id_a, id_b, dist) with id_a < id_b.
+
+    Exact duplicates are collapsed FIRST: the neighborhood explode, the
+    bucket join and every levenshtein run on DISTINCT strings only, and
+    id pairs re-expand from the per-string id groups afterwards. With
+    duplication factor d this cuts candidate work by d² (the 16×-copy
+    stress run's quadratic blow-up disappears); the re-expansion is
+    output-bounded, which no exact algorithm can avoid.
     """
-    variants = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_deletion_variants(text_col)).alias("__var__"),
+    groups = df.groupBy(F.col(text_col).alias("__txt__")).agg(
+        F.array_sort(F.collect_set(id_col)).alias("__ids__")
+    )
+    # (a) distance-0 pairs: all id pairs within one string's group
+    dup_pairs = (
+        groups.filter(F.size("__ids__") > 1)
+        .select(F.posexplode("__ids__").alias("__i__", "id_a"), "__ids__")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("__ids__"), F.col("__i__") + 2, F.size("__ids__"))
+            ).alias("id_b"),
+        )
+        .withColumn("dist", F.lit(0))
+    )
+    # (b) distance-1 pairs: neighborhood join over DISTINCT strings,
+    # min id of each group standing in as the representative id
+    reps = groups.select(
+        F.element_at("__ids__", 1).alias("id"), "__txt__", "__ids__"
+    )
+    variants = reps.select(
+        "id", F.explode(_deletion_variants("__txt__")).alias("__var__")
     )
     cands = _bucket_pairs(variants, ["__var__"], max_bucket_size)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta__"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb__"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+    ra = reps.select(
+        F.col("id").alias("id_a"),
+        F.col("__txt__").alias("__ta__"),
+        F.col("__ids__").alias("__arr_a__"),
+    )
+    rb = reps.select(
+        F.col("id").alias("id_b"),
+        F.col("__txt__").alias("__tb__"),
+        F.col("__ids__").alias("__arr_b__"),
+    )
+    cross_pairs = (
+        cands.join(ra, "id_a")
+        .join(rb, "id_b")
         .withColumn("dist", F.levenshtein("__ta__", "__tb__"))
         .filter(F.col("dist") <= 1)
-        .select("id_a", "id_b", "dist")
+        .select(
+            F.explode("__arr_a__").alias("__x__"), "__arr_b__", "dist"
+        )
+        .select(
+            "__x__", F.explode("__arr_b__").alias("__y__"), "dist"
+        )
+        .select(
+            F.least("__x__", "__y__").alias("id_a"),
+            F.greatest("__x__", "__y__").alias("id_b"),
+            "dist",
+        )
     )
+    return dup_pairs.unionByName(cross_pairs)
