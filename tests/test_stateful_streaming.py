@@ -128,3 +128,39 @@ def test_dedup_within_watermark_drops_cross_batch_dupes(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_static_broadcast_enrich(spark):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension joins per micro-batch with the dim broadcast — the
+    streaming form of the engine's broadcast-dimension invariant."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="ss_enrich_")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 10, 1), 9, "view", 5.0, None),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    dim = spark.createDataFrame([(7, "gold"), (9, "basic")], ["user_id", "tier"])
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        schema = spark.read.parquet(os.path.join(d, "f1")).schema
+        stream = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+        from pyspark.sql import functions as F
+
+        q = (
+            stream.join(F.broadcast(dim), "user_id")
+            .writeStream.format("memory")
+            .queryName("ss_enrich_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {(r["event_id"], r["tier"]) for r in spark.table("ss_enrich_out").collect()}
+        assert got == {(1, "gold"), (2, "basic")}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
