@@ -2175,6 +2175,51 @@ def q_repeat_buyers_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yr(1996).intersect(yr(1997)).exceptAll(yr(1998).distinct())
 
 
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers providing more than a fifth of a part's
+    total volume — the correlated `> 0.2 * (SELECT sum ...)` decorrelated
+    into a per-part aggregate joined back on partkey (broadcast of the
+    compact per-part frame is left to AQE; both aggs share one lineitem
+    scan pass each). Integral quantities keep the boundary deterministic."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > 0.2 * F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+    )
+
+
+def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware trailing window: revenue in the trailing 7
+    CALENDAR days per order day via a RANGE frame over integer day
+    numbers — unlike the ROWS frame in moving_avg_revenue, missing days
+    shrink the frame instead of silently stretching it. Integer-cents
+    accumulation keeps sums bit-exact cross-engine."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(
+        (F.unix_micros(F.date_trunc("day", "o_orderdate").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("day_num")
+    ).agg(F.sum(cents).alias("__cents__"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        F.round(F.col("__cents__") / 100.0, 6).alias("revenue"),
+        F.round(F.sum("__cents__").over(w) / 100.0, 6).alias("trailing7"),
+        F.count(F.lit(1)).over(w).alias("days_in_frame"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_code_metadata": q_agg_code_metadata,
@@ -2290,6 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_priority": q_scd2_priority,
         "snapshot_diff": q_snapshot_diff,
         "repeat_buyers_setop": q_repeat_buyers_setop,
+        "dominant_suppliers": q_dominant_suppliers,
+        "trailing_range_revenue": q_trailing_range_revenue,
     }
 
 
@@ -3456,5 +3503,29 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+        "dominant_suppliers": """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem GROUP BY 1, 2),
+per_part AS (
+  SELECT l_partkey, sum(l_quantity) AS part_qty
+  FROM lineitem GROUP BY 1)
+SELECT s_suppkey, s_name, count(*) AS n_parts_dominated
+FROM per_ps
+JOIN per_part USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_qty > 0.2 * part_qty
+GROUP BY s_suppkey, s_name
+""",
+        "trailing_range_revenue": """
+SELECT day_num, round(cents / 100.0, 6) AS revenue,
+       round(sum(cents) OVER w / 100.0, 6) AS trailing7,
+       count(*) OVER w AS days_in_frame
+FROM (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) // 86400000000
+               AS BIGINT) AS day_num,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1)
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
     }
