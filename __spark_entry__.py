@@ -39,12 +39,23 @@ def _prep(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalizing time columns by DTYPE, not conf:
+    the same parquet arrives as BIGINT (nanosAsLong before resolution),
+    TIMESTAMP_NTZ (resolution before the conf landed), or TIMESTAMP
+    depending on driver-session conf ordering. All three are mapped to a
+    session-zone TIMESTAMP so downstream epoch arithmetic
+    (cast-to-double / unix_micros) is always legal — Spark forbids both on
+    TIMESTAMP_NTZ."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long -> µs-precision timestamp (truncation, same as the
         # DuckDB ns->µs conversion)
         # integer division — double division loses precision above 2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            # Value-preserving relabel under the pinned UTC session zone.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -2222,60 +2233,17 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "agg_code_metadata": q_agg_code_metadata,
-        "agg_all_codes": q_agg_all_codes,
-        "filter_patients_min_measurements": q_filter_patients_min_measurements,
-        "filter_patients_min_events": q_filter_patients_min_events,
-        "filter_measurements": q_filter_measurements,
-        "fit_vocabulary_indices": q_fit_vocabulary_indices,
-        "normalization": q_normalization,
-        "occlude_outliers": q_occlude_outliers,
         "add_age": q_add_age,
-        "add_time_of_day": q_add_time_of_day,
         "time_delta_days": q_time_delta_days,
-        "canonical_sort_rank": q_canonical_sort_rank,
-        "dedup_keep_first": q_dedup_keep_first,
-        "union_by_name": q_union_by_name,
+        "datetime_parts": q_datetime_parts,
         "tokenize_schema": q_tokenize_schema,
         "tokenize_event_seqs": q_tokenize_event_seqs,
-        "patient_id_harvest": q_patient_id_harvest,
-        "dup_code_check": q_dup_code_check,
-        "metadata_merge_agg": q_metadata_merge_agg,
-        "metadata_enrich_full_outer": q_metadata_enrich_full_outer,
-        "code_construction": q_code_construction,
-        "time_parse": q_time_parse,
-        "typed_coercion": q_typed_coercion,
-        "regex_filter": q_regex_filter,
-        "datetime_parts": q_datetime_parts,
-        "integral_values": q_integral_values,
-        "fill_to_nans": q_fill_to_nans,
-        "patient_split_filter": q_patient_split_filter,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "hourly_event_counts": q_hourly_event_counts,
         "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
         "corpus_curation": q_corpus_curation,
-        "hash_split": q_hash_split,
-        "code_patients_hll": q_code_patients_hll,
-        "funnel_conversion": q_funnel_conversion,
-        "retention_cohort": q_retention_cohort,
-        "orders_histogram": q_orders_histogram,
-        "json_props_stats": q_json_props_stats,
-        "value_percentiles": q_value_percentiles,
-        "cube_revenue": q_cube_revenue,
-        "pivot_status": q_pivot_status,
-        "sessionize": q_sessionize,
-        "reorder_rank": q_reorder_rank,
-        "event_user_enrich": q_event_user_enrich,
-        "distinct_twophase": q_distinct_twophase,
-        "order_restore": q_order_restore,
-        "embedding_topk_vectorized": q_embedding_topk_vectorized,
+        "patient_split_filter": q_patient_split_filter,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "sliding_window_counts": q_sliding_window_counts,
         "language_id": q_language_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2291,28 +2259,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "shipping_priority": q_shipping_priority,
-        "forecast_revenue": q_forecast_revenue,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
         "unigram_entropy": q_unigram_entropy,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "sliding_window_counts": q_sliding_window_counts,
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_events": q_range_join_events,
         "bloom_semi_filter": q_bloom_semi_filter,
-        "local_supplier_volume": q_local_supplier_volume,
-        "volume_shipping": q_volume_shipping,
-        "promo_revenue": q_promo_revenue,
         "locf_impute": q_locf_impute,
         "stream_interval_join": q_stream_interval_join,
         "resample_last": q_resample_last,
         "topk_pruned": q_topk_pruned,
+        "trailing_range_revenue": q_trailing_range_revenue,
+        "dominant_suppliers": q_dominant_suppliers,
+        "shipping_priority": q_shipping_priority,
+        "forecast_revenue": q_forecast_revenue,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "promo_revenue": q_promo_revenue,
+        "ship_priority_mix": q_ship_priority_mix,
+        "profile_events": q_profile_events,
+        "heavy_hitters": q_heavy_hitters,
+        "pagerank_trade": q_pagerank_trade,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "late_order_priority": q_late_order_priority,
         "returned_item_revenue": q_returned_item_revenue,
-        "ship_priority_mix": q_ship_priority_mix,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "large_volume_customers": q_large_volume_customers,
@@ -2326,17 +2301,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct_users": q_bitmap_distinct_users,
         "argmax_customer": q_argmax_customer,
         "group_median": q_group_median,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "grouping_sets_revenue": q_grouping_sets_revenue,
-        "profile_events": q_profile_events,
-        "heavy_hitters": q_heavy_hitters,
-        "pagerank_trade": q_pagerank_trade,
         "interpolate_values": q_interpolate_values,
         "scd2_priority": q_scd2_priority,
         "snapshot_diff": q_snapshot_diff,
         "repeat_buyers_setop": q_repeat_buyers_setop,
-        "dominant_suppliers": q_dominant_suppliers,
-        "trailing_range_revenue": q_trailing_range_revenue,
+        "agg_code_metadata": q_agg_code_metadata,
+        "agg_all_codes": q_agg_all_codes,
+        "filter_patients_min_measurements": q_filter_patients_min_measurements,
+        "filter_patients_min_events": q_filter_patients_min_events,
+        "filter_measurements": q_filter_measurements,
+        "fit_vocabulary_indices": q_fit_vocabulary_indices,
+        "normalization": q_normalization,
+        "occlude_outliers": q_occlude_outliers,
+        "add_time_of_day": q_add_time_of_day,
+        "canonical_sort_rank": q_canonical_sort_rank,
+        "dedup_keep_first": q_dedup_keep_first,
+        "union_by_name": q_union_by_name,
+        "patient_id_harvest": q_patient_id_harvest,
+        "dup_code_check": q_dup_code_check,
+        "metadata_merge_agg": q_metadata_merge_agg,
+        "metadata_enrich_full_outer": q_metadata_enrich_full_outer,
+        "code_construction": q_code_construction,
+        "time_parse": q_time_parse,
+        "typed_coercion": q_typed_coercion,
+        "regex_filter": q_regex_filter,
+        "integral_values": q_integral_values,
+        "fill_to_nans": q_fill_to_nans,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "hourly_event_counts": q_hourly_event_counts,
+        "mixture_sample": q_mixture_sample,
+        "hash_split": q_hash_split,
+        "code_patients_hll": q_code_patients_hll,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohort": q_retention_cohort,
+        "orders_histogram": q_orders_histogram,
+        "json_props_stats": q_json_props_stats,
+        "value_percentiles": q_value_percentiles,
+        "cube_revenue": q_cube_revenue,
+        "pivot_status": q_pivot_status,
+        "sessionize": q_sessionize,
+        "reorder_rank": q_reorder_rank,
+        "event_user_enrich": q_event_user_enrich,
+        "distinct_twophase": q_distinct_twophase,
+        "order_restore": q_order_restore,
+        "embedding_topk_vectorized": q_embedding_topk_vectorized,
     }
 
 
@@ -2645,7 +2656,7 @@ b AS (
     CAST(floor((sum(n) OVER (PARTITION BY shard ORDER BY doc_id
         ROWS UNBOUNDED PRECEDING) - n) / 2048.0) AS BIGINT) AS bin,
     n FROM t)
-SELECT shard, bin, count(*) AS n_docs, sum(n) AS token_sum,
+SELECT shard, bin, count(*) AS n_docs, sum(n)::BIGINT AS token_sum,
   round(sum(n) / 2048.0, 6) AS fill_ratio
 FROM b GROUP BY 1, 2
 """,
@@ -2684,7 +2695,7 @@ spl AS (
   FROM (SELECT doc_id, text,
     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS b
     FROM base))
-SELECT split, count(*) AS n_docs, sum(n) AS token_sum FROM spl GROUP BY 1
+SELECT split, count(*) AS n_docs, sum(n)::BIGINT AS token_sum FROM spl GROUP BY 1
 """,
         "hash_split": """
 WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -3241,9 +3252,9 @@ WHERE rk <= 20
 """,
         "ship_priority_mix": """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
          AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
@@ -3392,26 +3403,26 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
         "profile_events": """
 SELECT 'event_id' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT event_id) AS n_distinct,
        CAST(min(event_id) AS VARCHAR) AS min_repr,
        CAST(max(event_id) AS VARCHAR) AS max_repr
 FROM events
 UNION ALL
 SELECT 'user_id', count(*),
-       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT user_id),
        CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
 FROM events
 UNION ALL
 SELECT 'event_type', count(*),
-       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT event_type),
        CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
 FROM events
 UNION ALL
 SELECT 'value', count(*),
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT value),
        CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
 FROM events

@@ -142,6 +142,39 @@ def fill_to_nans(col: str | Column, fill: Column | None = None) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# P12/P13 support: dtype-robust epoch arithmetic.
+#
+# Parquet timestamps arrive as TIMESTAMP, TIMESTAMP_NTZ, or (under
+# spark.sql.legacy.parquet.nanosAsLong) BIGINT depending on writer metadata
+# and session conf ordering. Spark forbids TIMESTAMP_NTZ -> numeric casts
+# ([DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION]) and unix_micros(NTZ), so all
+# time arithmetic in this engine funnels through these helpers: NTZ ->
+# TIMESTAMP is a legal, value-preserving relabel under the pinned UTC
+# session zone (session.py), after which numeric casts are allowed.
+# ---------------------------------------------------------------------------
+
+
+def as_timestamp(col: str | Column) -> Column:
+    """Coerce a time-like column (TIMESTAMP_NTZ / string / date) to a
+    session-zone TIMESTAMP. Value-preserving under UTC session zone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp")
+
+
+def epoch_seconds(col: str | Column) -> Column:
+    """Seconds since epoch as DOUBLE, µs-fraction precision — the safe
+    spelling of the reference's ``dt.total_microseconds()/1e6`` pattern."""
+    return as_timestamp(col).cast("double")
+
+
+def epoch_micros(col: str | Column) -> Column:
+    """Microseconds since epoch as BIGINT (exact; preferred for joins,
+    bucketing, and range predicates where double rounding above 2^53 µs
+    would corrupt keys)."""
+    return F.unix_micros(as_timestamp(col))
+
+
+# ---------------------------------------------------------------------------
 # P13: time-unit normalization (reference add_time_derived_measurements.py:105-169)
 # ---------------------------------------------------------------------------
 

@@ -15,7 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.expr import normalize_time_unit
+from ..functions.expr import epoch_seconds, normalize_time_unit
 
 MICROSECONDS = {
     "seconds": 1e6,
@@ -38,10 +38,9 @@ def age_events(
     _, seconds_in_unit = normalize_time_unit(age_unit)
     w = Window.partitionBy("patient_id")
     dob = F.min(F.when(F.col("code") == dob_code, F.col("time"))).over(w)
-    # µs-precision difference, matching dt.total_microseconds()/µs_in_unit
-    age = (
-        F.col("time").cast("double") - dob.cast("double")
-    ) / F.lit(seconds_in_unit)
+    # µs-precision difference, matching dt.total_microseconds()/µs_in_unit;
+    # epoch_seconds is NTZ-safe (expr.py): direct NTZ->DOUBLE casts are illegal
+    age = (epoch_seconds(F.col("time")) - epoch_seconds(dob)) / F.lit(seconds_in_unit)
     out = (
         df.withColumn("numeric_value", age)
         .filter(F.col("numeric_value").isNotNull() & (F.col("numeric_value") > 0))

@@ -621,6 +621,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, cluster_id)
     with cluster_id = min id reachable in the pair graph.
@@ -632,6 +633,19 @@ def connected_components(
     (node, long) — tiny relative to the corpus. This is the standard
     final step of a dedup pipeline: pick min-id per cluster as canonical,
     drop the rest.
+
+    Lineage discipline (same as pagerank, graph.py): every
+    ``checkpoint_every`` rounds the label table is
+    ``localCheckpoint(eager=True)``'d, so plan depth stays O(1) per round
+    instead of growing by two joins per iteration — without the cut, a
+    deep-diameter graph at 100 TB re-analyzes an ever-growing tree and
+    eventually stalls the driver. For corpora whose dup graph has genuinely
+    long chains (boilerplate threads), the upgrade path is the
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond"), which converges in O(log n) rounds
+    independent of diameter; min-label is kept here because dup clusters
+    are near-cliques from banding, so diameter is small and each round is
+    one cheap shuffle.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -648,7 +662,7 @@ def connected_components(
         .persist()
     )
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -662,8 +676,11 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
         )
+        if (it + 1) % checkpoint_every == 0:
+            # cut lineage so plan depth is bounded regardless of diameter
+            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expr import epoch_micros
+
 __all__ = [
     "asof_join",
     "range_join",
@@ -62,7 +64,7 @@ def resample_last(
     Pair with ``locf_impute`` afterwards to fill empty buckets
     carried-forward style.
     """
-    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(every_us))
+    bucket = F.floor(epoch_micros(F.col(time_col)) / F.lit(every_us))
     out = df.withColumn("__bucket__", bucket)
     w = Window.partitionBy(*key_cols, "__bucket__").orderBy(
         F.col(time_col).desc(),
@@ -195,7 +197,7 @@ def asof_join(
     out = unioned.withColumn("__match__", matched).filter(F.col("__side__") == 1)
     if tolerance_us is not None:
         delta = F.abs(
-            F.unix_micros(F.col("__match__.__t__")) - F.unix_micros(F.col(left_time))
+            epoch_micros(F.col("__match__.__t__")) - epoch_micros(F.col(left_time))
         )
         out = out.withColumn(
             "__match__", F.when(delta <= F.lit(tolerance_us), F.col("__match__"))
@@ -230,8 +232,8 @@ def range_join(
     if upper_us < lower_us:
         raise ValueError("upper_us must be >= lower_us")
     span = max(upper_us - lower_us, 1)
-    lt = F.unix_micros(F.col(left_time))
-    rt = F.unix_micros(F.col(right_time))
+    lt = epoch_micros(F.col(left_time))
+    rt = epoch_micros(F.col(right_time))
 
     lhs = left.withColumn(
         "__bucket__",
@@ -244,9 +246,9 @@ def range_join(
     )
     rename = {c: f"{c}{suffix}" for c in right.columns if c not in on}
     rhs = right.withColumnsRenamed(rename).withColumn(
-        "__bucket__", F.floor(F.unix_micros(F.col(f"{right_time}{suffix}")) / F.lit(span))
+        "__bucket__", F.floor(epoch_micros(F.col(f"{right_time}{suffix}")) / F.lit(span))
     )
-    delta = F.unix_micros(F.col(f"{right_time}{suffix}")) - F.unix_micros(F.col(left_time))
+    delta = epoch_micros(F.col(f"{right_time}{suffix}")) - epoch_micros(F.col(left_time))
     return (
         lhs.join(rhs, on=[*on, "__bucket__"], how="inner")
         .filter((delta >= F.lit(lower_us)) & (delta <= F.lit(upper_us)))

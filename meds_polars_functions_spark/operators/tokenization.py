@@ -107,7 +107,10 @@ def extract_seq_of_patient_events(
             F.collect_list(F.struct("time", "__codes__", "__vals__"))
         ).alias("__events__")
     )
-    ts = lambda s: s["time"].cast("double")  # noqa: E731
+    # NTZ-safe epoch seconds (expr.epoch_seconds inlined for the lambda over
+    # struct fields): TIMESTAMP_NTZ -> TIMESTAMP is a legal relabel under the
+    # pinned UTC zone; NTZ -> DOUBLE directly is not.
+    ts = lambda s: s["time"].cast("timestamp").cast("double")  # noqa: E731
     return collected.select(
         "patient_id",
         F.transform(

@@ -56,6 +56,39 @@ def read_table(
     return df
 
 
+def normalize_time_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Make timestamp-like columns session-zone TIMESTAMPs, whatever the
+    parquet writer produced.
+
+    Three arrival shapes exist for the same physical column (SURVEY §1.3;
+    reference extract/__init__.py:16-21 pins naive µs timestamps):
+
+    - ``TIMESTAMP``: already canonical — untouched.
+    - ``TIMESTAMP_NTZ`` (parquet ``isAdjustedToUTC=false``): relabeled via a
+      value-preserving NTZ->TIMESTAMP cast under the pinned UTC session zone.
+      Spark forbids NTZ->numeric casts and ``unix_micros(NTZ)``, so leaving
+      NTZ in the plan poisons all downstream epoch arithmetic.
+    - ``BIGINT`` (``spark.sql.legacy.parquet.nanosAsLong`` with TIMESTAMP(NANOS)
+      files): nanoseconds -> µs-precision timestamp via integer division
+      (double division loses precision above 2^53 ns).
+
+    ``columns=None`` scans every column; dtype dispatch (not conf state)
+    decides the conversion, so the result is independent of when session
+    confs landed relative to relation resolution.
+    """
+    targets = columns or [c for c, _ in df.dtypes]
+    dtypes = dict(df.dtypes)
+    for c in targets:
+        dt = dtypes.get(c)
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dt == "bigint" and columns is not None:
+            # Only convert BIGINT when the caller names the column — a bare
+            # integer column is not inherently a timestamp.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def with_row_index(
     df: DataFrame, name: str = "__row_idx__", order_by: list[str] | None = None
 ) -> DataFrame:

@@ -42,6 +42,23 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
 
 
+def test_connected_components_chain_bounded_plan(spark):
+    # 17-node chain: diameter 16 forces many label-propagation rounds.
+    # With checkpoint_every=2 the plan must stay bounded — lineage is cut
+    # every other round — while still converging to one component.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 17)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs, max_iterations=25, checkpoint_every=2)
+    out = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert out == {i: 1 for i in range(1, 18)}
+    # Plan-depth bound: after the final checkpoint at most checkpoint_every
+    # rounds of joins sit on top of a LogicalRDD scan, so the analyzed plan
+    # stays small no matter how many rounds ran before it.
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    assert len(plan.splitlines()) < 60, f"unbounded lineage: {len(plan.splitlines())} lines"
+
+
 def test_hamming_and_simhash_banding(spark):
     from meds_polars_functions_spark.operators.dedup import (
         hamming_distance,

@@ -114,12 +114,14 @@ def test_asof_preserves_left_rowcount_and_columns(sides):
 
 
 def test_range_join_matches_naive_inequality_join(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "user_id", "ts")
-    )
+    # Dtype-dispatched normalization (readers.normalize_time_columns):
+    # depending on when nanosAsLong lands relative to relation resolution,
+    # ts arrives as BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP.
+    from meds_polars_functions_spark.sources.readers import normalize_time_columns
+
+    ev = normalize_time_columns(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), ["ts"]
+    ).select("event_id", "user_id", "ts")
     a = ev.withColumnRenamed("event_id", "a_id")
     b = ev.withColumnRenamed("event_id", "b_id")
     lo, hi = 1, 7_200_000_000  # (0, 2h] — excludes self-pairs
