@@ -1071,14 +1071,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard (no SQL oracle —
-    the banding uses xxhash64; correctness is cross-checked by
-    q_ngram_jaccard which bounds it from above)."""
+    """MinHash-LSH candidates verified by exact Jaccard, portable mode:
+    shingles hashed with the 60-bit md5 prefix (mod P) so DuckDB can
+    replay signatures, banding (by exact band slice), and verification
+    bit-for-bit — see _minhash_oracle_sql()."""
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    out = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5, portable=True)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1097,25 +1098,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash identical-signature buckets (no SQL oracle: xxhash64)."""
+    """SimHash identical-signature buckets, portable 60-bit md5-prefix word
+    hash so DuckDB can reproduce the signature bit-for-bit (dedup.simhash
+    portable mode)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import simhash_dup_buckets
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dup_buckets(docs, "text", "doc_id")
+    return simhash_dup_buckets(docs, "text", "doc_id", bits=60, portable=True)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded simhash near-dup pairs within Hamming distance 3 — the
-    classic 4×16-bit-chunk index (no SQL oracle: xxhash64; banding is
-    pigeonhole-exact and the verification is an exact Hamming count,
-    unit-tested). Wider tolerances shrink the chunks and blow up the
-    candidate buckets — keep max_hamming small."""
+    """Banded simhash near-dup pairs within Hamming distance 3 — a
+    4×15-bit-chunk pigeonhole index over the portable 60-bit signature.
+    Banding is lossless pruning (any pair at distance ≤3 agrees on ≥1
+    chunk) and candidates are verified by exact Hamming count, so the
+    output equals brute-force all-pairs filtering — which is exactly what
+    the DuckDB oracle computes via bit_count(xor(sig_a, sig_b))."""
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bits=60, portable=True
+    )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,7 +1269,8 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blobs -> Arrow-batched feature UDF
-    (deterministic fake decoder; no SQL oracle — mapInPandas)."""
+    (deterministic fake decoder, oracled in SQL: the fake byte-histogram
+    is pure arithmetic over UTF-8 bytes, and the corpus is ASCII)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.multimodal import extract_image_features
 
@@ -1271,8 +1278,13 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("image")
     )
     out = extract_image_features(docs, blob_col="image", id_col="doc_id")
+    # float32 feature -> exact double -> round: the oracle replays the same
+    # quantization chain as ( ... )::FLOAT::DOUBLE, so values are bit-equal
     return out.select(
-        "doc_id", F.transform("features", lambda x: F.round(x, 4)).alias("features")
+        "doc_id",
+        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
+            "features"
+        ),
     )
 
 
@@ -1364,7 +1376,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-path multimodal plumbing: typed metadata struct filtered
     map-side WITHOUT touching blobs, frame-sampling plan as a native
     sequence, Arrow-batched feature extraction over the binary column
-    (deterministic fake decoder; no SQL oracle — mapInPandas)."""
+    (deterministic fake decoder, SQL-oracled like image_features)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.multimodal import (
         extract_image_features,
@@ -1390,7 +1402,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(frames, "doc_id").select(
         "doc_id",
         "n_sampled",
-        F.transform("features", lambda x: F.round(x, 4)).alias("features"),
+        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
+            "features"
+        ),
     )
 
 
@@ -2082,8 +2096,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the supplier→customer trade
     graph (edges = distinct lineitem⋈orders pairs; customer ids offset
-    so the two key spaces stay disjoint). Iterative — no SQL oracle; the
-    numpy power-iteration equivalence lives in tests/test_graph.py."""
+    so the two key spaces stay disjoint). Iterative; the oracle unrolls
+    the 5 power iterations into chained CTEs (_pagerank_oracle_sql), and
+    the numpy equivalence lives in tests/test_graph.py."""
     _prep(spark)
     from meds_polars_functions_spark.operators.graph import pagerank
 
@@ -2349,6 +2364,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_restore": q_order_restore,
         "embedding_topk_vectorized": q_embedding_topk_vectorized,
     }
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of q_minhash_near_dup (portable mode): same seeded
+    universal-hash coefficients (inlined as literals), same md5-60bit
+    shingle hash, band equality on the raw 4-long signature slice (the
+    Spark side buckets by crc32 of the slice — a pure bucket-key choice
+    that cannot change the verified output short of a 2^-32 collision),
+    then exact Jaccard over the hashed shingle sets."""
+    from meds_polars_functions_spark.operators.dedup import _hash_params
+
+    params = _hash_params(64, 42)
+    a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(range(1, len(words) - 1), i ->
+        array_to_string(list_slice(words, i, i + 2), ' ')))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+hs AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647) AS h
+  FROM sh),
+sig AS (
+  SELECT doc_id, h,
+    list_transform(range(1, 65), j ->
+      list_min(list_transform(h, x -> ({a_lit}[j] * x + {b_lit}[j]) % 2147483647))) AS sig
+  FROM hs),
+bands AS (
+  SELECT doc_id, band_idx, list_slice(sig, band_idx*4+1, band_idx*4+4) AS band
+  FROM sig, UNNEST(range(0, 16)) AS t(band_idx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT id_a, id_b,
+    len(list_distinct(list_intersect(ha.h, hb.h)))::DOUBLE
+      / len(list_distinct(list_concat(ha.h, hb.h))) AS jaccard
+  FROM cand JOIN hs ha ON cand.id_a = ha.doc_id
+            JOIN hs hb ON cand.id_b = hb.doc_id)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """DuckDB replay of q_pagerank_trade: the fixed-length power iteration
+    unrolls into one chained CTE per round — same dangling-mass
+    redistribution and damping as operators/graph.py. Float-sum order
+    differs between engines only below 1e-15 relative, far inside the
+    round(9) output quantum."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, o_custkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f""",
+r{k} AS (
+  SELECT n2.node,
+    {1.0 - damping} / (SELECT n FROM p)
+      + {damping} * (coalesce(m.mass, 0)
+                     + (SELECT coalesce(sum(r.rank), 0) FROM r{k - 1} r
+                        LEFT JOIN deg ON r.node = deg.node
+                        WHERE deg.out_deg IS NULL) / (SELECT n FROM p)) AS rank
+  FROM nodes n2
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.out_deg) AS mass
+             FROM r{k - 1} r JOIN deg ON r.node = deg.node
+                             JOIN e ON e.src = r.node
+             GROUP BY e.dst) m ON n2.node = m.node)""")
+    return head + "".join(steps) + f"""
+SELECT node, round(rank, 9) AS rank FROM r{n_iter}
+"""
+
+
+def _pagerank_oracle_sql_entry() -> str:
+    return _pagerank_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2943,6 +3046,81 @@ SELECT doc_id,
         (acc, c) -> (acc * 131 + c) % 2147483647))),
     (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
 FROM w
+""",
+        "minhash_near_dup": _minhash_oracle_sql(),
+        "pagerank_trade": _pagerank_oracle_sql(),
+        "image_features": """
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN []
+         ELSE list_transform(string_split(text, ''), ch -> unicode(ch)::BIGINT)
+    END AS bytes
+  FROM documents)
+SELECT doc_id,
+  list_transform(range(0, 8), k ->
+    round((coalesce(list_sum(list_transform(range(1, len(bytes) + 1), i ->
+        CASE WHEN (i - 1) % 8 = k THEN bytes[i] ELSE 0 END)), 0)::DOUBLE
+      / greatest(1, len(bytes)))::FLOAT::DOUBLE, 4)) AS features
+FROM c
+""",
+        "audio_features": """
+WITH kept AS (
+  SELECT doc_id, text, (length(text)::BIGINT * 16) AS n_samples
+  FROM documents WHERE length(text) * 16 >= 8000),
+fr AS (
+  SELECT doc_id, text,
+    ((((n_samples // 160) - 1) // 30) + 1)::INT AS n_sampled
+  FROM kept),
+c AS (
+  SELECT doc_id, n_sampled,
+    CASE WHEN length(text) = 0 THEN []
+         ELSE list_transform(string_split(text, ''), ch -> unicode(ch)::BIGINT)
+    END AS bytes
+  FROM fr)
+SELECT doc_id, n_sampled,
+  list_transform(range(0, 8), k ->
+    round((coalesce(list_sum(list_transform(range(1, len(bytes) + 1), i ->
+        CASE WHEN (i - 1) % 8 = k THEN bytes[i] ELSE 0 END)), 0)::DOUBLE
+      / greatest(1, len(bytes)))::FLOAT::DOUBLE, 4)) AS features
+FROM c
+""",
+        "simhash_buckets": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(words, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM w),
+sig AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, 60), i ->
+      CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+           THEN '1' ELSE '0' END), '') AS simhash
+  FROM h)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM sig GROUP BY simhash HAVING count(*) > 1
+""",
+        "simhash_near_dup": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(words, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM w),
+sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 60), i ->
+      CASE WHEN 2 * len(list_filter(hs, v -> ((v >> i) & 1) = 1)) > len(hs)
+           THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS s
+  FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
         "exact_dup_groups": """
 WITH docs AS (

@@ -195,6 +195,7 @@ def _band_hash_udf(
     seed: int,
     banned: frozenset[int] = frozenset(),
     with_shingles: bool = False,
+    portable: bool = False,
 ):
     """Arrow-batched pandas UDF: text -> array<long> of LSH band hashes,
     or (with_shingles) -> struct<bands: array<long>, sh: array<long>>
@@ -215,6 +216,23 @@ def _band_hash_udf(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if portable:
+        # Engine-portable shingle hash: 60-bit md5 prefix mod P, exactly
+        # reproducible in SQL as ('0x'||substr(md5(s),1,15))::BIGINT % P.
+        # ~3× slower than crc32 per shingle — verification mode, not the
+        # production default. Band bucketing stays crc32 (bucket key choice
+        # is invisible in the verified output). NOTE: incompatible with the
+        # `banned` set, which lives in crc32 hash space.
+        from hashlib import md5 as _md5
+
+        def shingle_hash(s: str) -> int:
+            return int(_md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE_P
+
+    else:
+
+        def shingle_hash(s: str) -> int:
+            return crc32(s.encode()) % _MERSENNE_P
+
     r = num_hashes // bands
     params = _hash_params(num_hashes, seed)
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
@@ -233,7 +251,7 @@ def _band_hash_udf(
             else:
                 shingles = {" ".join(words)}
             h = np.fromiter(
-                (crc32(s.encode()) % _MERSENNE_P for s in shingles),
+                (shingle_hash(s) for s in shingles),
                 dtype=np.int64,
                 count=len(shingles),
             )
@@ -388,6 +406,7 @@ def minhash_dedup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     max_shingle_doc_ratio: float | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     Jaccard >= threshold. Output: (id_a, id_b, jaccard).
@@ -421,8 +440,14 @@ def minhash_dedup_pairs(
     # ReusedExchange this whole plan shape is built around. Verified in
     # the executed plan: with the marking, ONE ArrowEvalPython stage and
     # TWO ReusedExchange nodes.
+    if portable and banned:
+        raise ValueError(
+            "portable mode is incompatible with max_shingle_doc_ratio: the "
+            "banned set lives in crc32 hash space"
+        )
     udf = _band_hash_udf(
-        shingle_n, num_hashes, bands, seed, banned, with_shingles=True
+        shingle_n, num_hashes, bands, seed, banned, with_shingles=True,
+        portable=portable,
     ).asNondeterministic()
     sigs = (
         _spread(df, None)
@@ -490,19 +515,33 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text_col: str, bits: int = 64) -> F.Column:
+def simhash(text_col: str, bits: int = 64, portable: bool = False) -> F.Column:
     """Native simhash as a bit-string signature: per-word xxhash64; bit i
     is '1' iff the sum over words of (±1 per hash-bit i) is positive.
 
     One nested higher-order expression (bit loop inside, not unrolled) —
     compact plan tree, pure JVM execution. Bit-strings group/join exactly
-    like integer signatures and avoid 64-bit sign gymnastics."""
+    like integer signatures and avoid 64-bit sign gymnastics.
+
+    ``portable=True`` swaps xxhash64 for a 60-bit md5-prefix word hash
+    (``conv(substr(md5(w),1,15),16,10)``) that any engine with md5 can
+    reproduce bit-for-bit — DuckDB: ``('0x'||substr(md5(w),1,15))::BIGINT``.
+    Same signature quality (md5 bits are uniform); ~2× slower per word than
+    xxhash64, so the default stays non-portable for production dedup and
+    portable mode serves cross-engine verification. Requires ``bits<=60``."""
     if bits > 64:
         raise ValueError("simhash supports at most 64 bits")
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
     )
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    if portable:
+        hashes = F.transform(
+            words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(words, lambda w: F.xxhash64(w))
     # literal bit masks; entry 64 is the sign bit (-2^63 as signed long)
     masks = F.array(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
@@ -548,6 +587,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs within Hamming distance ``max_hamming`` of
     each other's simhash, via the standard banding index: split the
@@ -560,7 +600,7 @@ def simhash_near_dup_pairs(
     n_chunks = max_hamming + 1
     chunk_len = bits // n_chunks
     sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+        F.col(id_col).alias("id"), simhash(text_col, bits, portable).alias("sig")
     ).persist()
     chunked = sigs.select(
         "id",
@@ -599,11 +639,15 @@ def simhash_near_dup_pairs(
     )
 
 
-def simhash_dup_buckets(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash_dup_buckets(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, portable: bool = False
+) -> DataFrame:
     """Docs sharing an identical simhash signature (Hamming distance 0
     buckets). For distance-k tolerance, band the signature into k+1
     chunks and union the bucket joins (standard simhash indexing)."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("simhash"))
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits, portable).alias("simhash")
+    )
     return (
         sigs.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id"))
