@@ -99,6 +99,13 @@ def multi_format_time_parse(col: str | Column, formats: Sequence[str]) -> Column
     reproduces the reference's multi-format fallback.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # cast-to-string first: a CSV/parquet reader may already have inferred
+    # the column as TIMESTAMP (Spark CSV inference recognizes ISO-like
+    # strings), and to_timestamp(timestamp, fmt) is a type error. The cast
+    # is a no-op for string inputs and renders timestamps in the default
+    # "yyyy-MM-dd HH:mm:ss[.SSSSSS]" form, which the caller's format list
+    # should then cover.
+    c = c.cast("string")
     return F.coalesce(*[F.to_timestamp(c, strftime_to_spark(f)) for f in formats])
 
 
