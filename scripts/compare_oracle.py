@@ -5,6 +5,7 @@ values. Usage: python scripts/compare_oracle.py [sf_dir] [query ...]"""
 from __future__ import annotations
 
 import math
+import os
 import sys
 import traceback
 
@@ -58,7 +59,16 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle_compare")
+    if os.environ.get("ORACLE_DRIVER_DEFAULTS"):
+        # Simulate the driver's session: stock Spark 4 defaults (ANSI ON,
+        # no pinned zone) — queries must self-defend via their _prep().
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName(
+            "oracle_compare_defaults"
+        ).getOrCreate()
+    else:
+        spark = get_spark("oracle_compare")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
