@@ -143,12 +143,21 @@ def _tensorization(cfg: dict[str, Any]) -> Stage:
     checkpoint/inspect it."""
     from ..sources.writers import write_nrt
 
-    nrt_dir = cfg["nrt_dir"]
+    nrt_dir = cfg.get("nrt_dir")
     list_columns = cfg.get(
         "list_columns", ["time_delta_days", "code", "numeric_value"]
     )
 
     def fn(df):
+        # construction-time tolerance lets reference pipeline YAMLs (whose
+        # IO dirs are Hydra ??? placeholders) load and plan; execution
+        # still demands a concrete sink
+        if nrt_dir is None:
+            raise ValueError(
+                "tensorization requires stage config 'nrt_dir' (the "
+                "reference derives it from cohort_dir, which is a Hydra "
+                "placeholder in shipped configs)"
+            )
         write_nrt(df, nrt_dir, list_columns=list_columns)
         return df
 
