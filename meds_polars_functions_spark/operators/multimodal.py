@@ -101,15 +101,98 @@ def sample_frame_indices(
     )
 
 
+def nearest_neighbor_resample(
+    data: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int
+) -> bytes:
+    """Pure-Python nearest-neighbor resample of a row-major single-channel
+    byte image — the reference implementation for ``resize_images``'s
+    injection point, and a working stand-in where PIL/opencv are absent.
+    A real deployment injects e.g.
+    ``lambda b, w, h: PIL.Image.open(io.BytesIO(b)).resize((w, h)).tobytes()``.
+    """
+    if data is None or src_w <= 0 or src_h <= 0:
+        return b""
+    out = bytearray(dst_w * dst_h)
+    for y in range(dst_h):
+        sy = min(src_h - 1, y * src_h // dst_h)
+        row = sy * src_w
+        for x in range(dst_w):
+            sx = min(src_w - 1, x * src_w // dst_w)
+            idx = row + sx
+            out[y * dst_w + x] = data[idx] if idx < len(data) else 0
+    return bytes(out)
+
+
+def resize_images(
+    df: DataFrame,
+    blob_col: str,
+    width: int,
+    height: int,
+    meta_col: str = "meta",
+    resize_fn: Callable[[bytes, int, int, int, int], bytes] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Resize every image blob to (width, height) via an Arrow-batched
+    ``mapInPandas``; the typed metadata struct is rewritten to the new
+    dimensions so downstream metadata-only predicates stay truthful.
+
+    ``resize_fn(bytes, src_w, src_h, dst_w, dst_h) -> bytes`` is the
+    injection point — ``None`` raises at execution time (the historical
+    stub behavior: plans build and schemas resolve without codec
+    libraries); ``nearest_neighbor_resample`` is a working pure-Python
+    default for raw single-channel buffers.
+    """
+    out_name = out_col or blob_col
+    fields = [f for f in df.schema.fields if f.name not in (blob_col, meta_col)]
+    out_schema = T.StructType(
+        [
+            *fields,
+            T.StructField(out_name, T.BinaryType()),
+            T.StructField(meta_col, IMAGE_META_SCHEMA),
+        ]
+    )
+    pass_cols = [f.name for f in fields]
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        if resize_fn is None:
+            raise NotImplementedError(
+                "resize_images needs a resize_fn (PIL/opencv not present in "
+                "this environment); nearest_neighbor_resample works for raw "
+                "single-channel buffers"
+            )
+        for pdf in batches:
+            blobs = [
+                resize_fn(
+                    b,
+                    int(m["width"]) if m is not None else 0,
+                    int(m["height"]) if m is not None else 0,
+                    width,
+                    height,
+                )
+                for b, m in zip(pdf[blob_col], pdf[meta_col])
+            ]
+            metas = [
+                {"width": width, "height": height,
+                 "format": (m["format"] if m is not None else None)}
+                for m in pdf[meta_col]
+            ]
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in pass_cols}, out_name: blobs, meta_col: metas}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def resize_stub(df: DataFrame, blob_col: str, width: int, height: int) -> DataFrame:
-    """Placeholder for a real resize: raises at execution time, while the
-    plan (schema, partitioning) is fully formed — callers can build and
-    inspect pipelines without the codec libraries installed."""
+    """Back-compat alias: ``resize_images`` with no injected resize_fn —
+    the plan (schema, partitioning) is fully formed; execution raises."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         raise NotImplementedError(
             "image resize requires a codec library (PIL/opencv) not present "
-            "in this environment; inject a decode_fn instead"
+            "in this environment; inject a resize_fn via resize_images"
         )
 
     return df.mapInPandas(run, schema=df.schema)

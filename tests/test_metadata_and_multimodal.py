@@ -72,3 +72,39 @@ def test_resize_stub_raises_at_execution_only(spark):
     assert plan.schema == df.schema
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         plan.collect()
+
+
+def test_resize_images_with_injected_fn(spark):
+    from meds_polars_functions_spark.operators.multimodal import (
+        nearest_neighbor_resample,
+        resize_images,
+    )
+
+    # 4x2 single-channel "image": two rows of ramp bytes
+    img = bytes([0, 10, 20, 30, 100, 110, 120, 130])
+    df = spark.createDataFrame(
+        [(1, bytearray(img), (4, 2, "raw"))],
+        "doc_id long, image binary, meta struct<width:int,height:int,format:string>",
+    )
+    out = resize_images(
+        df, "image", 2, 2, resize_fn=nearest_neighbor_resample
+    ).collect()[0]
+    # nearest-neighbor: columns 0,2 of each source row survive
+    assert bytes(out["image"]) == bytes([0, 20, 100, 120])
+    # metadata rewritten to the new dimensions, format preserved
+    assert (out["meta"]["width"], out["meta"]["height"]) == (2, 2)
+    assert out["meta"]["format"] == "raw"
+    assert out["doc_id"] == 1
+
+
+def test_resize_images_without_fn_raises_at_execution(spark):
+    from meds_polars_functions_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xy"), (2, 1, "raw"))],
+        "doc_id long, image binary, meta struct<width:int,height:int,format:string>",
+    )
+    plan = resize_images(df, "image", 8, 8)  # schema resolves without codecs
+    assert [f.name for f in plan.schema.fields] == ["doc_id", "image", "meta"]
+    with pytest.raises(Exception, match="NotImplementedError|resize_fn"):
+        plan.collect()
