@@ -1159,8 +1159,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH near-dup (scale path for
-    embedding_near_dup: bucketed candidates + exact cosine verify; no SQL
-    oracle — seeded hyperplanes — subset-of-brute-force is tested)."""
+    embedding_near_dup: bucketed candidates + exact cosine verify).
+    Oracle: seeded plane literals inlined into SQL, per-table bucket
+    join, sequential-fold cosine verify (_embedding_near_dup_lsh_oracle_sql)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import embedding_near_dup_lsh
 
@@ -1180,8 +1181,9 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN (no SQL oracle: seeded hyperplanes; recall is
-    validated in tests against brute force)."""
+    """SRP-LSH bucketed ANN. Oracle: plane literals inlined, bucket
+    equi-join, exact-cosine rank replay (_lsh_topk_oracle_sql); recall
+    vs brute force is additionally tested."""
     _prep(spark)
     from meds_polars_functions_spark.operators.similarity import lsh_topk
 
@@ -2255,7 +2257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_event_seqs": q_tokenize_event_seqs,
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
-        "patient_split_filter": q_patient_split_filter,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2299,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
+        "patient_split_filter": q_patient_split_filter,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "late_order_priority": q_late_order_priority,
@@ -2452,6 +2454,107 @@ SELECT node, round(rank, 9) AS rank FROM r{n_iter}
 
 def _pagerank_oracle_sql_entry() -> str:
     return _pagerank_oracle_sql()
+
+
+def _srp_dot_sql(vec: str, plane: list[float], dim: int) -> str:
+    """DuckDB expression replaying similarity._dot(vec, plane-literal):
+    sequential left fold from 0.0, same order => bit-identical IEEE sum.
+    Plane literals use repr() round-trip decimals; DuckDB's decimal ->
+    DOUBLE conversion is correctly rounded, landing on the same bits."""
+    lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+        f"i -> {vec}[i] * ({lit})[i])), (a, b) -> a + b)"
+    )
+
+
+def _srp_bucket_sql(vec: str, planes: list[list[float]], dim: int) -> str:
+    """Sign-bit bucket id: sum_j (dot(v, plane_j) > 0) * 2^j."""
+    terms = [
+        f"(CASE WHEN {_srp_dot_sql(vec, pl, dim)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, pl in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({v}, x -> x * x)), (a, b) -> a + b))"
+)
+_SQL_PAIR_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {n}), "
+    "i -> {a}[i] * {b}[i])), (a, b) -> a + b)"
+)
+
+
+def _lsh_topk_oracle_sql(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
+    """DuckDB replay of q_lsh_topk (single-probe SRP-LSH): seeded plane
+    literals inlined, bucket equi-join, exact cosine ranking with the
+    vec_id tiebreak."""
+    from meds_polars_functions_spark.operators.similarity import _seeded_hyperplanes
+
+    planes = _seeded_hyperplanes(dim, n_planes, 42)
+    bucket = _srp_bucket_sql("v", planes, dim)
+    norm = _SQL_NORM.format(v="v")
+    dot = _SQL_PAIR_DOT.format(n=dim + 1, a="c.v", b="q.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket, {norm} AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v, bucket, nrm FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {dot} / (q.nrm * c.nrm) AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embedding_near_dup_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 6, n_tables: int = 6, threshold: float = 0.4
+) -> str:
+    """DuckDB replay of q_embedding_near_dup_lsh: per-table seeded plane
+    buckets (seed 42+t), candidates = pairs sharing any (table, bucket),
+    exact-cosine verify at the threshold. The Spark side computes sign
+    bits with one BLAS matmul whose summation order differs from this
+    sequential fold only below ~1e-13 relative — sign flips require a
+    dot product within that of zero."""
+    from meds_polars_functions_spark.operators.similarity import _seeded_hyperplanes
+
+    per_table = ",\n    ".join(
+        f"({_srp_bucket_sql('v', _seeded_hyperplanes(dim, n_planes, 42 + t), dim)})"
+        for t in range(n_tables)
+    )
+    norm = _SQL_NORM.format(v="v")
+    dot = _SQL_PAIR_DOT.format(n=dim + 1, a="x.v", b="y.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 1000),
+b AS (
+  SELECT vec_id, v, {norm} AS nrm,
+    [{per_table}] AS buckets
+  FROM e),
+banded AS (
+  SELECT vec_id, v, nrm, t.i AS table_idx, buckets[t.i] AS bucket
+  FROM b, UNNEST(range(1, {n_tables + 1})) AS t(i)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.table_idx = y.table_idx AND x.bucket = y.bucket
+   AND x.vec_id < y.vec_id),
+ver AS (
+  SELECT id_a, id_b, {dot} / (x.nrm * y.nrm) AS cosine
+  FROM cand JOIN b x ON cand.id_a = x.vec_id
+            JOIN b y ON cand.id_b = y.vec_id)
+SELECT id_a, id_b FROM ver WHERE cosine >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3049,6 +3152,8 @@ FROM w
 """,
         "minhash_near_dup": _minhash_oracle_sql(),
         "pagerank_trade": _pagerank_oracle_sql(),
+        "lsh_topk": _lsh_topk_oracle_sql(),
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh_oracle_sql(),
         "image_features": """
 WITH c AS (
   SELECT doc_id,
