@@ -761,3 +761,44 @@ def test_golden_tokenization_event_seqs(normalized_shards):
                 _float_list_eq(g_ev, w_ev)
             _, _, _, times = GOLDEN_SCHEMAS[pid]
             _float_list_eq(r["time_delta_days"], _want_deltas(times), tol=1e-9)
+
+
+def test_golden_tensorization_nrt_roundtrip(normalized_shards, tmp_path):
+    """Reference test_tensorization.py parity: the tokenized WANT frames
+    written through the NRT sink and read back reproduce every ragged
+    value — the reference's JointNestedRaggedTensorDict round-trip
+    expressed against this engine's .nrt.npz layout."""
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.tokenization import (
+        extract_seq_of_patient_events,
+    )
+    from meds_polars_functions_spark.sources.writers import read_nrt, write_nrt
+
+    for name, df in normalized_shards.items():
+        seqs = extract_seq_of_patient_events(df).orderBy("patient_id")
+        rows = seqs.collect()
+        out_dir = str(tmp_path / name.replace("/", "_"))
+        write_nrt(
+            seqs.coalesce(1),
+            out_dir,
+            list_columns=["time_delta_days", "code", "numeric_value"],
+        )
+        loaded = read_nrt(out_dir)
+        # flat deltas: concatenation across patients in written order
+        want_deltas = [d for r in rows for d in r["time_delta_days"]]
+        np.testing.assert_allclose(
+            loaded["time_delta_days__values"], want_deltas, rtol=0, atol=1e-9
+        )
+        # doubly-nested codes: rebuild per-patient lists from offsets
+        offs = loaded["code__offsets"]
+        inner = loaded["code__inner_offsets"]
+        vals = loaded["code__values"]
+        assert len(offs) == len(rows) + 1
+        for i, r in enumerate(rows):
+            ev_lo, ev_hi = offs[i], offs[i + 1]
+            got_events = [
+                list(vals[inner[e] : inner[e + 1]]) for e in range(ev_lo, ev_hi)
+            ]
+            want_events = [list(ev) for ev in r["code"]]
+            assert got_events == want_events, (name, r["patient_id"])
