@@ -123,11 +123,16 @@ def test_minhash_verify_reuses_signature_exchange(spark, entry_mod):
     from meds_polars_functions_spark.operators.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    out = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
-    out.collect()
-    executed = out._jdf.queryExecution().executedPlan().toString()
-    final = executed.split("+- == Initial Plan ==")[0]
-    assert final.count("ReusedExchange") == 2
+    # both hash modes (crc32 default, portable md5) must keep the reuse —
+    # the driver's oracle query runs the portable mode
+    for portable in (False, True):
+        out = minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, portable=portable
+        )
+        out.collect()
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("+- == Initial Plan ==")[0]
+        assert final.count("ReusedExchange") == 2, f"portable={portable}"
 
 
 def test_pack_sequences_window_is_sharded(spark, entry_mod):
