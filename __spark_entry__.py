@@ -531,9 +531,9 @@ def q_patient_split_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = shard_patients(ids, n_patients_per_shard=1000, seed=1)
     splits_df = splits_to_dataframe(spark, shards)
     out = filter_to_split(meds, splits_df, "train")
-    # oracle can't reproduce the seeded permutation — verify the invariant
-    # instead: per-patient counts of the train subset must equal the full
-    # counts for exactly the patients we kept (row-count + membership).
+    # the oracle replays the seeded permutation itself (it is a pure
+    # function of the sorted id set — see _patient_split_oracle_sql) and
+    # checks exact train membership plus per-patient counts
     return out.groupBy("patient_id").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -2557,8 +2557,45 @@ SELECT id_a, id_b FROM ver WHERE cosine >= {threshold}
 """
 
 
+def _patient_split_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """DuckDB replay of q_patient_split_filter. The split assignment is a
+    pure function of (sorted distinct id set, seed) — shard_patients runs
+    NumPy's seeded permutation over ids harvested in sorted order, no
+    Spark state involved — so the oracle recomputes the same permutation
+    here (ids read via DuckDB from the sf0.01 tables the driver pins for
+    the correctness gate) and inlines the train membership as literals.
+    Returns None when that path is absent (query then stays rows-only)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    from meds_polars_functions_spark.operators.split_patients import shard_patients
+
+    ids = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM '{path}' WHERE user_id IS NOT NULL"
+        ).fetchall()
+    )
+    shards = shard_patients(ids, n_patients_per_shard=1000, seed=1)
+    train_ids = sorted(
+        pid for name, members in shards.items()
+        if name.startswith("train/") for pid in members
+    )
+    id_list = ",".join(str(i) for i in train_ids)
+    return f"""
+SELECT user_id AS patient_id, count(*) AS n
+FROM events
+WHERE user_id IN ({id_list})
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "agg_code_metadata": f"""
 WITH {_MEDS_CTE}
 SELECT code,
@@ -3153,6 +3190,7 @@ FROM w
         "minhash_near_dup": _minhash_oracle_sql(),
         "pagerank_trade": _pagerank_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        "patient_split_filter": _patient_split_oracle_sql(),
         "embedding_near_dup_lsh": _embedding_near_dup_lsh_oracle_sql(),
         "image_features": """
 WITH c AS (
@@ -3823,3 +3861,5 @@ FROM (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) // 86400000000
 WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
     }
+    # conditionally-available oracles (e.g. environment-dependent replays)
+    return {k: v for k, v in oracles.items() if v is not None}
