@@ -1200,8 +1200,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (coarse-quantizer) ANN: seeded driver-side k-means, nprobe=1
-    (no SQL oracle: iterative training; recall vs brute force is tested)."""
+    """IVF (coarse-quantizer) ANN: seeded driver-side k-means, nprobe=1.
+    Training samples the full (training-scale) set sorted by vec_id, so
+    centroids are a pure function of (data, seed) — the oracle replays
+    the identical _kmeans_lloyd and inlines the centroids as literals
+    (_ivf_topk_oracle_sql). Recall vs brute force is additionally tested."""
     _prep(spark)
     from meds_polars_functions_spark.operators.similarity import (
         ivf_topk,
@@ -1211,7 +1214,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    centroids = train_ivf_centroids(emb, "embedding", n_centroids=8, sample_fraction=0.5)
+    centroids = train_ivf_centroids(
+        emb, "embedding", n_centroids=8, sample_fraction=1.0, order_col="vec_id"
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2594,6 +2599,67 @@ GROUP BY 1
 """
 
 
+def _ivf_topk_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01", dim: int = 64, n_centroids: int = 8, k: int = 5
+) -> str | None:
+    """DuckDB replay of q_ivf_topk: centroids recomputed via the SAME
+    _kmeans_lloyd over the vec_id-ordered full sample (pure function of
+    data+seed), inlined as literals; nearest-cell assignment replays the
+    strict `d < best` first-min-wins argmin; cosine ranking replays the
+    sequential fold. None when the pinned sf0.01 path is absent."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import _kmeans_lloyd
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _kmeans_lloyd(sample, n_centroids, seed=42, n_iters=5)
+
+    def dist(vec: str, c: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"i -> ({vec}[i] - ({lit})[i]) * ({vec}[i] - ({lit})[i]))), (a, b) -> a + b)"
+        )
+
+    dists = ", ".join(dist("v", c) for c in cents)
+    # first-min-wins argmin: CASE matches the first distance equal to the
+    # exact least() double, same tie rule as the Spark strict `<` chain
+    cell_case = " ".join(
+        f"WHEN ds[{i + 1}] = best THEN {i}" for i in range(len(cents))
+    )
+    norm = _SQL_NORM.format(v="v")
+    dot = _SQL_PAIR_DOT.format(n=dim + 1, a="c.v", b="q.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+d AS (SELECT vec_id, v, [{dists}] AS ds, {norm} AS nrm FROM e),
+cellado AS (
+  SELECT vec_id, v, nrm,
+         (CASE {cell_case} END)::INT AS cell
+  FROM (SELECT vec_id, v, nrm, ds, list_reduce(ds, (a, b) -> least(a, b)) AS best FROM d)),
+q AS (SELECT vec_id AS query_id, v, nrm, cell FROM cellado WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id, {dot} / (q.nrm * c.nrm) AS cosine
+  FROM cellado c JOIN q ON c.cell = q.cell),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "agg_code_metadata": f"""
@@ -3191,6 +3257,7 @@ FROM w
         "pagerank_trade": _pagerank_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
+        "ivf_topk": _ivf_topk_oracle_sql(),
         "embedding_near_dup_lsh": _embedding_near_dup_lsh_oracle_sql(),
         "image_features": """
 WITH c AS (

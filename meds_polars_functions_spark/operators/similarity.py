@@ -225,18 +225,12 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def train_ivf_centroids(
-    corpus: DataFrame, vec_col: str, n_centroids: int = 16, sample_fraction: float = 0.1,
-    seed: int = 42, n_iters: int = 5,
-) -> list[list[float]]:
-    """Tiny driver-side k-means (Lloyd) on a seeded sample — the coarse
-    quantizer of an IVF index. The sample is centroid-training-scale;
-    assignment of the full corpus stays distributed."""
+def _kmeans_lloyd(sample, n_centroids: int, seed: int, n_iters: int) -> list[list[float]]:
+    """Seeded Lloyd iterations over an in-memory float64 matrix — a pure
+    function of (row-ordered sample, seed). Shared by the Spark training
+    wrapper and the cross-engine oracle replay."""
     import numpy as np
 
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()]
-    )
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(n_iters):
@@ -247,6 +241,34 @@ def train_ivf_centroids(
             if len(members):
                 cents[c] = members.mean(0)
     return cents.tolist()
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int = 16, sample_fraction: float = 0.1,
+    seed: int = 42, n_iters: int = 5, order_col: str | None = None,
+) -> list[list[float]]:
+    """Tiny driver-side k-means (Lloyd) on a seeded sample — the coarse
+    quantizer of an IVF index. The sample is centroid-training-scale;
+    assignment of the full corpus stays distributed.
+
+    ``order_col``: sort the collected sample by this column before
+    training. Collect order is otherwise partition-dependent, so passing
+    an id column makes the centroids a pure function of (sampled row set,
+    seed) — required when an external system must reproduce them (the
+    DuckDB oracle replays training through the same _kmeans_lloyd)."""
+    import numpy as np
+
+    if order_col is not None:
+        rows = corpus.select(order_col, vec_col).sample(
+            fraction=sample_fraction, seed=seed
+        ).collect()
+        rows.sort(key=lambda r: r[0])
+        sample = np.array([r[1] for r in rows])
+    else:
+        sample = np.array(
+            [r[0] for r in corpus.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()]
+        )
+    return _kmeans_lloyd(sample, n_centroids, seed, n_iters)
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "ivf_cell") -> DataFrame:
