@@ -1083,6 +1083,23 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report (operators/dedup.decontaminate):
+    docs with doc_id %% 20 == 0 play the held-out eval set; every corpus
+    doc gets its 3-gram containment ratio against the benchmark's
+    broadcast shingle set and a contaminated flag at the 0.1 threshold.
+    The benchmark docs themselves are 100%% contaminated by construction
+    (they are in the corpus), which the oracle reproduces exactly."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(
+        docs, bench, "text", "doc_id", max_contaminated_ratio=0.1, keep_report=True
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected-components clustering over exact n-gram
     Jaccard >= 0.4 pairs (min-label propagation; oracle = recursive CTE)."""
@@ -2305,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
+        "decontaminate": q_decontaminate,
         "patient_split_filter": q_patient_split_filter,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
@@ -3258,6 +3276,31 @@ FROM w
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "decontaminate": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(range(1, len(words) - 1), i ->
+        array_to_string(list_slice(words, i, i + 2), ' ')))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+bsh AS (
+  SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 20 = 0),
+posts AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+hits AS (
+  SELECT doc_id, count(*) AS h
+  FROM posts JOIN bsh USING (g) GROUP BY 1),
+r AS (
+  SELECT sh.doc_id,
+         coalesce(h, 0)::DOUBLE / len(shingles) AS ratio
+  FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id)
+SELECT doc_id, round(ratio, 6) AS contaminated_ratio, ratio > 0.1 AS contaminated
+FROM r
+""",
         "embedding_near_dup_lsh": _embedding_near_dup_lsh_oracle_sql(),
         "image_features": """
 WITH c AS (

@@ -986,3 +986,73 @@ def fuzzy_pairs_ed1(
         )
     )
     return dup_pairs.unionByName(cross_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop training docs overlapping an eval set
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark_text_col: str | None = None,
+    shingle_n: int = 3,
+    max_contaminated_ratio: float = 0.1,
+    keep_report: bool = False,
+) -> DataFrame:
+    """Remove training documents contaminated by a held-out benchmark set.
+
+    Standard LLM-corpus hygiene: any training doc sharing more than
+    ``max_contaminated_ratio`` of its word ``shingle_n``-grams with ANY
+    benchmark document is dropped (n-gram containment — the usual
+    decontamination test, robust to the benchmark text being embedded
+    inside a larger page).
+
+    Scale design: the benchmark side is eval-suite-scale (thousands of
+    docs), the corpus is the 100 TB side. The benchmark's DISTINCT
+    shingle set is therefore the broadcast build side of one hash
+    semi-join against the corpus's exploded shingle postings; the corpus
+    shuffles only (doc_id) counts, never text. Contaminated ratio =
+    |doc shingles ∩ benchmark shingles| / |doc shingles| — computed from
+    one aggregation over the semi-joined postings.
+
+    ``keep_report=True`` returns every doc with its ratio and a
+    ``contaminated`` flag instead of filtering (for auditing thresholds);
+    default returns the clean corpus rows unchanged.
+    """
+    bt = benchmark_text_col or text_col
+    bench_shingles = (
+        shingle_table(benchmark, bt, bt, shingle_n, out_col="sh")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    sh = shingle_table(corpus, text_col, id_col, shingle_n, out_col="sh")
+    sizes = sh.select("id", F.size("sh").alias("__n__"))
+    posts = sh.select("id", F.explode("sh").alias("g"))
+    hits = (
+        posts.join(F.broadcast(bench_shingles), "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__hits__"))
+    )
+    ratios = (
+        sizes.join(hits, "id", "left")
+        .select(
+            "id",
+            (
+                F.coalesce(F.col("__hits__"), F.lit(0)) / F.col("__n__")
+            ).alias("contaminated_ratio"),
+        )
+    )
+    if keep_report:
+        return ratios.select(
+            F.col("id").alias(id_col),
+            F.round("contaminated_ratio", 6).alias("contaminated_ratio"),
+            (F.col("contaminated_ratio") > max_contaminated_ratio).alias("contaminated"),
+        )
+    clean_ids = ratios.filter(
+        F.col("contaminated_ratio") <= max_contaminated_ratio
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(clean_ids, id_col, "left_semi")

@@ -284,3 +284,47 @@ def test_fuzzy_pairs_ed1_exact_vs_bruteforce(spark):
     )
     assert got == brute
     assert (7, 8, 2) not in [(x, y, d) for x, y, d in got]
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    from meds_polars_functions_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated document about spark plans"),
+            (3, "quick brown fox jumps over everything else entirely today"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),],
+        "bid long, text string",
+    )
+    clean = decontaminate(
+        corpus, bench, "text", "doc_id", max_contaminated_ratio=0.3
+    )
+    kept = {r["doc_id"] for r in clean.collect()}
+    # doc 1 is the benchmark text itself (ratio 1.0) -> dropped;
+    # doc 2 shares nothing -> kept; doc 3 shares 3 of its 8 trigram
+    # shingles (0.375 > 0.3) -> dropped
+    assert kept == {2}
+    report = {
+        r["doc_id"]: (r["contaminated_ratio"], r["contaminated"])
+        for r in decontaminate(
+            corpus, bench, "text", "doc_id",
+            max_contaminated_ratio=0.3, keep_report=True,
+        ).collect()
+    }
+    assert report[1] == (1.0, True)
+    assert report[2] == (0.0, False)
+    assert report[3][1] is True and 0.3 < report[3][0] < 0.5
+    # corpus text must not shuffle: benchmark shingles are the broadcast
+    # side of a semi join
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        clean.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
