@@ -39,6 +39,13 @@ HEADLINE = [
     "minhash_near_dup",
     "embedding_topk",
     "embedding_topk_vectorized",
+    # round 2 additions (BENCH_r01 never produced a number, so r02 is the
+    # first baseline — widen the suite to the temporal-join and
+    # decontamination families before the baseline freezes). pagerank is
+    # deliberately NOT here: its per-iteration scheduling+checkpoint floor
+    # (~10 s regardless of sf) would swamp the suite signal.
+    "asof_purchase_click",
+    "decontaminate",
 ]
 
 

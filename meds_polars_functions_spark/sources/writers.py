@@ -16,6 +16,7 @@ import os
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -194,5 +195,77 @@ def write_sorted_ranges(
     parts = n_files or df.sparkSession.sparkContext.defaultParallelism
     out = df.repartitionByRange(parts, *range_cols).sortWithinPartitions(
         *(sort_within or range_cols)
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def zorder_value(cols: list[str], bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of the given numeric columns as one
+    BIGINT, built entirely from native expressions.
+
+    Each column is min-max scaled to ``bits`` bits via window-free global
+    aggregates? No — scaling needs per-column bounds, so ``write_zordered``
+    computes them in one tiny agg and passes literals; this function does
+    the pure bit-interleave given pre-scaled integer columns (values must
+    already be in [0, 2^bits)). Bit i of column j lands at position
+    i * n_cols + j, the classic Morton layout: close points in ANY of the
+    interleaved dimensions stay close in z-value order.
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits exceeds the 62-bit budget")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet layout: multi-dimensional generalization
+    of ``write_sorted_ranges``. Every z-ordered column is min-max scaled
+    to ``bits`` bits (bounds from ONE metadata-scale aggregate, folded in
+    as literals), bit-interleaved into a Morton value, then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on it.
+
+    Why at 100 TB: single-column range clustering gives perfect pruning on
+    that column and none on the others; Morton interleaving gives every
+    interleaved column *partial* locality, so parquet min-max footers
+    prune files for predicates on ANY of them — the same trick behind
+    Delta/Iceberg Z-ORDER table maintenance, here as a plain write.
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__min_{c}") for c in zorder_cols],
+        *[F.max(c).cast("double").alias(f"__max_{c}") for c in zorder_cols],
+    ).first()
+    scale = (1 << bits) - 1
+    scaled = df
+    tmp_cols = []
+    for c in zorder_cols:
+        lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+        span = (hi - lo) or 1.0
+        tc = f"__z_{c}"
+        tmp_cols.append(tc)
+        scaled = scaled.withColumn(
+            tc,
+            F.least(
+                F.lit(scale),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale),
+            ).cast("long"),
+        )
+    z = zorder_value(tmp_cols, bits).alias("__zval__")
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        scaled.withColumn("__zval__", z)
+        .repartitionByRange(parts, "__zval__")
+        .sortWithinPartitions("__zval__")
+        .drop("__zval__", *tmp_cols)
     )
     out.write.mode("overwrite").parquet(path)

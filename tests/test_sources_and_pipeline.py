@@ -203,3 +203,48 @@ def test_write_sorted_ranges_files_disjoint_and_prunable(spark):
         assert spark.read.parquet(d).count() == 10_000
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_zordered_prunes_both_dimensions(spark):
+    """Morton layout: per-file parquet min-max spans on BOTH clustered
+    columns must be materially narrower than the full domain — a plain
+    single-column range sort leaves the second column's spans at ~full
+    width in every file."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from meds_polars_functions_spark.sources.writers import (
+        write_sorted_ranges,
+        write_zordered,
+    )
+
+    # 64×64 grid: two independent dimensions, 4096 points
+    df = spark.range(0, 4096).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+
+    def spans(d, col_idx):
+        widths = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            st = [md.row_group(i).column(col_idx).statistics for i in range(md.num_row_groups)]
+            widths.append(max(s.max for s in st) - min(s.min for s in st))
+        return widths
+
+    dz = tempfile.mkdtemp(prefix="zord_")
+    dr = tempfile.mkdtemp(prefix="rng_")
+    try:
+        write_zordered(df, dz, ["x", "y"], n_files=16, bits=6)
+        write_sorted_ranges(df, dr, ["x"], n_files=16)
+        # z-order: BOTH dims' per-file spans are fractions of the 63-wide domain
+        assert max(spans(dz, 0)) <= 32
+        assert max(spans(dz, 1)) <= 32
+        # single-column range layout: x prunes perfectly but y spans ~everything
+        assert max(spans(dr, 0)) <= 8
+        assert min(spans(dr, 1)) >= 48
+        # round-trip intact
+        assert spark.read.parquet(dz).count() == 4096
+    finally:
+        shutil.rmtree(dz, ignore_errors=True)
+        shutil.rmtree(dr, ignore_errors=True)
