@@ -36,6 +36,16 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS); read as long and convert.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a stock session defaults to 200 shuffle partitions — pure scheduling
+    # overhead at correctness-gate scale; AQE coalescing plus a
+    # core-count-sized target keeps per-query wall clock flat
+    import os as _os
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
