@@ -248,3 +248,27 @@ def test_write_zordered_prunes_both_dimensions(spark):
     finally:
         shutil.rmtree(dz, ignore_errors=True)
         shutil.rmtree(dr, ignore_errors=True)
+
+
+def test_zorder_value_interleave_roundtrip(spark):
+    """zorder_value is the exact Morton code: de-interleaving the BIGINT
+    recovers both coordinates for every point of an 8-bit grid sample."""
+    from meds_polars_functions_spark.sources.writers import zorder_value
+
+    df = spark.range(0, 1024).selectExpr("id % 32 AS x", "(id * 7) % 256 AS y")
+    rows = df.select("x", "y", zorder_value(["x", "y"], bits=8).alias("z")).collect()
+    for r in rows:
+        x = y = 0
+        for i in range(8):
+            x |= ((r["z"] >> (2 * i)) & 1) << i
+            y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"]), r
+
+
+def test_zorder_value_bit_budget_guard(spark):
+    import pytest as _pytest
+
+    from meds_polars_functions_spark.sources.writers import zorder_value
+
+    with _pytest.raises(ValueError, match="62-bit"):
+        zorder_value(["a", "b", "c", "d"], bits=16)
