@@ -1110,6 +1110,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (operators/text.py
+    repetition_stats): dup-line fraction, dup-line char fraction, most-
+    frequent-bigram char fraction — all per-row native array algebra, no
+    shuffle. Oracle replays via unnest + group-by (a sorted run in the
+    Spark fold IS the full per-bigram count, so max(count×len) coincides)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected-components clustering over exact n-gram
     Jaccard >= 0.4 pairs (min-label propagation; oracle = recursive CTE)."""
@@ -2333,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
         "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "patient_split_filter": q_patient_split_filter,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
@@ -3286,6 +3300,57 @@ FROM w
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "repetition_stats": """
+WITH l AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+line_stats AS (
+  SELECT doc_id,
+    coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup_count,
+    coalesce(sum(cnt * length(line)) FILTER (cnt > 1), 0) AS dup_chars,
+    sum(cnt) AS n_lines,
+    sum(cnt * length(line)) AS total_chars
+  FROM (
+    SELECT doc_id, line, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(lines) AS line FROM l)
+    GROUP BY doc_id, line)
+  GROUP BY doc_id),
+w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS words
+  FROM documents),
+bg AS (
+  SELECT doc_id, words,
+    CASE WHEN len(words) >= 2 THEN
+      list_transform(range(1, len(words)), i ->
+        array_to_string(list_slice(words, i, i + 1), ' '))
+    ELSE [] END AS bigrams
+  FROM w),
+bg_mass AS (
+  SELECT doc_id, max(cnt * length(b)) AS top_mass
+  FROM (
+    SELECT doc_id, b, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg)
+    GROUP BY doc_id, b)
+  GROUP BY doc_id),
+wchars AS (
+  SELECT doc_id,
+    coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars
+  FROM w)
+SELECT d.doc_id,
+  round(CASE WHEN coalesce(n_lines, 0) > 0
+             THEN dup_count::DOUBLE / n_lines ELSE 0 END, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce(total_chars, 0) > 0
+             THEN dup_chars::DOUBLE / total_chars ELSE 0 END, 6) AS dup_line_char_frac,
+  round(CASE WHEN coalesce(word_chars, 0) > 0 AND top_mass IS NOT NULL
+             THEN least(top_mass::DOUBLE / word_chars, 1.0) ELSE 0 END, 6)
+    AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN line_stats USING (doc_id)
+LEFT JOIN bg_mass USING (doc_id)
+LEFT JOIN wchars USING (doc_id)
+""",
         "decontaminate": """
 WITH w AS (
   SELECT doc_id,

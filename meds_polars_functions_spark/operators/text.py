@@ -279,3 +279,99 @@ def chunk_documents(
             "chunk"
         ),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition metrics
+    (Rae et al. 2021 §A1.1 repetition filters), all native expressions:
+
+    - ``dup_line_frac``: fraction of lines occurring more than once;
+    - ``dup_line_char_frac``: fraction of characters sitting in such lines;
+    - ``top_bigram_char_frac``: characters covered by the single most
+      frequent word 2-gram / total word characters (clamped at 1 — an
+      overlapping self-repeat can exceed the raw word-char mass).
+
+    Heavily templated / boilerplate documents score high and get dropped
+    by the standard thresholds (0.3 / 0.2 / 0.18 in the paper).
+
+    Everything is per-row array algebra — no explode, no shuffle.
+    Intermediate arrays (sorted lines, sorted bigrams) are BOUND as real
+    columns between steps: higher-order functions re-evaluate compound
+    source expressions once per element (see _ngrams_from_words), so the
+    sorted arrays must be attributes before the O(n) folds run over them.
+    """
+    t = F.col(text_col)
+    step1 = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+        ).alias("__lines__"),
+        _WORDS(t).alias("__w__"),
+    )
+    step2 = step1.select(
+        id_col,
+        "__lines__",
+        "__w__",
+        F.array_sort(
+            F.when(
+                F.size("__w__") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w__") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w__"), i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__bg__"),
+    )
+
+    lines = F.col("__lines__")
+    n = F.size(lines)
+    mask = F.transform(
+        lines,
+        lambda x, i: (
+            ((i > 0) & (x == F.element_at(lines, i)))
+            | ((i < n - 1) & (x == F.element_at(lines, i + 2)))
+        ).cast("int"),
+    )
+    dup_count = F.aggregate(mask, F.lit(0), lambda s_, x: s_ + x)
+    dup_chars = F.aggregate(
+        F.zip_with(lines, mask, lambda l, m: F.length(l) * m),
+        F.lit(0),
+        lambda s_, x: s_ + x,
+    )
+    total_chars = F.aggregate(lines, F.lit(0), lambda s_, x: s_ + F.length(x))
+
+    bg = F.col("__bg__")
+    nb = F.size(bg)
+    init_best = F.when(nb > 0, F.length(F.element_at(bg, 1))).otherwise(F.lit(0))
+    streaks = F.aggregate(
+        F.sequence(F.lit(2), F.greatest(nb, F.lit(1))),
+        F.struct(F.lit(1).alias("run"), init_best.alias("best")),
+        lambda acc, p: F.when(
+            (p <= nb) & (F.element_at(bg, p) == F.element_at(bg, p - 1)),
+            F.struct(
+                (acc["run"] + 1).alias("run"),
+                F.greatest(
+                    acc["best"], (acc["run"] + 1) * F.length(F.element_at(bg, p))
+                ).alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(1).alias("run"),
+                F.when(
+                    p <= nb, F.greatest(acc["best"], F.length(F.element_at(bg, p)))
+                ).otherwise(acc["best"]).alias("best"),
+            )
+        ),
+    )
+    word_chars = F.aggregate(F.col("__w__"), F.lit(0), lambda s_, x: s_ + F.length(x))
+    top_bigram_chars = F.when(nb > 0, streaks["best"]).otherwise(F.lit(0))
+
+    frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return step2.select(
+        F.col(id_col),
+        F.round(frac(dup_count, n), 6).alias("dup_line_frac"),
+        F.round(frac(dup_chars, total_chars), 6).alias("dup_line_char_frac"),
+        F.round(F.least(frac(top_bigram_chars, word_chars), F.lit(1.0)), 6).alias(
+            "top_bigram_char_frac"
+        ),
+    )

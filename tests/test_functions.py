@@ -211,3 +211,27 @@ def test_scrub_pii_patterns(spark):
     assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out and "<CARD>" in out
     assert "a.b@c.io" not in out and "10.0.0.1" not in out
     assert "2024" in out  # plain years survive
+
+
+def test_repetition_stats_gopher_filters(spark):
+    from meds_polars_functions_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 3 duplicates of "hello world" (11 chars each)
+            (1, "hello world\nhello world\nunique line\nhello world"),
+            # overlapping self-repeat: top-bigram mass clamps at 1.0
+            (2, "spam spam spam spam spam ok"),
+            (3, "all lines here\nare different\nno repeats at all"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1]["dup_line_frac"] == 0.75            # 3 of 4 lines duplicated
+    assert out[1]["dup_line_char_frac"] == 0.75       # 33 of 44 chars
+    assert out[1]["top_bigram_char_frac"] == 0.825    # "hello world"×3 → 33/40
+    assert out[2]["top_bigram_char_frac"] == 1.0      # clamped
+    assert out[3]["dup_line_frac"] == 0.0
+    assert 0 < out[3]["top_bigram_char_frac"] < 0.5   # count-1 bigram only
+    assert tuple(out[4])[1:] == (0.0, 0.0, 0.0)       # empty doc -> zeros
