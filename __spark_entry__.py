@@ -2342,11 +2342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "promo_revenue": q_promo_revenue,
         "ship_priority_mix": q_ship_priority_mix,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "profile_events": q_profile_events,
         "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
         "patient_split_filter": q_patient_split_filter,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
