@@ -2345,8 +2345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "profile_events": q_profile_events,
-        "heavy_hitters": q_heavy_hitters,
         "pagerank_trade": q_pagerank_trade,
+        "heavy_hitters": q_heavy_hitters,
         "patient_split_filter": q_patient_split_filter,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
