@@ -2344,8 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_priority_mix": q_ship_priority_mix,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
-        "profile_events": q_profile_events,
         "pagerank_trade": q_pagerank_trade,
+        "profile_events": q_profile_events,
         "heavy_hitters": q_heavy_hitters,
         "patient_split_filter": q_patient_split_filter,
         "image_features": q_image_features,
