@@ -132,3 +132,57 @@ def test_run_pre_meds_end_to_end(frames, spark, tmp_path):
     assert len(lab) == 1 and lab[0]["labname"] == "potassium"
     pat = spark.read.parquet(outputs["patient"])
     assert "unitadmittimestamp" in pat.columns
+
+
+def test_eicu_extract_cli_end_to_end(frames, spark, tmp_path):
+    """pre-MEDS outputs -> extract CLI with examples/eicu/event_configs.yaml
+    -> MEDS cohort: static + timed events keyed by the health-system stay."""
+    import glob
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+    import yaml
+
+    patient, hospital = frames
+    raw = tmp_path / "raw2"
+    raw.mkdir()
+    patient.write.parquet(str(raw / "patient.parquet"))
+    hospital.write.parquet(str(raw / "hospital.parquet"))
+    spark.createDataFrame(
+        [(100, 60, "potassium", 4.1, "chemistry"), (200, -15, "sodium", 140.0, "chemistry")],
+        "patientunitstayid long, labresultoffset int, labname string, "
+        "labresult double, labmeasurenamesystem string",
+    ).write.parquet(str(raw / "lab.parquet"))
+
+    with open(os.path.join("examples", "eicu", "table_preprocessors.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    pre = run_pre_meds(spark, str(raw), str(tmp_path / "pre2"), cfg)
+
+    out = str(tmp_path / "cohort2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            _sys.executable, "-m", "meds_polars_functions_spark.plans.extract_cli",
+            "--event-config", os.path.join(repo, "examples", "eicu", "event_configs.yaml"),
+            "--table", f"patient={pre['patient']}",
+            "--table", f"lab={pre['lab']}",
+            "--output", out,
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    files = glob.glob(os.path.join(out, "data", "split=*", "*.parquet"))
+    ev = duckdb.sql(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    # both health-system stays produced events
+    assert set(ev.patient_id) == {10, 20}
+    # static rows (gender/ethnicity) have null time
+    assert ev[ev.code.str.startswith("GENDER//")]["time"].isna().all()
+    # the lab event carries its pseudotime and numeric value
+    lab_rows = ev[ev.code == "LAB//chemistry//potassium"]
+    # numeric_value is float32 in the finalized MEDS schema
+    assert len(lab_rows) == 1 and abs(lab_rows.iloc[0]["numeric_value"] - 4.1) < 1e-6
+    # unit admission weight became a numeric measurement
+    assert (ev.code == "UNIT_ADMISSION_WEIGHT").sum() == 2
