@@ -1123,6 +1123,124 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "text", "doc_id")
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: per small part, the supplier with the minimum
+    observed unit price (lineitem plays partsupp: unit price =
+    extendedprice/quantity). Correlated min decorrelated into a per-part
+    aggregate joined back; supplier dims broadcast-enriched with nation
+    and region."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    unit = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .select("p_partkey", "l_suppkey",
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_cost"))
+    )
+    best = unit.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    winners = (
+        unit.join(best, "p_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .groupBy("p_partkey")
+        .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("min_cost").alias("unit_cost"))
+    )
+    return (
+        winners.join(F.broadcast(supp), "s_suppkey")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("p_partkey", "s_name", "n_name", F.round("unit_cost", 6).alias("unit_cost"))
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: per order year, revenue fraction
+    supplied by nation 0's suppliers among all revenue — conditional-sum
+    ratio over a 5-table star join, dims broadcast."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.year("o_orderdate").alias("o_year"), rev.alias("rev"),
+                (F.col("s_nationkey") == 0).cast("int").alias("is_target"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(F.sum(F.col("rev") * F.col("is_target")) / F.sum("rev"), 6).alias("mkt_share"))
+    )
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: per supplier nation per order year,
+    sum of revenue minus a retail-price cost proxy (no partsupp table;
+    p_retailprice/2 × quantity substitutes ps_supplycost) for parts whose
+    name contains 'a'."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.5) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose traded value (extendedprice sum over
+    nation-0 suppliers) exceeds 0.5%% of that nation's total — the HAVING-
+    over-scalar-subquery decorrelated into a one-row broadcast."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 0)
+    vals = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = vals.agg(F.sum("value").alias("__total__"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__total__") * 0.002)
+        .select("l_partkey", F.round("value", 4).alias("value"))
+    )
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand, type, size)
+    for non-'Brand#1' parts, excluding negative-balance suppliers (the
+    complaint filter analogue) — anti-filter broadcast, count-distinct
+    after a lineitem bridge (lineitem plays partsupp)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(~F.col("p_brand").startswith("Brand#1"))
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected-components clustering over exact n-gram
     Jaccard >= 0.4 pairs (min-label propagation; oracle = recursive CTE)."""
@@ -2335,6 +2453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_last": q_resample_last,
         "topk_pruned": q_topk_pruned,
         "trailing_range_revenue": q_trailing_range_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "market_share": q_market_share,
+        "nation_profit": q_nation_profit,
+        "important_parts": q_important_parts,
+        "supplier_cnt": q_supplier_cnt,
         "dominant_suppliers": q_dominant_suppliers,
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
@@ -3300,6 +3423,61 @@ FROM w
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "min_cost_supplier": """
+WITH unit AS (
+  SELECT p_partkey, l_suppkey, round(l_extendedprice / l_quantity, 6) AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10),
+best AS (SELECT p_partkey, min(unit_cost) AS min_cost FROM unit GROUP BY 1),
+w AS (
+  SELECT u.p_partkey, min(l_suppkey) AS s_suppkey, min(min_cost) AS unit_cost
+  FROM unit u JOIN best b ON u.p_partkey = b.p_partkey AND u.unit_cost = b.min_cost
+  GROUP BY 1)
+SELECT p_partkey, s_name, n_name, round(unit_cost, 6) AS unit_cost
+FROM w JOIN supplier USING (s_suppkey)
+       JOIN nation ON s_nationkey = n_nationkey
+""",
+        "market_share": """
+SELECT year(o_orderdate) AS o_year,
+  round(sum(CASE WHEN s_nationkey = 0 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+""",
+        "nation_profit": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  round(sum(l_extendedprice * (1 - l_discount)
+            - p_retailprice * 0.5 * l_quantity), 4) AS profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+""",
+        "important_parts": """
+WITH vals AS (
+  SELECT l_partkey, sum(l_extendedprice) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 0
+  GROUP BY 1)
+SELECT l_partkey, round(value, 4) AS value
+FROM vals
+WHERE value > (SELECT sum(value) FROM vals) * 0.002
+""",
+        "supplier_cnt": """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT p.l_partkey, p.l_suppkey
+  FROM pairs p
+  WHERE p.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ok JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT LIKE 'Brand#1%'
+GROUP BY 1, 2, 3
+""",
         "repetition_stats": """
 WITH l AS (
   SELECT doc_id,
