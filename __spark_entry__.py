@@ -1241,6 +1241,21 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (dedup.repeated_substring_spans,
+    the window-hash approximation of Lee et al. suffix-array dedup):
+    10-word windows whose portable hash appears in >= 2 distinct docs.
+    Exact DuckDB replay via the same md5-60bit window hash."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import repeated_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeated_substring_spans(docs, "text", "doc_id", window_words=10)
+    return out.select(
+        F.col("id").alias("doc_id"), "start_word", "end_word", "window_hash", "n_docs"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected-components clustering over exact n-gram
     Jaccard >= 0.4 pairs (min-label propagation; oracle = recursive CTE)."""
@@ -2458,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit": q_nation_profit,
         "important_parts": q_important_parts,
         "supplier_cnt": q_supplier_cnt,
+        "repeated_spans": q_repeated_spans,
         "dominant_suppliers": q_dominant_suppliers,
         "shipping_priority": q_shipping_priority,
         "forecast_revenue": q_forecast_revenue,
@@ -3423,6 +3439,23 @@ FROM w
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "repeated_spans": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+wins AS (
+  SELECT doc_id, (i - 1)::INT AS start_word,
+    ('0x' || substr(md5(array_to_string(list_slice(words, i, i + 9), ' ')), 1, 15))::BIGINT
+      AS window_hash
+  FROM w, UNNEST(range(1, greatest(len(words) - 10 + 2, 1))) AS t(i)
+  WHERE len(words) >= 10),
+dup AS (
+  SELECT window_hash, count(DISTINCT doc_id) AS n_docs
+  FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, start_word, (start_word + 10)::INT AS end_word, window_hash, n_docs
+FROM wins JOIN dup USING (window_hash)
+""",
         "min_cost_supplier": """
 WITH unit AS (
   SELECT p_partkey, l_suppkey, round(l_extendedprice / l_quantity, 6) AS unit_cost

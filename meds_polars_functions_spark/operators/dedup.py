@@ -1056,3 +1056,75 @@ def decontaminate(
         F.col("contaminated_ratio") <= max_contaminated_ratio
     ).select(F.col("id").alias(id_col))
     return corpus.join(clean_ids, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring spans (Lee et al. 2022 approximation)
+# ---------------------------------------------------------------------------
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_words: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the window-hash
+    approximation of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    any ``window_words``-word window whose portable hash occurs in at
+    least ``min_docs`` DISTINCT documents marks a repeated span.
+
+    Output: one row per (doc, repeated window) —
+    ``(id, start_word, end_word, window_hash, n_docs)`` — the span list a
+    rewriting pass would cut (exact suffix arrays find arbitrary-length
+    repeats; fixed windows find every repeat of length >= window_words,
+    the practically-relevant ones, at a fraction of the machinery).
+
+    Scale design: windows are hashed MAP-SIDE to 60-bit md5 prefixes
+    (engine-portable, same construction as the portable simhash/minhash
+    modes), so the only shuffle is (hash, id, position) tuples — never
+    text. The duplicate-hash set is found with one partial-aggregated
+    groupBy; the per-doc span recovery is a semi-join of the posting
+    table against it. O(words) rows shuffled per doc, constant per-row
+    payload.
+    """
+    wdf = df.select(F.col(id_col).alias("id"), _words_expr(text_col).alias("__w__"))
+    wins = wdf.select(
+        "id",
+        F.when(
+            F.size("__w__") >= window_words,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w__") - window_words),
+                lambda i: F.struct(
+                    i.alias("start_word"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(F.col("__w__"), i + 1, window_words))),
+                            1, 15,
+                        ), 16, 10,
+                    ).cast("long").alias("window_hash"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<start_word:int,window_hash:long>>"))
+        .alias("__wins__"),
+    )
+    posts = wins.select("id", F.explode("__wins__").alias("w")).select(
+        "id", F.col("w.start_word").alias("start_word"), F.col("w.window_hash").alias("window_hash")
+    )
+    dup_hashes = (
+        posts.groupBy("window_hash")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        posts.join(dup_hashes, "window_hash")
+        .select(
+            F.col("id"),
+            "start_word",
+            (F.col("start_word") + window_words).alias("end_word"),
+            "window_hash",
+            "n_docs",
+        )
+    )

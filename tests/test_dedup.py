@@ -328,3 +328,27 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     with redirect_stdout(buf):
         clean.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_repeated_substring_spans(spark):
+    from meds_polars_functions_spark.operators.dedup import repeated_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} trailing one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "no overlap with anything else at all in this document text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_substring_spans(docs, "text", "doc_id", window_words=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["start_word"], r["end_word"], r["n_docs"]))
+    # the shared 10-word run starts at word 3 in doc 1 and word 0 in doc 2
+    assert (3, 13, 2) in by_doc[1]
+    assert (0, 10, 2) in by_doc[2]
+    assert 3 not in by_doc  # unique doc contributes no repeated span
+    # windows fully inside unique text never appear
+    assert all(s == 3 for s, _, _ in by_doc[1]) and all(s == 0 for s, _, _ in by_doc[2])
