@@ -34,6 +34,12 @@ STRESS_QUERIES = [
     "text_quality",
     "minhash_near_dup",
     "pack_sequences",
+    # round-2 operators: decontamination (broadcast shingle semi-join),
+    # Gopher repetition folds (per-row, no shuffle), repeated-span
+    # window hashes (hash-tuple shuffle only)
+    "decontaminate",
+    "repetition_stats",
+    "repeated_spans",
     # scale-path additions (round-1 late): map-side top-k prune vs the
     # direct window above it, bitmap exact distinct, gaps-and-islands,
     # grid interpolation, SCD2 build, CDC diff, deletion-neighborhood
