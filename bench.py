@@ -48,6 +48,15 @@ HEADLINE = [
     "decontaminate",
 ]
 
+#: Longitudinal (non-headline) timings: iterative / UDF-heavy paths whose
+#: absolute numbers are noisy but whose round-over-round trend matters.
+#: Kept OUT of the headline total so the frozen 19-key baseline from
+#: BENCH_r02 stays comparable.
+TRACKED = [
+    "repeated_spans",
+    "pagerank_trade",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,13 +89,18 @@ def main() -> None:
     sample = entry_mod._t(spark, sf_dir, "documents").limit(64)
     minhash_dedup_pairs(sample, "text", "doc_id", threshold=0.5).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+    def run(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.count()
+            out[name] = round(time.time() - t0, 3)
+        return out
+
+    timings = run(HEADLINE)
+    tracked = run(TRACKED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,6 +110,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tracked": tracked,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -103,10 +103,17 @@ def multi_format_time_parse(col: str | Column, formats: Sequence[str]) -> Column
     # the column as TIMESTAMP (Spark CSV inference recognizes ISO-like
     # strings), and to_timestamp(timestamp, fmt) is a type error. The cast
     # is a no-op for string inputs and renders timestamps in the default
-    # "yyyy-MM-dd HH:mm:ss[.SSSSSS]" form, which the caller's format list
-    # should then cover.
-    c = c.cast("string")
-    return F.coalesce(*[F.to_timestamp(c, strftime_to_spark(f)) for f in formats])
+    # "yyyy-MM-dd HH:mm:ss[.SSSSSS]" form.
+    s = c.cast("string")
+    parsed = [F.to_timestamp(s, strftime_to_spark(f)) for f in formats]
+    # Fallback: an already-timestamp column with nonzero microseconds
+    # renders with a ".SSSSSS" suffix that caller format lists rarely
+    # include, silently nulling every sub-second value. try_to_timestamp
+    # with no format parses the default-rendered ISO forms (fractional or
+    # not) and stays null for non-ISO strings, so plain-string semantics
+    # are unchanged.
+    parsed.append(F.try_to_timestamp(s))
+    return F.coalesce(*parsed)
 
 
 # ---------------------------------------------------------------------------

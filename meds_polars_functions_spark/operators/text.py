@@ -343,8 +343,11 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bg = F.col("__bg__")
     nb = F.size(bg)
     init_best = F.when(nb > 0, F.length(F.element_at(bg, 1))).otherwise(F.lit(0))
+    # lower bound 2 (not 1): sequence(2,1) is DESCENDING [2,1] and p=1 passes
+    # the p<=nb guard when nb==1, evaluating element_at(bg, 0) -> runtime error.
+    # sequence(2,2)=[2] is safely rejected by the guard instead.
     streaks = F.aggregate(
-        F.sequence(F.lit(2), F.greatest(nb, F.lit(1))),
+        F.sequence(F.lit(2), F.greatest(nb, F.lit(2))),
         F.struct(F.lit(1).alias("run"), init_best.alias("best")),
         lambda acc, p: F.when(
             (p <= nb) & (F.element_at(bg, p) == F.element_at(bg, p - 1)),

@@ -79,21 +79,44 @@ def _ragged_to_arrays(values: Iterable[list]) -> tuple["object", "object"]:
     return np.asarray(flat), np.asarray(offsets, dtype="int64")
 
 
-def write_nrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
-    """Ragged-tensor sink: one ``part-{pid}.nrt.npz`` per Spark partition.
+def write_nrt(
+    df: DataFrame, path: str, list_columns: list[str], container: str = "npz"
+) -> int:
+    """Ragged-tensor sink: one file per Spark partition.
 
-    Each listed column is stored as ``{col}__values`` (flattened; one extra
-    nesting level flattened for list-of-list columns, with a second
-    ``{col}__inner_offsets``) plus ``{col}__offsets``. Equivalent
-    information to the reference's ``JointNestedRaggedTensorDict`` files
-    (tensorization.py:16-106); swap the npz writer for the real
-    ``nested_ragged_tensors`` serializer where that library exists.
+    ``container="npz"`` (default, no extra dependencies): each listed
+    column is stored as ``{col}__values`` (flattened; one extra nesting
+    level flattened for list-of-list columns, with a second
+    ``{col}__inner_offsets``) plus ``{col}__offsets`` in a
+    ``part-{pid}.nrt.npz`` file — equivalent information to the
+    reference's ``JointNestedRaggedTensorDict`` files
+    (tensorization.py:16-106).
+
+    ``container="jnrt"``: writes the actual on-disk
+    ``JointNestedRaggedTensorDict`` container (``part-{pid}.nrt``) via the
+    public ``nested_ragged_tensors`` package, so existing reference
+    readers consume the output as-is. Raises ImportError where that
+    library is absent (it is optional and pure-Python; the npz layout
+    carries identical information).
 
     Returns the number of partition files written. Scale note: this is an
     embarrassingly-parallel per-partition write — no shuffle, no driver
     collect; repartition upstream to control file sizes.
     """
     from pyspark.sql import types as T
+
+    if container == "jnrt":
+        # fail fast on the driver, not inside executors mid-write
+        import importlib
+
+        if importlib.util.find_spec("nested_ragged_tensors") is None:
+            raise ImportError(
+                "container='jnrt' needs the public 'nested_ragged_tensors' "
+                "package; use the default npz container otherwise"
+            )
+        return _write_nrt_jnrt(df, path, list_columns)
+    if container != "npz":
+        raise ValueError(f"unknown NRT container: {container!r}")
 
     os.makedirs(path, exist_ok=True)
     other_cols = [c for c in df.columns if c not in list_columns]
@@ -144,6 +167,37 @@ def write_nrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
         .sum()
     )
     return int(n)
+
+
+def _write_nrt_jnrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
+    """Write the reference's ``JointNestedRaggedTensorDict`` container
+    (one ``part-{pid}.nrt`` per partition, reference tensorization.py:90-106:
+    the ragged columns go into the JNRT file; scalar columns — typically
+    the patient/shard index — ride in a ``part-{pid}.index.npz`` sidecar,
+    mirroring how the reference keeps ids in the schema parquet rather
+    than inside the tensor container)."""
+    os.makedirs(path, exist_ok=True)
+    other_cols = [c for c in df.columns if c not in list_columns]
+
+    def write_partition(pid: int, rows) -> Iterable[int]:
+        import numpy as np
+        from nested_ragged_tensors.ragged_numpy import JointNestedRaggedTensorDict
+
+        rows = list(rows)
+        if not rows:
+            return iter(())
+        tensors = {c: [r[c] or [] for r in rows] for c in list_columns}
+        JointNestedRaggedTensorDict(tensors).save(
+            os.path.join(path, f"part-{pid:05d}.nrt")
+        )
+        if other_cols:
+            np.savez(
+                os.path.join(path, f"part-{pid:05d}.index.npz"),
+                **{c: np.asarray([r[c] for r in rows]) for c in other_cols},
+            )
+        return iter((1,))
+
+    return int(df.rdd.mapPartitionsWithIndex(write_partition).sum())
 
 
 def read_nrt(path: str) -> dict[str, "object"]:

@@ -44,6 +44,18 @@ def test_multi_format_time_parse(spark):
     assert out[2]["ts"] is None
 
 
+def test_multi_format_time_parse_timestamp_passthrough(spark):
+    # an already-TIMESTAMP column with nonzero microseconds renders as
+    # 'yyyy-MM-dd HH:mm:ss.SSSSSS' — a fraction-less format list must not
+    # silently null it (regression: values were dropped by extract_event)
+    ts = dt.datetime(2020, 1, 2, 3, 4, 5, 678901)
+    df = spark.createDataFrame([(ts,)], "t timestamp")
+    out = df.select(
+        multi_format_time_parse("t", ["%Y-%m-%d %H:%M:%S"]).alias("ts")
+    ).collect()
+    assert out[0]["ts"] == ts
+
+
 def test_code_expr_nulls_to_unk(spark):
     df = spark.createDataFrame([("CARDIAC",), (None,)], "dept string")
     out = df.select(code_expr(["ADMISSION", "col(dept)"]).alias("code")).collect()
@@ -224,6 +236,10 @@ def test_repetition_stats_gopher_filters(spark):
             (2, "spam spam spam spam spam ok"),
             (3, "all lines here\nare different\nno repeats at all"),
             (4, ""),
+            # exactly 2 words -> 1 bigram; regression for the descending
+            # sequence(2,1) INVALID_INDEX_OF_ZERO crash at nb==1
+            (5, "hello world"),
+            (6, "one"),  # 1 word -> 0 bigrams
         ],
         "doc_id long, text string",
     )
@@ -235,3 +251,6 @@ def test_repetition_stats_gopher_filters(spark):
     assert out[3]["dup_line_frac"] == 0.0
     assert 0 < out[3]["top_bigram_char_frac"] < 0.5   # count-1 bigram only
     assert tuple(out[4])[1:] == (0.0, 0.0, 0.0)       # empty doc -> zeros
+    assert out[5]["top_bigram_char_frac"] == 1.0      # 1 bigram = all 10 word chars
+    assert out[5]["dup_line_frac"] == 0.0
+    assert out[6]["top_bigram_char_frac"] == 0.0      # no bigrams

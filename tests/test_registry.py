@@ -1,0 +1,98 @@
+"""Structural guards for the __spark_entry__ query registry.
+
+The driver's correctness gate only records rows for the first ~50 entries
+of ``queries()`` dict order, so window membership must be explicit and
+pinned — round 2 lost three freshly-oracled operators when later dict-literal
+insertions silently pushed them past index 49. These tests make that class
+of regression impossible: the intended window is a named list, the emitted
+order is asserted against it, and every windowed query must have an oracle.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+
+# The exact round-3 window. Edit deliberately (and only here + in
+# __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
+EXPECTED_WINDOW = [
+    "tokenize_schema",
+    "tokenize_event_seqs",
+    "volume_shipping",
+    "promo_revenue",
+    "ship_priority_mix",
+    "decontaminate",
+    "repetition_stats",
+    "pagerank_trade",
+    "profile_events",
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "repeat_buyers_setop",
+    "patient_split_filter",
+    "agg_code_metadata",
+    "agg_all_codes",
+    "filter_patients_min_measurements",
+    "filter_patients_min_events",
+    "filter_measurements",
+    "fit_vocabulary_indices",
+    "normalization",
+    "occlude_outliers",
+    "add_time_of_day",
+    "canonical_sort_rank",
+    "dedup_keep_first",
+    "union_by_name",
+    "patient_id_harvest",
+    "dup_code_check",
+    "metadata_merge_agg",
+    "metadata_enrich_full_outer",
+    "code_construction",
+]
+
+
+def test_window_is_exactly_the_intended_first_50():
+    assert entry.CORRECTNESS_WINDOW == EXPECTED_WINDOW
+    assert list(entry.queries())[:50] == EXPECTED_WINDOW
+
+
+def test_window_is_50_unique_registered_queries():
+    assert len(EXPECTED_WINDOW) == 50
+    assert len(set(EXPECTED_WINDOW)) == 50
+    q = entry.queries()
+    missing = [n for n in EXPECTED_WINDOW if n not in q]
+    assert not missing, f"window names not registered: {missing}"
+
+
+def test_every_windowed_query_has_an_oracle():
+    # a windowed slot that the driver cannot compare verifies nothing
+    oracles = entry.oracle_sql()
+    missing = [n for n in EXPECTED_WINDOW if n not in oracles]
+    assert not missing, f"windowed queries without oracle SQL: {missing}"
+
+
+def test_registry_has_no_duplicate_or_lost_queries():
+    q = entry.queries()
+    reg = entry._registry()
+    assert set(q) == set(reg)
+    assert len(q) == len(reg)

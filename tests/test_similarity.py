@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from meds_polars_functions_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_expression,
     brute_force_topk_vectorized,
     ivf_assign,
     lsh_topk,
@@ -31,11 +32,13 @@ def queries(emb):
 
 
 def test_vectorized_matches_expression(emb, queries):
-    a = brute_force_topk(emb, queries, k=5, tie_round=9)
+    a = brute_force_topk_expression(emb, queries, k=5, tie_round=9)
     b = brute_force_topk_vectorized(emb, queries, k=5, tie_round=9)
     ra = {(r["query_id"], r["rank"]): r["vec_id"] for r in a.collect()}
     rb = {(r["query_id"], r["rank"]): r["vec_id"] for r in b.collect()}
     assert ra == rb
+    # the default export is the vectorized path
+    assert brute_force_topk is brute_force_topk_vectorized
 
 
 def test_lsh_recall_reasonable(emb, queries):

@@ -87,6 +87,44 @@ def test_nrt_sink(tmpdir, spark, meds_df):
     assert total_patients == seqs.count()
 
 
+def test_nrt_jnrt_container_roundtrip(tmpdir, spark, meds_df):
+    """Reference-reader parity: the jnrt container must load via the
+    public nested_ragged_tensors package with identical ragged content.
+    Skipped where the (optional, pure-Python) library is absent."""
+    pytest.importorskip("nested_ragged_tensors")
+    from nested_ragged_tensors.ragged_numpy import JointNestedRaggedTensorDict
+
+    from meds_polars_functions_spark.operators.tokenization import (
+        extract_seq_of_patient_events,
+    )
+
+    seqs = extract_seq_of_patient_events(meds_df, code_as_double=True, nan_fill=True)
+    out_dir = os.path.join(tmpdir, "jnrt")
+    n = write_nrt(
+        seqs.coalesce(1),
+        out_dir,
+        list_columns=["time_delta_days", "code", "numeric_value"],
+        container="jnrt",
+    )
+    files = sorted(glob.glob(os.path.join(out_dir, "*.nrt")))
+    assert len(files) == n == 1
+    loaded = JointNestedRaggedTensorDict.load(files[0])
+    rows = seqs.coalesce(1).collect()
+    dense = loaded.to_dense()
+    assert len(rows) == len(dense["time_delta_days"])
+
+
+def test_nrt_jnrt_errors_cleanly_without_library(tmpdir, spark, meds_df):
+    try:
+        import nested_ragged_tensors  # noqa: F401
+
+        pytest.skip("library present; ImportError path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="nested_ragged_tensors"):
+        write_nrt(meds_df, os.path.join(tmpdir, "x"), ["code"], container="jnrt")
+
+
 def test_pipeline_checkpoint_resume(tmpdir, spark, meds_df):
     from meds_polars_functions_spark.operators.aggregate_code_metadata import (
         aggregate_code_metadata,
