@@ -1285,6 +1285,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("id", "cluster_id")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. — the
+    O(log n)-round deep-diameter scale path) over the same Jaccard pair
+    graph; must produce cluster labels identical to min-label propagation
+    (shares the recursive-CTE oracle)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, shingle_n=3)
+    return connected_components_star(pairs).select("id", "cluster_id")
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash identical-signature buckets, portable 60-bit md5-prefix word
     hash so DuckDB can reproduce the signature bit-for-bit (dedup.simhash
@@ -2557,6 +2573,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_buckets": q_simhash_buckets,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -4371,5 +4388,7 @@ FROM (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) // 86400000000
 WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
     }
+    # the star-contraction variant must equal min-label exactly — same oracle
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
     # conditionally-available oracles (e.g. environment-dependent replays)
     return {k: v for k, v in oracles.items() if v is not None}

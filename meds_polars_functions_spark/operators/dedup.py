@@ -748,6 +748,114 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): the deep-diameter scale path for ``connected_components``.
+
+    Min-label propagation needs rounds = graph diameter; a 100 TB corpus
+    whose dup graph contains long boilerplate chains (quote threads,
+    templated mirrors) can have diameter in the thousands. Star contraction
+    converges in O(log n) rounds *independent of diameter*: each round,
+    large-star hangs every higher-id neighbor off the neighborhood min
+    (keeping the graph connected while strictly shrinking star depth), and
+    small-star re-points every lower-or-equal neighbor at that min. At
+    fixpoint the edge set IS the component map (every node points at its
+    component's min id).
+
+    Cost per round: two groupBy shuffles on node id over the (shrinking)
+    edge table plus one exceptAll convergence probe — same order as one
+    min-label round. Same output contract as ``connected_components``:
+    (id, cluster_id = min reachable id), only nodes appearing in ``pairs``.
+    Same lineage discipline: localCheckpoint every ``checkpoint_every``
+    rounds keeps plan depth O(1).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric adjacency; for each u: m = min(N(u) ∪ {u}); emit
+        # (v, m) for every strictly-larger neighbor v
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient (big -> small); for each u: m = min(N(u) ∪ {u}); emit
+        # (x, m) for x in N(u) ∪ {u}, x != m
+        o = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("mn"))
+        re_pointed = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        centers = mins.select("u", F.col("mn").alias("v"))
+        return re_pointed.unionByName(centers).distinct()
+
+    converged = False
+    for it in range(max_iterations):
+        new_edges = small_star(large_star(edges))
+        if (it + 1) % checkpoint_every == 0:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        new_edges = new_edges.persist()
+        # fixpoint probe: the paper proves the edge multiset is monotone
+        # under the potential function, but set equality is the safe check
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        edges.unpersist()
+        all_nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
+    # at fixpoint every edge is (node -> component min); component mins
+    # themselves have no outgoing edge, so re-attach them labeling self
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    out = (
+        all_nodes.join(labels, all_nodes["id"] == labels["u"], "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    all_nodes.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup (cosine)
 # ---------------------------------------------------------------------------

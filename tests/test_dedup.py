@@ -59,6 +59,33 @@ def test_connected_components_chain_bounded_plan(spark):
     assert len(plan.splitlines()) < 60, f"unbounded lineage: {len(plan.splitlines())} lines"
 
 
+def test_connected_components_star_matches_min_label(spark):
+    from meds_polars_functions_spark.operators.dedup import connected_components_star
+
+    # mixed shapes: chain, triangle w/ bridge, pair, plus high-id star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 9), (10, 11), (11, 12), (10, 12),
+         (12, 20), (100, 42), (100, 77), (100, 88)],
+        "id_a long, id_b long",
+    )
+    ml = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    st = {r["id"]: r["cluster_id"] for r in connected_components_star(pairs).collect()}
+    assert st == ml
+
+
+def test_connected_components_star_deep_chain_logn_rounds(spark):
+    from meds_polars_functions_spark.operators.dedup import connected_components_star
+
+    # 65-node chain, diameter 64: min-label would need ~64 rounds; star
+    # contraction must finish inside 12 (O(log n) independent of diameter)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 65)], "id_a long, id_b long"
+    )
+    labels = connected_components_star(pairs, max_iterations=12, checkpoint_every=3)
+    out = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert out == {i: 1 for i in range(1, 66)}
+
+
 def test_hamming_and_simhash_banding(spark):
     from meds_polars_functions_spark.operators.dedup import (
         hamming_distance,
