@@ -1430,6 +1430,26 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5).select("query_id", "vec_id", "rank")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell-bucketed embedding
+    dedup — within-cell cosine >= 0.4 pairs -> components -> keep the
+    min-id member per cluster + all unpaired vectors. Centroids are the
+    same deterministic replay as ivf_topk, so the oracle inlines them."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import semantic_dedup
+    from meds_polars_functions_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = train_ivf_centroids(
+        emb, "embedding", n_centroids=8, sample_fraction=1.0, order_col="vec_id"
+    )
+    return semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.4).select(
+        "vec_id"
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: revenue of unshipped orders per order, top-10 via
     deterministic rank (rank witness instead of LIMIT so the
@@ -1562,6 +1582,17 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = unigram_entropy(docs, "text", "doc_id")
     return out.select("doc_id", F.round("entropy", 6).alias("entropy"))
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score (mean token log-prob under
+    the corpus's own unigram distribution) — the cheap perplexity gate."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import unigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_score(docs, "text", "doc_id")
+    return out.select("doc_id", "n_tokens", F.round("lm_score", 6).alias("lm_score"))
 
 
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2581,9 +2612,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
         "unigram_entropy": q_unigram_entropy,
+        "lm_score": q_lm_score,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
@@ -2966,6 +2999,72 @@ ranked AS (
                             ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
 SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _semantic_dedup_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    dim: int = 64,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+) -> str | None:
+    """DuckDB replay of q_semantic_dedup: centroids from the SAME
+    deterministic _kmeans_lloyd (inlined as literals, like
+    _ivf_topk_oracle_sql), first-min-wins cell assignment, within-cell
+    cosine pairs, recursive-CTE components, keep min-id per cluster."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import _kmeans_lloyd
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = _kmeans_lloyd(sample, n_centroids, seed=42, n_iters=5)
+
+    def dist(vec: str, c: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}), "
+            f"i -> ({vec}[i] - ({lit})[i]) * ({vec}[i] - ({lit})[i]))), (a, b) -> a + b)"
+        )
+
+    dists = ", ".join(dist("v", c) for c in cents)
+    cell_case = " ".join(
+        f"WHEN ds[{i + 1}] = best THEN {i}" for i in range(len(cents))
+    )
+    norm = _SQL_NORM.format(v="v")
+    dot = _SQL_PAIR_DOT.format(n=dim + 1, a="a.v", b="b.v")
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+d AS (SELECT vec_id, v, [{dists}] AS ds, {norm} AS nrm FROM e),
+cellado AS (
+  SELECT vec_id, v, nrm,
+         (CASE {cell_case} END)::INT AS cell
+  FROM (SELECT vec_id, v, nrm, ds, list_reduce(ds, (a, b) -> least(a, b)) AS best FROM d)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cellado a JOIN cellado b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot} / (a.nrm * b.nrm) >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, root) AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id),
+lab AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT vec_id FROM e
+WHERE vec_id NOT IN (SELECT id FROM lab WHERE id != cluster_id)
 """
 
 
@@ -3568,6 +3667,7 @@ FROM w
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "repeated_spans": """
 WITH w AS (
   SELECT doc_id,
@@ -3909,6 +4009,18 @@ tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
 SELECT doc_id,
   round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy
 FROM tf GROUP BY doc_id
+""",
+        "lm_score": """
+WITH t AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+n AS (SELECT sum(c)::BIGINT AS N FROM c)
+SELECT doc_id, count(*) AS n_tokens,
+  round(avg(ln(c::DOUBLE / N)), 6) AS lm_score
+FROM t JOIN c USING (w) CROSS JOIN n GROUP BY doc_id
 """,
         "near_dedup": """
 WITH RECURSIVE w AS (

@@ -895,6 +895,61 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup candidate structure (Abbas et al. 2023): assign every
+    embedding to its nearest k-means centroid, then compare pairs ONLY
+    within a cell — cosine >= threshold marks semantic duplicates.
+
+    This is the piece that makes embedding dedup tractable at 100 TB:
+    the all-pairs O(n²) comparison becomes Σ|cell|² with k chosen so
+    cells fit comfortably in a partition, and the equi-join on cell id is
+    an ordinary hash join Catalyst can plan (AQE handles skewed cells).
+    Centroid literals fold into the plan map-side (no join for
+    assignment); training is the shared deterministic
+    ``similarity.train_ivf_centroids``.
+    """
+    from .similarity import _dot, _norm, ivf_assign
+
+    vecs = ivf_assign(df, vec_col, centroids).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+        "ivf_cell",
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = _dot(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Full SemDeDup: within-cell cosine pairs -> connected components ->
+    keep each cluster's min-id member plus everything unpaired. Returns
+    the deduplicated rows of ``df``. Note the cluster step runs on the
+    PAIR table (tiny), not the corpus."""
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, centroids, threshold)
+    return near_dedup_keep_canonical(df, pairs, id_col)
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     vec_col: str,

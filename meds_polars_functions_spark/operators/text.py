@@ -223,6 +223,56 @@ def unigram_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score: each document's mean
+    per-token log-probability (nats) under the corpus's own unigram
+    distribution. Common/fluent text scores high (close to 0), rare-token
+    gibberish scores low — the cheap stand-in for the KenLM perplexity
+    gate in web-corpus curation (CCNet; the Wikipedia-LM filter).
+
+    Two passes, both vocabulary-bounded: (1) global word counts — a
+    groupBy on word whose result is |vocab| rows, zipfian but tiny
+    relative to the corpus; (2) posting join (doc, word) → log-prob, then
+    per-doc mean. With ``top_k`` set, only the top-k words keep exact
+    probabilities (that table is broadcastable at any corpus size) and
+    every other token gets the floor probability 1/N — the standard
+    truncated-vocab trade that makes pass 2 shuffle-free on the count
+    side at 100 TB. Documents with zero tokens are absent from the output
+    (no distribution to score them under).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(_WORDS(F.col(text_col))).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("N"))  # one row
+    if top_k is not None:
+        kept = counts.orderBy(F.desc("c"), F.asc("w")).limit(top_k)
+        scored = (
+            words.join(F.broadcast(kept), "w", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                # OOV under the truncated vocab -> floor probability 1/N
+                F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("N")).alias("logp"),
+            )
+        )
+    else:
+        scored = (
+            words.join(counts, "w")
+            .crossJoin(F.broadcast(total))
+            .select("id", F.log(F.col("c") / F.col("N")).alias("logp"))
+        )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logp").alias("lm_score"),
+    ).select(F.col("id").alias(id_col), "n_tokens", "lm_score")
+
+
 #: (pattern, replacement) pairs applied in order by ``scrub_pii``.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

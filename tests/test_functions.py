@@ -225,6 +225,46 @@ def test_scrub_pii_patterns(spark):
     assert "2024" in out  # plain years survive
 
 
+def test_unigram_lm_score(spark):
+    import math
+
+    from meds_polars_functions_spark.operators.text import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the cat"),   # only common tokens
+            (2, "the zyxzyx"),        # one common + one hapax
+            (3, ""),                  # no tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_score(df, "text", "doc_id").collect()}
+    # corpus: the×3, cat×2, zyxzyx×1 -> N=6
+    assert 3 not in out
+    assert out[1]["n_tokens"] == 4
+    exp1 = (2 * math.log(3 / 6) + 2 * math.log(2 / 6)) / 4
+    assert abs(out[1]["lm_score"] - exp1) < 1e-9
+    exp2 = (math.log(3 / 6) + math.log(1 / 6)) / 2
+    assert abs(out[2]["lm_score"] - exp2) < 1e-9
+    # fluent doc scores higher than the one with a rare token
+    assert out[1]["lm_score"] > out[2]["lm_score"]
+
+    # truncated vocab: top-2 words keep exact probs, the hapax floors at 1/N
+    trunc = {
+        r["doc_id"]: r
+        for r in unigram_lm_score(df, "text", "doc_id", top_k=2).collect()
+    }
+    assert abs(trunc[1]["lm_score"] - exp1) < 1e-9      # all tokens in vocab
+    assert abs(trunc[2]["lm_score"] - exp2) < 1e-9      # floor 1/6 == true 1/6
+    only_common = {
+        r["doc_id"]: r
+        for r in unigram_lm_score(df, "text", "doc_id", top_k=1).collect()
+    }
+    # with top_k=1 'cat' also floors to 1/6: score must drop for doc 1
+    exp1_floor = (2 * math.log(3 / 6) + 2 * math.log(1 / 6)) / 4
+    assert abs(only_common[1]["lm_score"] - exp1_floor) < 1e-9
+
+
 def test_repetition_stats_gopher_filters(spark):
     from meds_polars_functions_spark.operators.text import repetition_stats
 

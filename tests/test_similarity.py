@@ -41,6 +41,35 @@ def test_vectorized_matches_expression(emb, queries):
     assert brute_force_topk is brute_force_topk_vectorized
 
 
+def test_semantic_dedup_single_cell_equals_brute_force(emb):
+    from meds_polars_functions_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    cents1 = train_ivf_centroids(
+        emb, "embedding", n_centroids=1, sample_fraction=1.0, order_col="vec_id"
+    )
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(emb, "embedding", "vec_id", cents1, 0.4).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.4).collect()
+    }
+    assert sem == brute  # one cell -> no pruning -> identical pair set
+
+    cents8 = train_ivf_centroids(
+        emb, "embedding", n_centroids=8, sample_fraction=1.0, order_col="vec_id"
+    )
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(emb, "embedding", "vec_id", cents8, 0.4).collect()
+    }
+    assert bucketed <= brute  # cell bucketing can only drop cross-cell pairs
+
+
 def test_lsh_recall_reasonable(emb, queries):
     exact = brute_force_topk(emb, queries, k=5, tie_round=9)
     approx = lsh_topk(emb, queries, dim=len(emb.first()["embedding"]), k=5, n_planes=4)
