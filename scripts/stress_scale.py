@@ -50,6 +50,12 @@ STRESS_QUERIES = [
     "interpolate_values",
     "scd2_priority",
     "snapshot_diff",
+    # round-3 operators: star-contraction components (edge-table rounds),
+    # unigram-LM scoring (vocab-bounded count + posting join),
+    # SemDeDup (cell-bucketed within-cell cosine)
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
     "fuzzy_name_pairs",
 ]
 

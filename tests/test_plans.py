@@ -157,3 +157,38 @@ def test_mixture_sample_is_map_side(spark, entry_mod):
     plan = plan_of(mixture_sample(docs, "source", "doc_id", {"src0": 0.5}))
     assert not re.search(r"\(\d+\) Exchange", plan)
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_lm_score_truncated_vocab_broadcasts(spark, entry_mod):
+    """With top_k set, the posting->prob lookup must be a broadcast hash
+    join (the top-k table is bounded regardless of corpus size) — never a
+    shuffle of the posting list against the full count table."""
+    from meds_polars_functions_spark.operators.text import unigram_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(unigram_lm_score(docs, "text", "doc_id", top_k=1000))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pairs_is_hash_join_on_cell(spark, entry_mod):
+    """The within-cell pair expansion must plan as an equi-join on the
+    cell id (hash-partitionable, AQE-skew-splittable) — never a nested
+    loop / cartesian plan; centroid assignment folds map-side (no join
+    before the self-join)."""
+    from meds_polars_functions_spark.operators.dedup import semantic_dedup_pairs
+    from meds_polars_functions_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = train_ivf_centroids(
+        emb, "embedding", n_centroids=4, sample_fraction=1.0, order_col="vec_id"
+    )
+    plan = plan_of(semantic_dedup_pairs(emb, "embedding", "vec_id", cents, 0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 1
