@@ -1595,6 +1595,67 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("lm_score", 6).alias("lm_score"))
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM score (Brants et al. 2007): mean token
+    log-score with alpha=0.4 unigram backoff — word *order* fluency, one
+    context step up from the unigram gate."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_score(docs, "text", "doc_id")
+    return out.select("doc_id", "n_tokens", F.round("lm_score", 6).alias("lm_score"))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-bigram log-likelihood ratio vs the
+    English subcorpus as the target domain): the data-selection score a
+    pretraining pipeline resamples by."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_weights(docs, target, "text", "doc_id", n_buckets=1024)
+    return out.select(
+        "doc_id", "n_feats", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE inner loop at merge 0: frequency-weighted
+    adjacent character-pair counts over the word-frequency table, top 20
+    in deterministic (cnt desc, pair asc) order. The full trainer
+    (operators/bpe.py bpe_train) iterates this + a native merge fold;
+    pytest proves it equal to a pure-Python Sennrich reference."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.bpe import (
+        init_symbol_table,
+        pair_counts,
+        word_freq_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tab = init_symbol_table(word_freq_table(docs, "text"))
+    return (
+        pair_counts(tab)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+def q_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: each document's
+    position in the md5(id||salt) permutation. The operator form
+    (packing.deterministic_shuffle) range-partitions the same key so the
+    permutation materializes as balanced sorted shards at 100 TB."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import shuffle_positions
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_positions(docs, "doc_id", salt="epoch0")
+
+
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized deduped corpus: exact n-gram Jaccard pairs →
     connected components → keep each cluster's min-id member + all
@@ -2617,6 +2678,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "unigram_entropy": q_unigram_entropy,
         "lm_score": q_lm_score,
+        "bigram_lm": q_bigram_lm,
+        "dsir_weights": q_dsir_weights,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
@@ -4498,6 +4563,88 @@ FROM (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) // 86400000000
              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY 1)
 WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+        "bigram_lm": """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS ws
+  FROM documents WHERE len(list_filter(string_split_regex(lower(text),
+    '[^a-z0-9'']+'), x -> x <> '')) >= 1),
+t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+uni AS (SELECT w, count(*)::BIGINT AS cu FROM t GROUP BY w),
+n AS (SELECT sum(cu)::BIGINT AS N FROM uni),
+firsts AS (SELECT doc_id, ws[1] AS w FROM d),
+bis AS (
+  SELECT doc_id,
+    unnest(list_transform(range(2, len(ws) + 1), i -> ws[i-1] || ' ' || ws[i]))
+      AS pr
+  FROM d WHERE len(ws) >= 2),
+bsp AS (SELECT doc_id, string_split(pr, ' ')[1] AS v,
+               string_split(pr, ' ')[2] AS w FROM bis),
+big AS (SELECT v, w, count(*)::BIGINT AS cb FROM bsp GROUP BY v, w),
+scored AS (
+  SELECT f.doc_id, ln(u.cu::DOUBLE / n.N) AS logp
+  FROM firsts f JOIN uni u USING (w) CROSS JOIN n
+  UNION ALL
+  SELECT b.doc_id,
+    CASE WHEN g.cb IS NOT NULL THEN ln(g.cb::DOUBLE / uv.cu)
+         ELSE ln(0.4 * uw.cu::DOUBLE / n.N) END
+  FROM bsp b
+  LEFT JOIN big g ON g.v = b.v AND g.w = b.w
+  JOIN uni uv ON uv.w = b.v
+  JOIN uni uw ON uw.w = b.w
+  CROSS JOIN n)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+        "dsir_weights": """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS ws
+  FROM documents),
+bi AS (
+  SELECT doc_id,
+    unnest(list_transform(range(2, len(ws) + 1), i -> ws[i-1] || ' ' || ws[i]))
+      AS pr
+  FROM d WHERE len(ws) >= 2),
+f AS (SELECT doc_id, ('0x' || substr(md5(pr), 1, 8))::BIGINT % 1024 AS b FROM bi),
+tgt AS (SELECT f.b FROM f JOIN documents USING (doc_id) WHERE lang = 'en'),
+cr AS (SELECT b, count(*)::BIGINT AS c_r FROM f GROUP BY b),
+ct AS (SELECT b, count(*)::BIGINT AS c_t FROM tgt GROUP BY b),
+nr AS (SELECT count(*)::BIGINT AS n_r FROM f),
+nt AS (SELECT count(*)::BIGINT AS n_t FROM tgt),
+lam AS (
+  SELECT coalesce(cr.b, ct.b) AS b,
+    ln((coalesce(c_t, 0) + 1)::DOUBLE / (n_t + 1024))
+      - ln((coalesce(c_r, 0) + 1)::DOUBLE / (n_r + 1024)) AS llr
+  FROM cr FULL OUTER JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt)
+SELECT doc_id, count(*) AS n_feats, round(avg(llr), 6) AS dsir_weight
+FROM f JOIN lam USING (b) GROUP BY doc_id
+""",
+        "bpe_pair_counts": """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '')) AS word
+  FROM documents),
+wf AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word),
+ch AS (SELECT freq, list_filter(string_split(word, ''), x -> x <> '') AS cs
+       FROM wf),
+pairs AS (
+  SELECT freq,
+    unnest(list_transform(range(2, len(cs) + 1), i -> cs[i-1] || ' ' || cs[i]))
+      AS pr
+  FROM ch WHERE len(cs) >= 2)
+SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+       sum(freq)::BIGINT AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 20
+""",
+        "shuffle_positions": """
+SELECT doc_id,
+  row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch0'), doc_id) AS pos
+FROM documents
 """,
     }
     # the star-contraction variant must equal min-label exactly — same oracle

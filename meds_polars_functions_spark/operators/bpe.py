@@ -1,0 +1,166 @@
+"""Distributed BPE tokenizer training.
+
+Beyond-reference training-data operator: learn byte-pair-encoding merges
+from a corpus, Spark-first. The classic scalable formulation (Sennrich et
+al. 2016 operate on a word-frequency dictionary, not the raw corpus):
+
+1. ONE corpus-sized shuffle builds the word-frequency table — its row
+   count is the number of *distinct* words, which is corpus-sublinear
+   (zipfian: ~10-100 M rows at 100 TB, trivially partitionable).
+2. Every merge iteration then runs over that small table only: adjacent
+   symbol-pair counts are a map-side explode + vocabulary-bounded
+   groupBy, the argmax pair is a 1-row collect, and applying the merge
+   is a per-row native `aggregate` fold (no Python, no shuffle).
+
+The iteration-state lineage is cut with ``localCheckpoint`` every
+``checkpoint_every`` merges — the same guard the connected-components
+loop uses — so a 32k-merge vocabulary doesn't build a 32k-deep plan.
+
+Greedy leftmost-first, non-overlapping merge semantics match the
+published BPE algorithm: merging ``(a, a)`` over ``a a a`` yields
+``[aa, a]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORDS = lambda c: F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda w: w != "")  # noqa: E731
+
+
+def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq): the one corpus-sized aggregation. Everything after
+    BPE setup runs on this table, never the corpus."""
+    return (
+        df.select(F.explode(_WORDS(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def init_symbol_table(words: DataFrame) -> DataFrame:
+    """(word, freq, syms): seed each word as its character sequence.
+    ``split(w, '')`` emits no empty trailing element in Spark; the filter
+    guards engine differences anyway."""
+    return words.select(
+        "word",
+        "freq",
+        F.filter(F.split("word", ""), lambda ch: ch != "").alias("syms"),
+    )
+
+
+def pair_counts(symtab: DataFrame) -> DataFrame:
+    """(a, b, cnt): frequency-weighted adjacent symbol-pair counts.
+    Map-side explode of zip(syms[:-1], syms[1:]); the groupBy output is
+    bounded by the (current) symbol vocabulary squared — in practice the
+    zipfian head, far smaller than the word table."""
+    n1 = F.size("syms") - 1
+    pairs = symtab.filter(F.size("syms") >= 2).select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, n1).alias("a"), F.slice("syms", 2, n1).alias("b")
+            )
+        ).alias("pr"),
+    )
+    return (
+        pairs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def top_pair(symtab: DataFrame) -> tuple[str, str, int] | None:
+    """Deterministic argmax pair: count desc, then (a, b) asc. 1-row
+    collect — the only driver round-trip per merge."""
+    rows = (
+        pair_counts(symtab)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0]
+    return (r["a"], r["b"], r["cnt"])
+
+
+def apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every adjacent, non-overlapping, leftmost-first (a, b)
+    occurrence in each word's symbol array with the merged symbol a+b.
+
+    A native `aggregate` fold with state (out, pending): each incoming
+    symbol either completes a merge with the pending one, flushes it, or
+    becomes the new pending symbol. Pure whole-stage-codegen expression —
+    the merge step touches no Python and shuffles nothing."""
+    merged = F.lit(a + b)
+    state = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    fold = F.aggregate(
+        "syms",
+        state,
+        lambda acc, s: F.when(
+            acc["pend"].isNull(), F.struct(acc["out"].alias("out"), s.alias("pend"))
+        )
+        .when(
+            (acc["pend"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+    )
+    return symtab.select("word", "freq", fold.alias("syms"))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges; returns (merge list in order, final
+    symbol table). Stops early when no pair repeats."""
+    symtab = init_symbol_table(word_freq_table(df, text_col))
+    symtab = symtab.localCheckpoint()  # corpus scan happens exactly once
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        best = top_pair(symtab)
+        if best is None or best[2] < 2:
+            break
+        a, b, _ = best
+        merges.append((a, b))
+        symtab = apply_merge(symtab, a, b)
+        if (i + 1) % checkpoint_every == 0:
+            symtab = symtab.localCheckpoint()
+    return merges, symtab
+
+
+def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list to new text: per-word char split, then
+    each merge in training order (the standard BPE inference rule).
+    Implemented as the same native fold per merge over a distinct-word
+    table, then joined back — encoding cost scales with distinct words,
+    not corpus rows."""
+    words = df.select(F.explode(_WORDS(F.col(text_col))).alias("word")).distinct()
+    tab = words.select(
+        "word",
+        F.lit(1).alias("freq"),
+        F.filter(F.split("word", ""), lambda ch: ch != "").alias("syms"),
+    )
+    for i, (a, b) in enumerate(merges):
+        tab = apply_merge(tab, a, b)
+        if (i + 1) % 8 == 0:
+            tab = tab.localCheckpoint()
+    return tab.select("word", "syms")

@@ -128,3 +128,45 @@ def class_balanced_sample(
         .filter(F.col("__rn__") <= n_per_class)
         .drop("__rn__")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global permutation of the corpus — the "shuffle your
+    training data" primitive. Order key is md5(id || salt): uniform,
+    engine-portable, reproducible, and re-drawable by changing the salt
+    (epoch number as salt = a fresh permutation per epoch with zero
+    stored state).
+
+    At scale this is a range-partition-then-local-sort, NOT a global
+    sort through one reducer: Spark's sort samples the md5 key space,
+    range-partitions into ``n_partitions`` balanced chunks (md5 keys are
+    uniform, so no skew by construction), and sorts each chunk locally.
+    Downstream sequential readers see the permuted order shard by shard.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("__shuffle_key__", key)
+    if n_partitions is not None:
+        out = out.repartitionByRange(n_partitions, "__shuffle_key__")
+        return out.sortWithinPartitions("__shuffle_key__").drop("__shuffle_key__")
+    return out.sort("__shuffle_key__").drop("__shuffle_key__")
+
+
+def shuffle_positions(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
+    """(id, pos): each row's 1-based position in the deterministic
+    permutation — the verifiable face of ``deterministic_shuffle`` (a
+    global row_number, driver-window-free only in test scale; production
+    readers consume the sorted shards directly and never materialize
+    positions)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (
+        df.select(F.col(id_col), key.alias("__k__"))
+        .withColumn("pos", F.row_number().over(Window.orderBy("__k__", id_col)))
+        .drop("__k__")
+    )

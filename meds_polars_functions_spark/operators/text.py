@@ -273,6 +273,172 @@ def unigram_lm_score(
     ).select(F.col("id").alias(id_col), "n_tokens", "lm_score")
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Stupid-backoff bigram LM quality score (Brants et al. 2007): each
+    document's mean per-token log-score under the corpus's own bigram
+    distribution, backing off to ``alpha``-discounted unigrams.
+
+        S(w_1)       = c(w_1) / N
+        S(w_i|w_i-1) = c(w_i-1, w_i) / c(w_i-1)      if the bigram exists
+                       alpha * c(w_i) / N            otherwise
+
+    The distributed LM estimation recipe from the "Large Language Models
+    in Machine Translation" paper — counts only, no normalization pass,
+    which is exactly why it maps onto two groupBys. One step up in
+    context from ``unigram_lm_score``: fluent word *order* now scores
+    high, shuffled bags of common words no longer do.
+
+    Shuffle profile: (1) unigram + bigram count tables — groupBys whose
+    output is vocabulary-bounded (zipfian; the bigram table is the big
+    one but still corpus-sublinear); (2) posting joins keyed on words.
+    With ``top_k``, both count tables are pruned to their top-k rows
+    (deterministic count-desc/key-asc order) and become broadcastable at
+    any corpus size — missing entries fall to the backoff/floor terms —
+    making pass 2 shuffle-free on the count side: the 100 TB shape.
+    Zero-token documents are absent from the output."""
+    docs = df.select(
+        F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") >= 1)
+    toks = docs.select("id", F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("N"))  # one row
+    # adjacent pairs: zip ws[0:n-1] with ws[1:n] (empty when size == 1)
+    n1 = F.size("ws") - 1
+    bis = docs.filter(F.size("ws") >= 2).select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, n1).alias("v"), F.slice("ws", 2, n1).alias("w")
+            )
+        ).alias("pr"),
+    ).select("id", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
+    big = bis.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+    if top_k is not None:
+        uni = uni.orderBy(F.desc("cu"), F.asc("w")).limit(top_k)
+        big = big.orderBy(F.desc("cb"), F.asc("v"), F.asc("w")).limit(top_k)
+        uni, big = F.broadcast(uni), F.broadcast(big)
+    first = (
+        docs.select("id", F.element_at("ws", 1).alias("w"))
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(total))
+        # OOV under a truncated vocab -> floor probability 1/N
+        .select("id", F.log(F.coalesce(F.col("cu"), F.lit(1)) / F.col("N")).alias("logp"))
+    )
+    uv = uni.select(F.col("w").alias("v"), F.col("cu").alias("cuv"))
+    uw = uni.select("w", F.col("cu").alias("cuw"))
+    rest = (
+        bis.join(big, ["v", "w"], "left")
+        .join(uv, "v", "left")
+        .join(uw, "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            # under top_k a kept bigram's context word may itself be pruned
+            # from the unigram table; that pair must fall to backoff, not
+            # produce a null logp that avg() would silently drop
+            F.when(
+                F.col("cb").isNotNull() & F.col("cuv").isNotNull(),
+                F.log(F.col("cb") / F.col("cuv")),
+            )
+            .otherwise(
+                F.log(F.lit(alpha) * F.coalesce(F.col("cuw"), F.lit(1)) / F.col("N"))
+            )
+            .alias("logp"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("logp").alias("lm_score"))
+        .select(F.col("id").alias(id_col), "n_tokens", "lm_score")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-domain-like its hashed n-gram profile is.
+
+    Features are word bigrams hashed into ``n_buckets`` via the
+    engine-portable md5 bucket. Two bag-of-feature distributions are
+    estimated with add-1 smoothing — p_target from the ``target`` frame
+    (the small high-quality exemplar corpus), p_raw from ``df`` — and a
+    document's weight is the mean per-feature log-likelihood ratio
+    ``avg_f [ ln p_target(f) - ln p_raw(f) ]``. Resampling raw data
+    proportional to exp(weight) tilts it toward the target domain.
+
+    Scale shape: both distributions live in a ``n_buckets``-row table
+    (fixed size, independent of corpus size — that is the entire point
+    of hashing the features), built by one map-side explode + groupBy
+    each; the ratio table is broadcast back over the raw corpus, so the
+    scoring pass is shuffle-free except the final per-doc groupBy.
+    Documents with fewer than two words have no bigram features and are
+    absent from the output."""
+    def feats(frame: DataFrame) -> DataFrame:
+        docs = frame.select(
+            F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws")
+        ).filter(F.size("ws") >= 2)
+        n1 = F.size("ws") - 1
+        pairs = docs.select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, n1).alias("v"), F.slice("ws", 2, n1).alias("w")
+                )
+            ).alias("pr"),
+        )
+        from meds_polars_functions_spark.operators.packing import _md5_bucket
+
+        return pairs.select(
+            "id",
+            _md5_bucket(
+                F.concat_ws(" ", F.col("pr.v"), F.col("pr.w")), n_buckets
+            ).alias("b"),
+        )
+
+    raw_f, tgt_f = feats(df), feats(target)
+    raw_c = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw_n = raw_f.agg(F.count(F.lit(1)).alias("Nr"))  # one row
+    tgt_n = tgt_f.agg(F.count(F.lit(1)).alias("Nt"))  # one row
+    ratio = (
+        raw_c.join(tgt_c, "b", "full_outer")
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(tgt_n))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("Nt") + F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    / (F.col("Nr") + F.lit(n_buckets))
+                )
+            ).alias("llr"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.avg("llr").alias("dsir_weight"))
+        .select(F.col("id").alias(id_col), "n_feats", "dsir_weight")
+    )
+
+
 #: (pattern, replacement) pairs applied in order by ``scrub_pii``.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -1,0 +1,258 @@
+"""Round-3 training-data operators: distributed BPE, stupid-backoff
+bigram LM, DSIR importance weights, deterministic shuffle."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.operators.bpe import (
+    apply_merge,
+    bpe_encode,
+    bpe_train,
+    init_symbol_table,
+    pair_counts,
+    word_freq_table,
+)
+from meds_polars_functions_spark.operators.packing import (
+    deterministic_shuffle,
+    shuffle_positions,
+)
+from meds_polars_functions_spark.operators.text import bigram_lm_score, dsir_weights
+
+
+# --- pure-Python reference BPE (Sennrich-style, word-freq dict) ----------
+
+
+def _ref_tokenize(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9']+", text.lower()) if w]
+
+
+def _ref_bpe_train(texts: list[str], n_merges: int):
+    vocab = Counter()
+    for t in texts:
+        vocab.update(_ref_tokenize(t))
+    symtab = {w: tuple(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in symtab.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        # same tie-break as the Spark argmax: count desc, then pair asc
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b))
+        for w, syms in list(symtab.items()):
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            symtab[w] = tuple(out)
+    return merges, symtab
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "low lower lowest",
+    "low low low newer newest",
+    "a banana and a bandana",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, symtab = bpe_train(df, "text", n_merges=8, checkpoint_every=3)
+    ref_merges, ref_symtab = _ref_bpe_train(CORPUS, 8)
+    assert merges == ref_merges
+    got = {r["word"]: tuple(r["syms"]) for r in symtab.collect()}
+    assert got == ref_symtab
+
+
+def test_apply_merge_overlapping_greedy(spark):
+    tab = spark.createDataFrame(
+        [("aaa", 1, ["a", "a", "a"]), ("abab", 1, ["a", "b", "a", "b"])],
+        "word string, freq long, syms array<string>",
+    )
+    out = {r["word"]: r["syms"] for r in apply_merge(tab, "a", "a").collect()}
+    assert out["aaa"] == ["aa", "a"]  # leftmost-first, non-overlapping
+    out2 = {r["word"]: r["syms"] for r in apply_merge(tab, "a", "b").collect()}
+    assert out2["abab"] == ["ab", "ab"]
+
+
+def test_pair_counts_weighted_by_freq(spark):
+    df = spark.createDataFrame([("ab ab ab cd",)], "text string")
+    tab = init_symbol_table(word_freq_table(df, "text"))
+    counts = {(r["a"], r["b"]): r["cnt"] for r in pair_counts(tab).collect()}
+    assert counts[("a", "b")] == 3
+    assert counts[("c", "d")] == 1
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, symtab = bpe_train(df, "text", n_merges=6)
+    enc = {r["word"]: tuple(r["syms"]) for r in bpe_encode(df, "text", merges).collect()}
+    final = {r["word"]: tuple(r["syms"]) for r in symtab.collect()}
+    assert enc == final  # encoding the training corpus reproduces training state
+
+
+# --- bigram stupid-backoff LM --------------------------------------------
+
+
+def _ref_bigram_lm(texts: list[tuple[int, str]], alpha=0.4):
+    toks = {i: _ref_tokenize(t) for i, t in texts}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter(
+        (v, w) for ws in toks.values() for v, w in zip(ws, ws[1:])
+    )
+    N = sum(uni.values())
+    out = {}
+    for i, ws in toks.items():
+        if not ws:
+            continue
+        lps = [math.log(uni[ws[0]] / N)]
+        for v, w in zip(ws, ws[1:]):
+            if (v, w) in big:
+                lps.append(math.log(big[(v, w)] / uni[v]))
+            else:
+                lps.append(math.log(alpha * uni[w] / N))
+        out[i] = (len(lps), sum(lps) / len(lps))
+    return out
+
+
+def test_bigram_lm_score_matches_reference(spark):
+    rows = [(i, t) for i, t in enumerate(CORPUS + ["zzz unseen pair cat mat", ""])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_score"])
+        for r in bigram_lm_score(df, "text", "doc_id").collect()
+    }
+    ref = _ref_bigram_lm(rows)
+    assert set(got) == set(ref)  # empty doc absent from both
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-9)
+
+
+def test_bigram_lm_top_k_floors_oov(spark):
+    rows = [(i, t) for i, t in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_lm_score(df, "text", "doc_id", top_k=3).collect()
+    # all docs still scored, scores finite (no null-dropped tokens)
+    assert len(out) == len(CORPUS)
+    ref = _ref_bigram_lm(rows)
+    for r in out:
+        assert r["n_tokens"] == ref[r["doc_id"]][0]
+        assert r["lm_score"] is not None and math.isfinite(r["lm_score"])
+
+
+# --- DSIR importance weights ---------------------------------------------
+
+
+def _md5_bucket_py(s: str, n: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+
+
+def _ref_dsir(raw, target, n_buckets=64):
+    def feats(rows):
+        out = {}
+        for i, t in rows:
+            ws = _ref_tokenize(t)
+            out[i] = [
+                _md5_bucket_py(f"{v} {w}", n_buckets) for v, w in zip(ws, ws[1:])
+            ]
+        return {i: f for i, f in out.items() if f}
+
+    rf, tf = feats(raw), feats(target)
+    cr = Counter(b for f in rf.values() for b in f)
+    ct = Counter(b for f in tf.values() for b in f)
+    Nr, Nt = sum(cr.values()), sum(ct.values())
+    lam = {
+        b: math.log((ct.get(b, 0) + 1) / (Nt + n_buckets))
+        - math.log((cr.get(b, 0) + 1) / (Nr + n_buckets))
+        for b in set(cr) | set(ct)
+    }
+    return {
+        i: (len(f), sum(lam[b] for b in f) / len(f)) for i, f in rf.items()
+    }
+
+
+def test_dsir_weights_match_reference(spark):
+    raw = [(i, t) for i, t in enumerate(CORPUS + ["single", ""])]
+    target = [(100, "the cat sat low"), (101, "newer newest banana")]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_weight"])
+        for r in dsir_weights(raw_df, tgt_df, "text", "doc_id", n_buckets=64).collect()
+    }
+    ref = _ref_dsir(raw, target, 64)
+    assert set(got) == set(ref)  # <2-word docs absent
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-9)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    raw_rows = [(0, "the cat sat on the mat"), (1, "qqq www eee rrr ttt yyy")]
+    tgt_rows = [(9, "the cat sat on a mat")]
+    raw_df = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(raw_df, tgt_df, "text", "doc_id", n_buckets=256).collect()
+    }
+    assert got[0] > got[1]
+
+
+# --- deterministic shuffle -----------------------------------------------
+
+
+def test_deterministic_shuffle_is_permutation_and_reproducible(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", salt="e1").collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", salt="e1").collect()]
+    c = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", salt="e2").collect()]
+    assert a == b  # reproducible
+    assert sorted(a) == list(range(500))  # a permutation
+    assert a != c  # new salt, new permutation
+    assert a != list(range(500))  # actually shuffled
+
+
+def test_deterministic_shuffle_range_partitioned_matches_global_sort(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    glob = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", "s").collect()]
+    part = deterministic_shuffle(df, "doc_id", "s", n_partitions=8)
+    # concatenating range partitions in order reproduces the global order
+    got = [r["doc_id"] for r in part.toLocalIterator()]
+    assert got == glob
+
+
+def test_shuffle_positions_match_python_md5_order(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["pos"] for r in shuffle_positions(df, "doc_id", "s").collect()}
+    ref_order = sorted(
+        range(100), key=lambda i: (hashlib.md5(f"{i}s".encode()).hexdigest(), i)
+    )
+    ref = {i: p + 1 for p, i in enumerate(ref_order)}
+    assert got == ref

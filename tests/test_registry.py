@@ -96,3 +96,28 @@ def test_registry_has_no_duplicate_or_lost_queries():
     reg = entry._registry()
     assert set(q) == set(reg)
     assert len(q) == len(reg)
+
+
+def test_windowed_queries_are_canonicalizer_safe(spark):
+    """The driver canonicalizes results with pandas ``sort_values``, which
+    raises ``TypeError: unhashable type`` on list/map/struct cells — a
+    windowed query returning a complex-typed column can NEVER go green
+    (round-2 tokenize_schema/tokenize_event_seqs regression). Pin that
+    every window slot emits only atomic columns. Schema-only: builds each
+    plan at sf0.001 without executing it (cheap), except queries that
+    materialize driver-side state at build time, which still run small."""
+    from pyspark.sql import types as T
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    offenders = {}
+    for name in EXPECTED_WINDOW:
+        schema = qs[name](spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
