@@ -294,55 +294,72 @@ def bigram_lm_score(
     context from ``unigram_lm_score``: fluent word *order* now scores
     high, shuffled bags of common words no longer do.
 
-    Shuffle profile: (1) unigram + bigram count tables — groupBys whose
-    output is vocabulary-bounded (zipfian; the bigram table is the big
-    one but still corpus-sublinear); (2) posting joins keyed on words.
+    Everything derives from ONE token-pair stream — per document, the
+    array [(null, w_1), (w_1, w_2), ..., (w_n-1, w_n)] exploded map-side
+    (a single Generate; a null context marks the first token). The
+    stream feeds three consumers: unigram counts (groupBy w), bigram
+    counts (groupBy v,w — both vocabulary-bounded, zipfian,
+    corpus-sublinear), and the scoring joins — so the corpus is scanned
+    the count-then-score floor of 3 times, never per-table. N is folded
+    from the unigram table (vocab-sized), not a fourth corpus pass.
+
     With ``top_k``, both count tables are pruned to their top-k rows
     (deterministic count-desc/key-asc order) and become broadcastable at
     any corpus size — missing entries fall to the backoff/floor terms —
-    making pass 2 shuffle-free on the count side: the 100 TB shape.
-    Zero-token documents are absent from the output."""
-    docs = df.select(
-        F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws")
-    ).filter(F.size("ws") >= 1)
-    toks = docs.select("id", F.explode("ws").alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    total = uni.agg(F.sum("cu").alias("N"))  # one row
-    # adjacent pairs: zip ws[0:n-1] with ws[1:n] (empty when size == 1)
+    making the scoring pass shuffle-free on the count side: the 100 TB
+    shape. Zero-token documents are absent from the output."""
     n1 = F.size("ws") - 1
-    bis = docs.filter(F.size("ws") >= 2).select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("ws", 1, n1).alias("v"), F.slice("ws", 2, n1).alias("w")
+    pairs_arr = F.concat(
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("v"),
+                F.element_at("ws", 1).alias("w"),
             )
-        ).alias("pr"),
-    ).select("id", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
-    big = bis.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+        ),
+        F.arrays_zip(F.slice("ws", 1, n1).alias("v"), F.slice("ws", 2, n1).alias("w")),
+    )
+    stream = (
+        df.select(F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws"))
+        .filter(F.size("ws") >= 1)
+        .select("id", F.explode(pairs_arr).alias("pr"))
+        .select("id", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
+    )
+    uni = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # uni feeds THREE consumers (total, context join, word join) on two
+    # different keys — exchange reuse can't fold those, so without
+    # materialization each consumer re-scans the corpus. The table is
+    # vocabulary-bounded (small at any corpus size); a lazy local
+    # checkpoint computes it once and serves all three.
+    uni = uni.localCheckpoint(eager=False)
+    big = (
+        stream.filter(F.col("v").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    total = uni.agg(F.sum("cu").alias("N"))  # folded from the vocab table
     if top_k is not None:
         uni = uni.orderBy(F.desc("cu"), F.asc("w")).limit(top_k)
         big = big.orderBy(F.desc("cb"), F.asc("v"), F.asc("w")).limit(top_k)
         uni, big = F.broadcast(uni), F.broadcast(big)
-    first = (
-        docs.select("id", F.element_at("ws", 1).alias("w"))
-        .join(uni, "w", "left")
-        .crossJoin(F.broadcast(total))
-        # OOV under a truncated vocab -> floor probability 1/N
-        .select("id", F.log(F.coalesce(F.col("cu"), F.lit(1)) / F.col("N")).alias("logp"))
-    )
     uv = uni.select(F.col("w").alias("v"), F.col("cu").alias("cuv"))
     uw = uni.select("w", F.col("cu").alias("cuw"))
-    rest = (
-        bis.join(big, ["v", "w"], "left")
-        .join(uv, "v", "left")
+    scored = (
+        stream.join(big, ["v", "w"], "left")
+        .join(uv, "v", "left")  # null v (first token) never matches
         .join(uw, "w", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "id",
-            # under top_k a kept bigram's context word may itself be pruned
-            # from the unigram table; that pair must fall to backoff, not
-            # produce a null logp that avg() would silently drop
+            # first token: plain unigram prob (OOV under a truncated
+            # vocab floors to 1/N). A bigram hit needs BOTH cb and cuv —
+            # under top_k a kept bigram's context word may itself be
+            # pruned; that pair must fall to backoff, not produce a null
+            # logp that avg() would silently drop.
             F.when(
+                F.col("v").isNull(),
+                F.log(F.coalesce(F.col("cuw"), F.lit(1)) / F.col("N")),
+            )
+            .when(
                 F.col("cb").isNotNull() & F.col("cuv").isNotNull(),
                 F.log(F.col("cb") / F.col("cuv")),
             )
@@ -353,8 +370,7 @@ def bigram_lm_score(
         )
     )
     return (
-        first.unionByName(rest)
-        .groupBy("id")
+        scored.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("logp").alias("lm_score"))
         .select(F.col("id").alias(id_col), "n_tokens", "lm_score")
     )
@@ -411,8 +427,10 @@ def dsir_weights(
     raw_f, tgt_f = feats(df), feats(target)
     raw_c = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt_c = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    raw_n = raw_f.agg(F.count(F.lit(1)).alias("Nr"))  # one row
-    tgt_n = tgt_f.agg(F.count(F.lit(1)).alias("Nt"))  # one row
+    # totals fold from the n_buckets-row count tables — never a second
+    # corpus pass
+    raw_n = raw_c.agg(F.sum("cr").alias("Nr"))  # one row
+    tgt_n = tgt_c.agg(F.sum("ct").alias("Nt"))  # one row
     ratio = (
         raw_c.join(tgt_c, "b", "full_outer")
         .crossJoin(F.broadcast(raw_n))
