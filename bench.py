@@ -55,6 +55,10 @@ HEADLINE = [
 TRACKED = [
     "repeated_spans",
     "pagerank_trade",
+    # round-3 additions (not in the frozen headline baseline)
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
 ]
 
 

@@ -56,6 +56,13 @@ STRESS_QUERIES = [
     "dedup_clusters_star",
     "lm_score",
     "semantic_dedup",
+    # round-3 late additions: bigram backoff LM (token-pair stream +
+    # vocab-bounded counts), DSIR (fixed-size bucket ratio table),
+    # BPE pair counting (word-freq-table-bounded), global shuffle rank
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "shuffle_positions",
     "fuzzy_name_pairs",
 ]
 
