@@ -1286,18 +1286,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-star/small-star connected components (Kiveris et al. — the
-    O(log n)-round deep-diameter scale path) over the same Jaccard pair
-    graph; must produce cluster labels identical to min-label propagation
-    (shares the recursive-CTE oracle)."""
+    """The full 100 TB near-dedup composition: MinHash-LSH candidate
+    pairs (portable hash mode) -> exact-Jaccard verify -> large-star/
+    small-star connected components (Kiveris et al. — O(log n) rounds
+    independent of graph diameter). Label equality with min-label
+    propagation is pinned by pytest; the oracle replays the minhash
+    pipeline + a recursive CTE. The pair source is the LSH scale path,
+    NOT the deliberately-quadratic exact posting join `dedup_clusters`
+    uses as its small-scale reference."""
     _prep(spark)
     from meds_polars_functions_spark.operators.dedup import (
         connected_components_star,
-        ngram_jaccard_pairs,
+        minhash_dedup_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4, shingle_n=3)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5, portable=True)
     return connected_components_star(pairs).select("id", "cluster_id")
 
 
@@ -1642,6 +1646,18 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval: score every document against a
+    3-term query. Posting explode filters to the query terms BEFORE the
+    shuffle; df/N/avg_len are broadcast scalars."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["spark", "window", "merge"], "text", "doc_id")
+    return out.select("doc_id", F.round("bm25", 6).alias("bm25"))
 
 
 def q_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2681,6 +2697,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "dsir_weights": q_dsir_weights,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bm25_search": q_bm25_search,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
@@ -2780,20 +2797,21 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB replay of q_minhash_near_dup (portable mode): same seeded
-    universal-hash coefficients (inlined as literals), same md5-60bit
-    shingle hash, band equality on the raw 4-long signature slice (the
-    Spark side buckets by crc32 of the slice — a pure bucket-key choice
-    that cannot change the verified output short of a 2^-32 collision),
-    then exact Jaccard over the hashed shingle sets."""
+def _minhash_pairs_cte() -> str:
+    """The shared DuckDB CTE chain replaying the portable-mode minhash
+    pipeline up through ``ver`` (verified candidate pairs with exact
+    Jaccard): same seeded universal-hash coefficients (inlined as
+    literals), same md5-60bit shingle hash, band equality on the raw
+    4-long signature slice (the Spark side buckets by crc32 of the
+    slice — a pure bucket-key choice that cannot change the verified
+    output short of a 2^-32 collision). Composed by both
+    _minhash_oracle_sql and _dedup_clusters_star_oracle_sql."""
     from meds_polars_functions_spark.operators.dedup import _hash_params
 
     params = _hash_params(64, 42)
     a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
     b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
   FROM documents),
@@ -2825,8 +2843,32 @@ ver AS (
     len(list_distinct(list_intersect(ha.h, hb.h)))::DOUBLE
       / len(list_distinct(list_concat(ha.h, hb.h))) AS jaccard
   FROM cand JOIN hs ha ON cand.id_a = ha.doc_id
-            JOIN hs hb ON cand.id_b = hb.doc_id)
+            JOIN hs hb ON cand.id_b = hb.doc_id)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of q_minhash_near_dup — see _minhash_pairs_cte."""
+    return f"""
+WITH {_minhash_pairs_cte()}
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+def _dedup_clusters_star_oracle_sql() -> str:
+    """DuckDB replay of q_dedup_clusters_star: the minhash pair pipeline
+    (_minhash_pairs_cte) followed by a recursive-CTE component labeling —
+    min reachable id per node, nodes appearing in a pair only."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+pr AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION SELECT id_b, id_a FROM pr),
+reach(id, root) AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id)
+SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -4646,8 +4688,30 @@ SELECT doc_id,
   row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch0'), doc_id) AS pos
 FROM documents
 """,
+        "bm25_search": """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS ws
+  FROM documents),
+lens AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS N, avg(dl) AS avg_dl FROM lens),
+t AS (SELECT doc_id, unnest(ws) AS t FROM d),
+tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf FROM t
+  WHERE t IN ('spark', 'window', 'merge') GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (N - df + 0.5) / (df + 0.5))
+      * (tf * 2.2)
+      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg_dl)) AS s
+  FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored GROUP BY doc_id
+""",
     }
-    # the star-contraction variant must equal min-label exactly — same oracle
-    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    # star-contraction clusters run over the minhash pair source (the
+    # scale composition), so they get their own pipeline-replay oracle
+    oracles["dedup_clusters_star"] = _dedup_clusters_star_oracle_sql()
     # conditionally-available oracles (e.g. environment-dependent replays)
     return {k: v for k, v in oracles.items() if v is not None}

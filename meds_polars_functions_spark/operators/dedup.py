@@ -705,6 +705,16 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
+    # convergence probe: per-node labels only ever DECREASE under
+    # min-label propagation, so the label sum is strictly monotone until
+    # the fixpoint — sum unchanged ⟺ no label changed. One partial-agg
+    # job per round instead of the labels⋈labels diff join it replaces
+    # (that join was ~half the per-round job count on small graphs).
+    # decimal(38,0) keeps the sum exact far past long overflow.
+    def _label_sum(l: DataFrame):
+        return l.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for it in range(max_iterations):
         neighbor_min = (
@@ -725,18 +735,13 @@ def connected_components(
             # cut lineage so plan depth is bounded regardless of diameter
             new_labels = new_labels.localCheckpoint(eager=True)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        s = _label_sum(new_labels)  # also materializes the persist
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if s == prev_sum:
             converged = True
             break
+        prev_sum = s
     edges.unpersist()
     if not converged:
         # silent partial convergence would hand back one component under
@@ -819,23 +824,33 @@ def connected_components_star(
         centers = mins.select("u", F.col("mn").alias("v"))
         return re_pointed.unionByName(centers).distinct()
 
+    # order-insensitive set signature (count, sum of per-edge hashes):
+    # equal signatures on two DISTINCT edge sets mean set equality up to a
+    # ~2^-64 per-round hash-collision chance — the probe is one partial-agg
+    # job instead of the two exceptAll shuffle joins it replaces (those
+    # dominated wall-clock: ~2 extra jobs x O(log n) rounds over a table
+    # that is tiny by then)
+    def _sig(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_sig = _sig(edges)
     converged = False
     for it in range(max_iterations):
         new_edges = small_star(large_star(edges))
         if (it + 1) % checkpoint_every == 0:
             new_edges = new_edges.localCheckpoint(eager=True)
         new_edges = new_edges.persist()
-        # fixpoint probe: the paper proves the edge multiset is monotone
-        # under the potential function, but set equality is the safe check
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
+        sig = _sig(new_edges)  # also materializes the persist
         edges.unpersist()
         edges = new_edges
-        if changed == 0:
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
     if not converged:
         edges.unpersist()
         all_nodes.unpersist()
@@ -901,6 +916,8 @@ def semantic_dedup_pairs(
     id_col: str,
     centroids: list[list[float]],
     threshold: float = 0.9,
+    vectorized: bool = True,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup candidate structure (Abbas et al. 2023): assign every
     embedding to its nearest k-means centroid, then compare pairs ONLY
@@ -908,12 +925,22 @@ def semantic_dedup_pairs(
 
     This is the piece that makes embedding dedup tractable at 100 TB:
     the all-pairs O(n²) comparison becomes Σ|cell|² with k chosen so
-    cells fit comfortably in a partition, and the equi-join on cell id is
-    an ordinary hash join Catalyst can plan (AQE handles skewed cells).
+    cells fit comfortably in a partition (k ≈ n / target_cell_size —
+    scale k WITH the corpus, a fixed k degrades quadratically).
     Centroid literals fold into the plan map-side (no join for
     assignment); training is the shared deterministic
     ``similarity.train_ivf_centroids``.
-    """
+
+    ``vectorized`` (default): the within-cell compare runs as one
+    Arrow-batched ``applyInPandas`` per cell doing blockwise float64
+    matmul — Σ|cell|² multiply-adds through BLAS instead of Spark's
+    interpreted per-pair array fold (the 16× stress run measured the
+    fold path ~10× slower end-to-end). ``block_rows`` bounds each
+    score-matrix block to block_rows × |cell| so memory stays flat for
+    big cells. The expression-join path remains as the
+    ``vectorized=False`` reference; both emit identical pairs (float64
+    sum-order differences only matter for a cosine within ~1e-14 of the
+    threshold)."""
     from .similarity import _dot, _norm, ivf_assign
 
     vecs = ivf_assign(df, vec_col, centroids).select(
@@ -922,16 +949,55 @@ def semantic_dedup_pairs(
         _norm(F.col(vec_col)).alias("n"),
         "ivf_cell",
     )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    dot = _dot(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (dot / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+    if not vectorized:
+        a, b = vecs.alias("a"), vecs.alias("b")
+        dot = _dot(F.col("a.v"), F.col("b.v"))
+        return (
+            a.join(b, (F.col("a.ivf_cell") == F.col("b.ivf_cell")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (dot / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-        .filter(F.col("cosine") >= threshold)
+
+    import numpy as np
+    import pandas as pd
+
+    id_dt = vecs.schema["id"].dataType.simpleString()
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.array([], dtype=np.float64)}
+            )
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        a_out, b_out, c_out = [], [], []
+        col_idx = np.arange(n)
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            S = (M[s:e] @ M.T) / np.outer(nrm[s:e], nrm)
+            mask = (S >= thr) & (col_idx[None, :] > np.arange(s, e)[:, None])
+            r, c = np.nonzero(mask)
+            a_out.append(ids[r + s])
+            b_out.append(ids[c])
+            c_out.append(S[r, c])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "cosine": np.concatenate(c_out),
+            }
+        )
+
+    return vecs.select("id", "v", "ivf_cell").groupBy("ivf_cell").applyInPandas(
+        cell_pairs, f"id_a {id_dt}, id_b {id_dt}, cosine double"
     )
 
 
@@ -941,12 +1007,15 @@ def semantic_dedup(
     id_col: str,
     centroids: list[list[float]],
     threshold: float = 0.9,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Full SemDeDup: within-cell cosine pairs -> connected components ->
     keep each cluster's min-id member plus everything unpaired. Returns
     the deduplicated rows of ``df``. Note the cluster step runs on the
     PAIR table (tiny), not the corpus."""
-    pairs = semantic_dedup_pairs(df, vec_col, id_col, centroids, threshold)
+    pairs = semantic_dedup_pairs(
+        df, vec_col, id_col, centroids, threshold, vectorized=vectorized
+    )
     return near_dedup_keep_canonical(df, pairs, id_col)
 
 

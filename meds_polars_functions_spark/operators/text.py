@@ -457,6 +457,70 @@ def dsir_weights(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms —
+    the classic lexical retrieval scorer (Robertson & Zaragoza 2009),
+    Lucene idf form: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: the posting explode filters to the query's terms BEFORE
+    the shuffle (a handful of terms -> the (doc, term) exchange carries
+    only matching tokens, not the corpus vocabulary); document lengths
+    are a map-side projection aggregated per doc; N, avg_len and the
+    per-term df table are all tiny and broadcast. Only documents
+    containing at least one query term appear in the output."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    docs = df.select(F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws"))
+    lens = docs.select("id", F.size("ws").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avg_dl")
+    )  # one row
+    tf = (
+        docs.select(
+            "id",
+            F.explode(
+                F.filter("ws", lambda w: F.array_contains(terms, w))
+            ).alias("t"),
+        )
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        # lens is corpus-sized — never broadcast it; the inner join keys
+        # on the (small) matching-doc side and AQE picks the strategy
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avg_dl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("s").alias("bm25"))
+        .select(F.col("id").alias(id_col), "bm25")
+    )
+
+
 #: (pattern, replacement) pairs applied in order by ``scrub_pii``.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

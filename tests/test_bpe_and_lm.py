@@ -256,3 +256,42 @@ def test_shuffle_positions_match_python_md5_order(spark):
     )
     ref = {i: p + 1 for p, i in enumerate(ref_order)}
     assert got == ref
+
+
+# --- BM25 -----------------------------------------------------------------
+
+
+def _ref_bm25(rows, terms, k1=1.2, b=0.75):
+    toks = {i: _ref_tokenize(t) for i, t in rows}
+    lens = {i: len(ws) for i, ws in toks.items()}
+    N = len(lens)
+    avg = sum(lens.values()) / N
+    tf = {i: Counter(w for w in ws if w in terms) for i, ws in toks.items()}
+    dfreq = Counter(t for c in tf.values() for t in c)
+    out = {}
+    for i, c in tf.items():
+        if not c:
+            continue
+        s = 0.0
+        for t, f in c.items():
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * lens[i] / avg))
+        out[i] = s
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    from meds_polars_functions_spark.operators.text import bm25_scores
+
+    rows = [(i, t) for i, t in enumerate(CORPUS + ["cat cat cat cat", "nothing here"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["cat", "low", "banana"], "text", "doc_id").collect()
+    }
+    ref = _ref_bm25(rows, {"cat", "low", "banana"})
+    assert set(got) == set(ref)  # docs without query terms absent
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-9)
+    # more occurrences of a term => higher score, saturating
+    assert got[5] > got[0]  # "cat cat cat cat" beats one-cat doc

@@ -188,7 +188,20 @@ def test_semantic_dedup_pairs_is_hash_join_on_cell(spark, entry_mod):
     cents = train_ivf_centroids(
         emb, "embedding", n_centroids=4, sample_fraction=1.0, order_col="vec_id"
     )
-    plan = plan_of(semantic_dedup_pairs(emb, "embedding", "vec_id", cents, 0.5))
+    # reference (expression-join) path: an equi-join on cell, never a
+    # cartesian/nested-loop plan
+    plan = plan_of(
+        semantic_dedup_pairs(emb, "embedding", "vec_id", cents, 0.5, vectorized=False)
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Join") >= 1
+    # default (vectorized) path: ONE exchange on the cell id feeding an
+    # Arrow-grouped matmul kernel — no join, no cartesian anything
+    vplan = plan_of(semantic_dedup_pairs(emb, "embedding", "vec_id", cents, 0.5))
+    assert "FlatMapGroupsInPandas" in vplan
+    assert "CartesianProduct" not in vplan
+    assert "Join" not in vplan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", vplan)) == 1
