@@ -40,23 +40,33 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # re-joined every iteration — never re-derive the distinct
     )
-    # edges pre-partitioned on the per-iteration join key, cached once
-    e = e.repartition("src").persist()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    # fold the degree into the edge table ONCE, pre-partitioned on the
+    # per-iteration join key — the loop then never touches out_deg again
+    # (the old shape re-ran the degree agg twice per iteration)
+    e_deg = (
+        e.join(out_deg.withColumnRenamed("node", "src"), "src")
+        .repartition("src")
+        .persist()
+    )
+    # dangling membership is STATIC (no out-edges); only its mass moves
+    dangling_nodes = nodes.join(
+        out_deg, "node", "left_anti"
+    ).persist()
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
 
     for it in range(n_iter):
-        with_deg = ranks.join(out_deg, "node", "left")
         # mass sitting on dangling nodes this round (one-row broadcast)
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling__")
         )
         contrib = (
-            with_deg.join(e, with_deg.node == e.src)
+            ranks.join(e_deg, ranks.node == e_deg.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("__c__"),
@@ -84,5 +94,7 @@ def pagerank(
         old = ranks
         ranks = new_ranks.persist()
         old.unpersist()
-    e.unpersist()
+    e_deg.unpersist()
+    dangling_nodes.unpersist()
+    nodes.unpersist()
     return ranks
