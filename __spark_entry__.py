@@ -1648,6 +1648,57 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_weights(n: int = 256, seed: int = 7) -> list[float]:
+    """Deterministic stand-in for offline-trained classifier weights —
+    generated identically at query time and oracle-build time."""
+    import numpy as np
+
+    return np.random.default_rng(seed).uniform(-2, 2, n).tolist()
+
+
+def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference (text.py
+    hashed_linear_score): unigram+bigram md5-bucket features, mean
+    bucket weight, sigmoid — entirely map-side, zero shuffle."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_linear_score(docs, "text", "doc_id", _clf_weights(), bias=0.1)
+    return out.select("doc_id", F.round("clf_score", 6).alias("clf_score"))
+
+
+def _clf_score_oracle_sql() -> str:
+    w = _clf_weights()
+    w_lit = "[" + ",".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+    n = len(w)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    list_concat(
+      ws,
+      CASE WHEN len(ws) >= 2 THEN
+        list_transform(range(2, len(ws) + 1), i -> ws[i-1] || ' ' || ws[i])
+      ELSE [] END) AS feats
+  FROM d WHERE len(ws) >= 1),
+s AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(feats, g ->
+          ({w_lit})[(('0x' || substr(md5(g), 1, 8))::BIGINT % {n})::INT + 1])),
+      (a, b) -> a + b) / len(feats) AS mean_w
+  FROM f)
+SELECT doc_id, round(1.0 / (1.0 + exp(-(0.1 + mean_w))), 6) AS clf_score
+FROM s
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical retrieval: score every document against a
     3-term query. Posting explode filters to the query terms BEFORE the
@@ -2698,6 +2749,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bm25_search": q_bm25_search,
+        "clf_score": q_clf_score,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
@@ -4713,5 +4765,6 @@ SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored GROUP BY doc_id
     # star-contraction clusters run over the minhash pair source (the
     # scale composition), so they get their own pipeline-replay oracle
     oracles["dedup_clusters_star"] = _dedup_clusters_star_oracle_sql()
+    oracles["clf_score"] = _clf_score_oracle_sql()
     # conditionally-available oracles (e.g. environment-dependent replays)
     return {k: v for k, v in oracles.items() if v is not None}

@@ -521,6 +521,45 @@ def bm25_scores(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """fastText-style linear text classifier inference (Joulin et al.
+    2017): features are word unigrams + bigrams hashed into
+    ``len(weights)`` buckets, the document representation is the MEAN of
+    the bucket weights, and the score is the sigmoid of (bias + mean) —
+    a quality/domain classifier head applied at corpus scale.
+
+    Entirely map-side: the weight vector folds into the plan as a
+    literal array, feature hashing and the mean are per-row array
+    expressions, so scoring 100 TB is a single scan with zero shuffle
+    and zero Python. (Training happens offline — pass the learned
+    weights in.) Documents with no words are absent from the output."""
+    from meds_polars_functions_spark.operators.packing import _md5_bucket
+
+    n = len(weights)
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    ws = _WORDS(F.col(text_col))
+    docs = df.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") >= 1)
+    n1 = F.size("ws") - 1
+    bigrams = F.zip_with(
+        F.slice("ws", 1, n1), F.slice("ws", 2, n1), lambda v, w: F.concat_ws(" ", v, w)
+    )
+    feats = F.concat(F.col("ws"), bigrams)
+    mean_w = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, f: acc + F.element_at(w_arr, (_md5_bucket(f, n) + 1).cast("int")),
+    ) / F.size(feats)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + mean_w)))
+    return docs.select(id_col, score.alias(out_col))
+
+
 #: (pattern, replacement) pairs applied in order by ``scrub_pii``.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

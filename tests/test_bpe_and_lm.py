@@ -295,3 +295,37 @@ def test_bm25_matches_reference(spark):
         assert got[k] == pytest.approx(ref[k], rel=1e-9)
     # more occurrences of a term => higher score, saturating
     assert got[5] > got[0]  # "cat cat cat cat" beats one-cat doc
+
+
+# --- hashed linear classifier --------------------------------------------
+
+
+def _ref_linear_score(rows, weights, bias):
+    out = {}
+    n = len(weights)
+    for i, t in rows:
+        ws = _ref_tokenize(t)
+        if not ws:
+            continue
+        feats = ws + [f"{v} {w}" for v, w in zip(ws, ws[1:])]
+        mean_w = sum(weights[_md5_bucket_py(f, n)] for f in feats) / len(feats)
+        out[i] = 1.0 / (1.0 + math.exp(-(bias + mean_w)))
+    return out
+
+
+def test_hashed_linear_score_matches_reference(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.text import hashed_linear_score
+
+    rows = [(i, t) for i, t in enumerate(CORPUS + ["single", ""])]
+    weights = np.random.default_rng(3).uniform(-2, 2, 64).tolist()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clf_score"]
+        for r in hashed_linear_score(df, "text", "doc_id", weights, bias=0.25).collect()
+    }
+    ref = _ref_linear_score(rows, weights, 0.25)
+    assert set(got) == set(ref)  # zero-word doc absent
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-9)

@@ -127,3 +127,46 @@ def test_minhash_approximates_jaccard(spark):
     assert abs(ab_true - ab_est) < 0.2
     ac_est = sig_sim(rows["a"]["sig"], rows["c"]["sig"])
     assert ac_est < 0.2
+
+
+# --- BPE merge fold ------------------------------------------------------
+
+
+def _py_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out, pend = [], None
+    for s in syms:
+        if pend is None:
+            pend = s
+        elif pend == a and s == b:
+            out.append(a + b)
+            pend = None
+        else:
+            out.append(pend)
+            pend = s
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+sym = st.sampled_from(["a", "b", "c", "ab", "ba"])
+
+
+@given(
+    st.lists(st.lists(sym, min_size=0, max_size=8), min_size=1, max_size=12),
+    sym,
+    sym,
+)
+def test_bpe_apply_merge_matches_python_greedy(spark, words, a, b):
+    """The native aggregate-fold merge must equal the greedy
+    leftmost-first Python merge on ANY symbol sequence (including
+    overlap runs like a,a,a and empty arrays), and concatenating the
+    merged symbols must reproduce the original string."""
+    from meds_polars_functions_spark.operators.bpe import apply_merge
+
+    rows = [(f"w{i}", 1, ws) for i, ws in enumerate(words)]
+    tab = spark.createDataFrame(rows, "word string, freq long, syms array<string>")
+    got = {r["word"]: r["syms"] for r in apply_merge(tab, a, b).collect()}
+    for i, ws in enumerate(words):
+        exp = _py_merge(ws, a, b)
+        assert got[f"w{i}"] == exp
+        assert "".join(got[f"w{i}"]) == "".join(ws)  # content preserved
