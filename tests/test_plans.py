@@ -205,3 +205,40 @@ def test_semantic_dedup_pairs_is_hash_join_on_cell(spark, entry_mod):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", vplan)) == 1
+
+
+def test_clf_score_is_single_scan_zero_shuffle(spark, entry_mod):
+    """The hashed linear classifier must score the corpus in one scan:
+    no Exchange of any kind, no join, no Python boundary — the weight
+    vector is a plan literal."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["clf_score"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / FlatMap* stages
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_bigram_lm_topk_mode_is_broadcast_only(spark):
+    """With top_k set, both pruned count tables broadcast — the scoring
+    pass must contain no sort-merge join (the 100 TB shape)."""
+    from meds_polars_functions_spark.operators.text import bigram_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(bigram_lm_score(docs, "text", "doc_id", top_k=500))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_filters_postings_before_shuffle(spark):
+    """The query-term filter must sit below the (doc, term) aggregation
+    exchange — the posting shuffle carries only matching tokens — and
+    the df/stats sides must broadcast, never sort-merge against tf."""
+    from meds_polars_functions_spark.operators.text import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(bm25_scores(docs, ["spark", "window"], "text", "doc_id"))
+    assert "array_contains" in plan  # term filter present map-side
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
