@@ -1434,6 +1434,35 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5).select("query_id", "vec_id", "rank")
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011), ADC scan: 8
+    subspaces x 16 centroids trained by the same deterministic
+    driver-side k-means replay as ivf_topk (seed offset per subspace),
+    corpus encoded map-side to 8 small ints, approximate distance = 8
+    LUT lookups. Oracle inlines the replayed codebooks
+    (_pq_topk_oracle_sql); recall + exact-degeneration covered by
+    tests/test_similarity.py."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, books, k=5, tie_round=6).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cell-bucketed embedding
     dedup — within-cell cosine >= 0.4 pairs -> components -> keep the
@@ -2740,6 +2769,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3156,6 +3186,94 @@ ranked AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _pq_topk_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    dim: int = 64,
+    m: int = 8,
+    n_centroids: int = 16,
+    k: int = 5,
+) -> str | None:
+    """DuckDB replay of q_pq_topk: per-subspace codebooks recomputed via
+    the SAME _kmeans_lloyd over the vec_id-ordered data (seed 42+j),
+    inlined as literals. The per-subspace distance arrays double as both
+    the encode argmin input (first-min-wins CASE, strict-< tie rule) and
+    the query-side ADC lookup tables; the approximate distance is the
+    same left-to-right sum Spark's aggregate fold produces (0.0 + t0 ==
+    t0 exactly for non-negative IEEE doubles), rounded to 6 before
+    ranking on both engines."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import _kmeans_lloyd
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    sub = dim // m
+    books = [
+        _kmeans_lloyd(
+            np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+            n_centroids,
+            seed=42 + j,
+            n_iters=5,
+        )
+        for j in range(m)
+    ]
+
+    def dist(vec: str, c: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {sub + 1}), "
+            f"i -> ({vec}[i] - ({lit})[i]) * ({vec}[i] - ({lit})[i]))), (a, b) -> a + b)"
+        )
+
+    slices = ", ".join(
+        f"list_slice(v, {j * sub + 1}, {(j + 1) * sub}) AS s{j}" for j in range(m)
+    )
+    ds_arrays = ", ".join(
+        "[" + ", ".join(dist(f"s{j}", c) for c in books[j]) + f"] AS ds{j}"
+        for j in range(m)
+    )
+    bests = ", ".join(
+        f"list_reduce(ds{j}, (a, b) -> least(a, b)) AS b{j}" for j in range(m)
+    )
+    cells = ", ".join(
+        "(CASE "
+        + " ".join(f"WHEN ds{j}[{i + 1}] = b{j} THEN {i}" for i in range(n_centroids))
+        + f" END)::INT AS c{j}"
+        for j in range(m)
+    )
+    approx = " + ".join(f"q.ds{j}[c.c{j} + 1]" for j in range(m))
+    ds_cols = ", ".join(f"ds{j}" for j in range(m))
+    c_cols = ", ".join(f"c{j}" for j in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+sv AS (SELECT vec_id, {slices} FROM e),
+d AS (SELECT vec_id, {ds_arrays} FROM sv),
+b AS (SELECT *, {bests} FROM d),
+enc AS (SELECT vec_id, {cells} FROM b),
+q AS (SELECT vec_id AS query_id, {ds_cols} FROM d WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({approx}, 6) AS approx_d
+  FROM (SELECT vec_id, {c_cols} FROM enc) c
+  CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_d ASC, vec_id) AS rank
   FROM scored)
 SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
@@ -3826,6 +3944,7 @@ FROM w
         "lsh_topk": _lsh_topk_oracle_sql(),
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "pq_topk": _pq_topk_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "repeated_spans": """
 WITH w AS (

@@ -59,6 +59,7 @@ TRACKED = [
     "bigram_lm",
     "dsir_weights",
     "bpe_pair_counts",
+    "pq_topk",
 ]
 
 

@@ -315,6 +315,203 @@ def _cell_distances(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return F.array(*ds)
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m_subspaces: int = 8,
+    n_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    n_iters: int = 5,
+    order_col: str | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each vector into
+    ``m_subspaces`` contiguous sub-vectors of ``dim // m_subspaces``
+    dims and train an independent ``n_centroids``-way k-means per
+    subspace (seed offset by the subspace index so the codebooks are
+    decorrelated but each remains a pure function of (sampled rows,
+    seed) — the cross-engine oracle replays the identical
+    ``_kmeans_lloyd`` calls).
+
+    Training is driver-side over a bounded seeded sample, exactly like
+    ``train_ivf_centroids``; encoding of the full corpus stays
+    distributed and map-side."""
+    import numpy as np
+
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    if order_col is not None:
+        rows = corpus.select(order_col, vec_col).sample(
+            fraction=sample_fraction, seed=seed
+        ).collect()
+        rows.sort(key=lambda r: r[0])
+        sample = np.array([r[1] for r in rows], dtype=np.float64)
+    else:
+        sample = np.array(
+            [
+                r[0]
+                for r in corpus.select(vec_col)
+                .sample(fraction=sample_fraction, seed=seed)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+    return [
+        _kmeans_lloyd(
+            np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+            n_centroids,
+            seed + j,
+            n_iters,
+        )
+        for j in range(m_subspaces)
+    ]
+
+
+def _subvector(vec_col: str, j: int, sub_dim: int) -> F.Column:
+    return F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+
+
+def _sub_distances(vec: F.Column, codebook: list[list[float]]) -> F.Column:
+    """array<double> of squared L2 distances from ``vec`` (a sub-vector)
+    to every centroid of one subspace codebook — literal-folded,
+    map-side, sequential left fold from 0.0 (cross-engine IEEE-stable)."""
+    ds = []
+    for c in codebook:
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        ds.append(
+            F.aggregate(
+                F.zip_with(vec, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+    return F.array(*ds)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """PQ encoding: per subspace, the index of the nearest codebook
+    centroid (strict ``<`` first-min-wins argmin, same tie rule as
+    ``ivf_assign``). Output is ``array<int>`` of length m — at scale,
+    8 subspaces x 16 centroids is 8 x 4 bits = one INT per vector, a
+    16x shrink vs a 64-dim float32 embedding; only codes ever shuffle,
+    embeddings stay at rest."""
+    sub_dim = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        v = _subvector(vec_col, j, sub_dim)
+        best_idx = F.lit(-1)
+        best_d = F.lit(float("inf"))
+        for i, c in enumerate(book):
+            cv = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            best_idx = F.when(d < best_d, F.lit(i)).otherwise(best_idx)
+            best_d = F.least(best_d, d)
+        codes.append(best_idx)
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    tie_round: int | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC, Jegou et al.
+    2011 "Product Quantization for Nearest Neighbor Search").
+
+    The corpus is encoded ONCE, map-side, to m small integer codes; each
+    query builds an m x n_centroids lookup table of exact
+    query-subvector-to-centroid distances (literal-folded expressions —
+    the codebooks ride in the plan); the approximate distance of a
+    (query, vector) pair is then m table lookups + adds, never touching
+    the original embedding. At 100 TB this is the classic memory-bound
+    ANN scan: the quantized corpus is ~16x smaller than the raw
+    embeddings, queries broadcast, and the only exchange is the final
+    per-query top-k rank.
+
+    ``rerank > 0``: keep the ``rerank`` best ADC candidates per query and
+    re-score them with exact cosine (broadcast join back to the raw
+    corpus vectors) — recall knob at the cost of one extra (still
+    broadcast) join. ``rerank >= corpus size`` degenerates to exact
+    brute force, which the property test exploits.
+    """
+    m = len(codebooks)
+    cc = pq_encode(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")),
+        "__cv__",
+        codebooks,
+    ).select("vec_id", "pq_code")
+    sub_dim = len(codebooks[0][0])
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")
+    )
+    # ADC lookup tables: adc[j][c] = ||q_sub_j - centroid_{j,c}||^2
+    adc = F.array(
+        *[
+            _sub_distances(_subvector("__qv__", j, sub_dim), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    qt = qv.select("query_id", "__qv__", adc.alias("__adc__"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.col("__adc__"),
+            lambda c, lut: F.element_at(lut, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    if tie_round is not None:
+        approx = F.round(approx, tie_round)
+    scored = cc.join(F.broadcast(qt.drop("__qv__"))).select(
+        "query_id", "vec_id", approx.alias("approx_d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("vec_id"))
+    if rerank <= 0:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= rerank
+    )
+    c_raw = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
+    )
+    exact = (
+        cand.select("query_id", "vec_id")
+        .join(c_raw, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+        )
+    )
+    cos = F.col("cosine")
+    if tie_round is not None:
+        exact = exact.withColumn("cosine", F.round(cos, tie_round))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -242,3 +242,35 @@ def test_bm25_filters_postings_before_shuffle(spark):
     plan = plan_of(bm25_scores(docs, ["spark", "window"], "text", "doc_id"))
     assert "array_contains" in plan  # term filter present map-side
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_scan_is_single_corpus_pass_broadcast_only(spark):
+    """PQ ADC: the corpus must be scanned ONCE (encode is map-side
+    literal algebra), the query/LUT side must broadcast (never
+    sort-merge), and the only shuffle is the final per-query top-k
+    window exchange."""
+    import re
+
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=8,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(pq_topk(emb, queries, books, k=5, tie_round=6))
+    assert "SortMergeJoin" not in plan
+    # corpus pass + (tiny, filter-pushed) query-side pass of the same file
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    # exactly one non-broadcast exchange: the final top-k window shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "BroadcastExchange" in plan

@@ -124,3 +124,68 @@ def test_multiprobe_ivf_recall_not_worse(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 >= 0.5
+
+
+def test_pq_rerank_full_degenerates_to_brute_force(emb, queries):
+    """PQ+ADC with rerank >= corpus size re-scores every candidate with
+    exact cosine, so the final top-k must equal brute force exactly."""
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    n = emb.count()
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=8,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    exact = brute_force_topk(emb, queries, k=5, tie_round=9)
+    via_pq = pq_topk(emb, queries, books, k=5, tie_round=9, rerank=n)
+    ra = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    rb = {(r["query_id"], r["rank"]): r["vec_id"] for r in via_pq.collect()}
+    assert ra == rb
+
+
+def test_pq_adc_recall_reasonable(emb, queries):
+    """Plain ADC (no rerank) is approximate; with 8x16 codebooks over
+    500 64-dim vectors it must still find each query itself at rank 1
+    (its own code's ADC distance is the subspace-quantization floor) and
+    recover a sane share of the true top-5."""
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    exact = brute_force_topk(emb, queries, k=5, tie_round=9)
+    approx = pq_topk(emb, queries, books, k=5, tie_round=6)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) > 0.2
+
+
+def test_pq_encode_deterministic_and_compact(emb):
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=8,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    a = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq_encode(emb, "embedding", books).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq_encode(emb, "embedding", books).select("vec_id", "pq_code").collect()
+    }
+    assert a == b
+    codes = next(iter(a))[1]
+    assert len(codes) == 8
+    assert all(0 <= c < 8 for c in codes)
