@@ -1434,6 +1434,19 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5).select("query_id", "vec_id", "rank")
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap detection: rightmost-min fingerprint
+    selection over 4-gram md5-60bit hashes, window 5; pairs sharing >= 2
+    selected hashes. Oracle replays selection with the identical
+    left-fold rightmost-min rule (b.h <= a.h) over the same portable
+    hashes."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011), ADC scan: 8
     subspaces x 16 centroids trained by the same deterministic
@@ -2770,6 +2783,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "winnow_pairs": q_winnow_pairs,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3945,6 +3959,35 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # Winnowing replay: same md5-60bit 4-gram hashes; rightmost-min
+        # per 5-window = left fold keeping b when b.h <= a.h (later
+        # element wins ties); distinct selected hashes per doc, then the
+        # posting self-join.
+        "winnow_pairs": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 4 THEN
+      list_transform(range(1, len(words) - 4 + 2), i ->
+        ('0x' || substr(md5(array_to_string(list_slice(words, i, i + 3), ' ')), 1, 15))::BIGINT)
+    ELSE [] END AS hs
+  FROM w),
+sel AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(0, greatest(len(hs) - 5, 0) + 1), p ->
+      list_reduce(
+        list_transform(range(p + 1, least(p + 5, len(hs)) + 1),
+                       i -> {'h': hs[i], 'i': i}),
+        (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END).h)) AS fps
+  FROM g WHERE len(hs) >= 1),
+fp AS (SELECT doc_id, unnest(fps) AS h FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "repeated_spans": """
 WITH w AS (

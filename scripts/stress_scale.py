@@ -64,6 +64,12 @@ STRESS_QUERIES = [
     "bpe_pair_counts",
     "shuffle_positions",
     "fuzzy_name_pairs",
+    # PQ ANN: corpus encode is map-side literal algebra, ADC scan is a
+    # broadcast join — wall should track the single corpus pass
+    "pq_topk",
+    # winnowing: Arrow-batched map-side selection, posting self-join
+    # shuffles only the ~2/(w+1) selected (hash, id) tuples
+    "winnow_pairs",
 ]
 
 # Key DOMAINS: every column in a domain (primary key + the foreign keys

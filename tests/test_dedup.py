@@ -379,3 +379,69 @@ def test_repeated_substring_spans(spark):
     assert 3 not in by_doc  # unique doc contributes no repeated span
     # windows fully inside unique text never appear
     assert all(s == 3 for s, _, _ in by_doc[1]) and all(s == 0 for s, _, _ in by_doc[2])
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """Winnowing's coverage guarantee (Schleimer et al. 2003, thm 2):
+    any shared run of >= window + k - 1 words produces at least one
+    shared selected fingerprint; disjoint texts share none."""
+    from meds_polars_functions_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words = 5+4-1
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix one {shared} suffix words here"),
+            (2, f"totally different start {shared} and another ending"),
+            (3, "nothing in common with the others at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(
+            df, "text", "doc_id", k=4, window=5, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_fingerprints_deterministic_and_sparse(spark):
+    """Selection must be reproducible run-to-run (rightmost-min is a
+    pure tie rule) and much sparser than the full gram set (expected
+    density 2/(window+1))."""
+    from meds_polars_functions_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        tuple(r)
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=4, window=5)
+        .select("id", "fp_hash", "pos").collect()
+    }
+    b = {
+        tuple(r)
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=4, window=5)
+        .select("id", "fp_hash", "pos").collect()
+    }
+    assert a == b and len(a) > 0
+    n_words = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), r"[^a-z0-9]+"))).alias("n")
+    ).first()["n"]
+    # winnowing density ~ 2/(w+1) of grams; allow generous slack
+    assert len(a) < 0.6 * n_words
+
+
+def test_winnow_max_docs_per_fp_guard(spark):
+    """The boilerplate guard must drop pairs that exist only through a
+    fingerprint shared by too many documents."""
+    from meds_polars_functions_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "this footer text repeats on every single page of the site"
+    rows = [(i, f"document number {i} body content {boiler}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = winnow_overlap_pairs(df, "text", "doc_id", min_shared=1).count()
+    guarded = winnow_overlap_pairs(
+        df, "text", "doc_id", min_shared=1, max_docs_per_fp=3
+    ).count()
+    assert unguarded > 0
+    assert guarded < unguarded
