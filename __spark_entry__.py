@@ -1447,6 +1447,18 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: word-level gear-free CDC (boundary
+    after any word whose portable hash is 0 mod 16) + cross-document
+    shared-chunk counts. Oracle replays boundaries as a window prefix
+    sum over the same word hashes."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import cdc_shared_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_shared_chunks(docs, "text", "doc_id", divisor=16, min_docs=2)
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011), ADC scan: 8
     subspaces x 16 centroids trained by the same deterministic
@@ -2784,6 +2796,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "winnow_pairs": q_winnow_pairs,
+        "cdc_chunks": q_cdc_chunks,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3959,6 +3972,36 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # CDC replay: per-word portable hashes -> boundary flags ->
+        # chunk index as an exclusive prefix sum -> chunk hash of the
+        # space-joined words, then the shared-chunk aggregation.
+        "cdc_chunks": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+t AS (
+  SELECT doc_id, words[i] AS word, i AS pos,
+    CASE WHEN ('0x' || substr(md5(words[i]), 1, 15))::BIGINT % 16 = 0
+         THEN 1 ELSE 0 END AS flag
+  FROM w, UNNEST(range(1, len(words) + 1)) AS t2(i)
+  WHERE len(words) >= 1),
+c AS (
+  SELECT doc_id, word, pos,
+    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS chunk_idx
+  FROM t),
+ch AS (
+  SELECT doc_id, chunk_idx,
+    ('0x' || substr(md5(string_agg(word, ' ' ORDER BY pos)), 1, 15))::BIGINT
+      AS chunk_hash,
+    count(*)::INT AS n_words
+  FROM c GROUP BY 1, 2)
+SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total,
+       max(n_words) AS n_words
+FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""",
         # Winnowing replay: same md5-60bit 4-gram hashes; rightmost-min
         # per 5-window = left fold keeping b when b.h <= a.h (later
         # element wins ties); distinct selected hashes per doc, then the

@@ -1491,3 +1491,97 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at word granularity (the LBFS/FastCDC
+    boundary idea, word-level so every engine can replay it): a chunk
+    boundary falls AFTER word ``i`` whenever that word's portable
+    60-bit md5 hash is 0 mod ``divisor`` — so boundaries move with the
+    content, not with offsets, and an insertion near the head of a
+    document re-chunks only its local neighborhood instead of shifting
+    every downstream chunk the way fixed-width chunking does. Expected
+    chunk length = ``divisor`` words.
+
+    Output: one row per ``(id, chunk_idx, start_word, n_words,
+    chunk_hash)`` — chunk_hash is the portable md5-60bit of the chunk's
+    space-joined words, so identical chunks hash identically across
+    documents AND engines.
+
+    Production chunkers add min/max chunk-size clamps; this operator is
+    the pure positional form (boundaries a function of word hashes
+    alone), which keeps the cross-engine oracle an exact window-sum
+    replay. Scale: one Arrow-batched map-side pass; only (id, chunk
+    metadata, hash) rows leave the scan — never text.
+    """
+    import re as _re
+    from hashlib import md5 as _md5
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = _re.compile(r"[^a-z0-9]+")
+
+    def h60(s: str) -> int:
+        return int(_md5(s.encode()).hexdigest()[:15], 16)
+
+    @pandas_udf("array<struct<chunk_idx:int, start_word:int, n_words:int, chunk_hash:long>>")
+    def chunk(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = [w for w in token_re.split((t or "").lower()) if w]
+            if not words:
+                out.append([])
+                continue
+            chunks = []
+            start = 0
+            for i, w in enumerate(words):
+                if h60(w) % divisor == 0:
+                    chunks.append((start, i + 1))
+                    start = i + 1
+            if start < len(words):
+                chunks.append((start, len(words)))
+            out.append(
+                [
+                    (idx, s, e - s, h60(" ".join(words[s:e])))
+                    for idx, (s, e) in enumerate(chunks)
+                ]
+            )
+        return pd.Series(out)
+
+    return (
+        _spread(df, None)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(chunk.asNondeterministic()(F.col(text_col))).alias("__c__"),
+        )
+        .select("id", "__c__.chunk_idx", "__c__.start_word", "__c__.n_words", "__c__.chunk_hash")
+    )
+
+
+def cdc_shared_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    divisor: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document shared-chunk detection over CDC chunks: which
+    content blocks recur, in how many documents, how often. The
+    aggregation shuffles only (chunk_hash, id) — partial map-side
+    combine applies; text never leaves the scan."""
+    ch = cdc_chunks(df, text_col, id_col, divisor)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.max("n_words").alias("n_words"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

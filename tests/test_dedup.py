@@ -445,3 +445,52 @@ def test_winnow_max_docs_per_fp_guard(spark):
     ).count()
     assert unguarded > 0
     assert guarded < unguarded
+
+
+def test_cdc_chunks_partition_and_insertion_stability(spark):
+    """Chunks must tile the document exactly (contiguous, complete),
+    and — the point of CONTENT-defined boundaries — inserting words at
+    the head of a document must leave the downstream chunk hashes
+    intact (fixed-width chunking would shift every one)."""
+    from meds_polars_functions_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix tokens " + base)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df, "text", "doc_id", divisor=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r["chunk_idx"])
+        pos = 0
+        for i, r in enumerate(ch):
+            assert r["chunk_idx"] == i and r["start_word"] == pos
+            pos += r["n_words"]
+    h1 = [r["chunk_hash"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])]
+    # all but the perturbed head chunks are shared, in order
+    shared = set(h1) & set(h2)
+    assert len(shared) >= len(h1) - 2
+    # and the shared suffix is identical as a sequence
+    tail = min(len(h1), len(h2)) - 2
+    assert h1[-tail:] == h2[-tail:]
+
+
+def test_cdc_shared_chunks_counts(spark):
+    from meds_polars_functions_spark.operators.dedup import cdc_shared_chunks
+
+    common = " ".join(f"shared{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, common + " unique one tail"),
+            (2, common + " another different ending"),
+            (3, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cdc_shared_chunks(df, "text", "doc_id", divisor=8, min_docs=2).collect()
+    assert len(out) >= 1
+    assert all(r["n_docs"] >= 2 and r["n_total"] >= r["n_docs"] for r in out)
