@@ -1447,6 +1447,26 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training, first exact step:
+    hashed unigram+bigram features, y = (lang == 'en'), zero init.
+    sigmoid(0) = 0.5 exactly, so the step is a pure rational-residual
+    gradient both engines replay (bucket -1 carries the bias). lr =
+    2^-8 (a power of two — the scale keeps the doubles exact)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import hashed_logreg_train
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w, b = hashed_logreg_train(
+        docs, "text", "y", "doc_id", n_buckets=64, n_iters=1, lr=2.0 ** -8
+    )
+    rows = [(i, float(wi)) for i, wi in enumerate(w)] + [(-1, float(b))]
+    out = spark.createDataFrame(rows, "bucket long, weight double")
+    return out.select("bucket", F.round("weight", 9).alias("weight"))
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: word-level gear-free CDC (boundary
     after any word whose portable hash is 0 mod 16) + cross-document
@@ -2797,6 +2817,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "winnow_pairs": q_winnow_pairs,
         "cdc_chunks": q_cdc_chunks,
+        "logreg_step": q_logreg_step,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3972,6 +3993,40 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # Logreg first-step replay: same hashed unigram+bigram postings
+        # as clf_score, residual (0.5 - y) exact at zero init, weight =
+        # -2^-8 * gradient; bucket -1 = bias. Buckets with no postings
+        # emit weight 0 via the range left join.
+        "logreg_step": """
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS words
+  FROM documents),
+f AS (
+  SELECT doc_id, y,
+    list_concat(words,
+      CASE WHEN len(words) >= 2 THEN
+        list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
+      ELSE [] END) AS feats
+  FROM w WHERE len(words) >= 1),
+p AS (SELECT doc_id, y, len(feats) AS nf, unnest(feats) AS feat FROM f),
+bk AS (
+  SELECT doc_id, y, nf,
+    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 64 AS bucket
+  FROM p),
+x AS (
+  SELECT doc_id, y, bucket, count(*)::DOUBLE / any_value(nf) AS x
+  FROM bk GROUP BY 1, 2, 3),
+g AS (SELECT bucket, sum((0.5 - y) * x) AS grad FROM x GROUP BY 1),
+allb AS (SELECT i AS bucket FROM UNNEST(range(0, 64)) AS t(i))
+SELECT allb.bucket, round(coalesce(-0.00390625 * g.grad, 0.0), 9) AS weight
+FROM allb LEFT JOIN g ON allb.bucket = g.bucket
+UNION ALL
+SELECT -1 AS bucket,
+       round(-0.00390625 * sum(0.5 - y), 9) AS weight
+FROM (SELECT DISTINCT doc_id, y FROM x)
+""",
         # CDC replay: per-word portable hashes -> boundary flags ->
         # chunk index as an exclusive prefix sum -> chunk hash of the
         # space-joined words, then the shared-chunk aggregation.

@@ -715,3 +715,96 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "top_bigram_char_frac"
         ),
     )
+
+
+def _hashed_features(
+    df: DataFrame, text_col: str, id_col: str, label_col: str, n_buckets: int
+) -> DataFrame:
+    """Sparse hashed bag-of-words postings ``(id, y, bucket, x)`` with
+    the SAME feature definition as ``hashed_linear_score`` (word
+    unigrams + bigrams, md5 buckets, per-document mean normalization:
+    x_j = count_j / n_features) — so weights learned here plug straight
+    into that scorer. One explode + one partial-aggregated groupBy;
+    text never leaves the scan."""
+    from meds_polars_functions_spark.operators.packing import _md5_bucket
+
+    ws = _WORDS(F.col(text_col))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+        ws.alias("ws"),
+    ).filter(F.size("ws") >= 1)
+    n1 = F.size("ws") - 1
+    bigrams = F.zip_with(
+        F.slice("ws", 1, n1), F.slice("ws", 2, n1), lambda v, w: F.concat_ws(" ", v, w)
+    )
+    feats = F.concat(F.col("ws"), bigrams)
+    posted = docs.select(
+        "id", "y", F.size(feats).alias("nf"), F.explode(feats).alias("feat")
+    ).select("id", "y", "nf", _md5_bucket(F.col("feat"), n_buckets).alias("bucket"))
+    return posted.groupBy("id", "y", "bucket").agg(
+        (F.count(F.lit(1)) / F.first("nf")).alias("x")
+    )
+
+
+def hashed_logreg_train(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+    n_iters: int = 1,
+    lr: float = 2.0 ** -8,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Distributed logistic-regression TRAINING over hashed bag-of-words
+    — the learning counterpart of ``hashed_linear_score`` (full-batch
+    gradient descent; Joulin et al. 2017 use the same hashed features).
+
+    Each iteration is two partial-aggregated shuffles over the cached
+    posting table: (1) per-doc margins with the current weights folded
+    in as a PLAN LITERAL array (no join, no broadcast of w), (2)
+    per-bucket gradient ``sum((sigmoid(margin) - y) * x)``. Only the
+    d+1 gradient values (human-scale) ever reach the driver; documents
+    and postings stay distributed, and the posting table is computed
+    once and persisted across iterations. At 100 TB each iteration is
+    one scan-free pass over the cached postings.
+
+    Returns ``(weights, bias)`` ready for ``hashed_linear_score``.
+
+    Exactness note (cross-engine oracle): from the zero init,
+    sigmoid(0) = 0.5 exactly, so the FIRST step's residuals are
+    rational (0.5 - y) and the step is replayable in SQL up to
+    sum-order rounding — the q_logreg_step oracle uses exactly that.
+    """
+    feats = _hashed_features(df, text_col, id_col, label_col, n_buckets).persist()
+    try:
+        w = [0.0] * n_buckets
+        b = 0.0
+        for _ in range(n_iters):
+            w_arr = F.array(*[F.lit(float(x)) for x in w])
+            margins = feats.groupBy("id", "y").agg(
+                (
+                    F.lit(b)
+                    + F.sum(F.col("x") * F.element_at(w_arr, (F.col("bucket") + 1).cast("int")))
+                ).alias("m")
+            )
+            resid = margins.select(
+                "id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
+            )
+            grad_rows = (
+                feats.join(resid, "id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                .collect()
+            )
+            g = [0.0] * n_buckets
+            for row in grad_rows:
+                g[row["bucket"]] = row["g"]
+            gb = resid.agg(F.sum("r").alias("gb")).first()["gb"] or 0.0
+            w = [wi - lr * (gi + l2 * wi) for wi, gi in zip(w, g)]
+            b -= lr * gb
+        return w, b
+    finally:
+        feats.unpersist()

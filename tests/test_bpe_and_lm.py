@@ -329,3 +329,67 @@ def test_hashed_linear_score_matches_reference(spark):
     assert set(got) == set(ref)  # zero-word doc absent
     for k in ref:
         assert got[k] == pytest.approx(ref[k], rel=1e-9)
+
+
+def test_hashed_logreg_training_separates_synthetic_labels(spark):
+    """Full-batch GD on hashed features must learn to separate an
+    obviously separable corpus, and the learned weights must plug
+    straight into hashed_linear_score (shared feature definition)."""
+    from meds_polars_functions_spark.operators.text import (
+        hashed_linear_score,
+        hashed_logreg_train,
+    )
+
+    pos_words = ["excellent", "great", "wonderful", "superb"]
+    neg_words = ["terrible", "awful", "horrid", "dreadful"]
+    rows = []
+    for i in range(40):
+        w = pos_words if i % 2 == 0 else neg_words
+        text = " ".join(w[(i + j) % 4] for j in range(12))
+        rows.append((i, text, 1.0 if i % 2 == 0 else 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+    w, b = hashed_logreg_train(
+        df, "text", "y", "doc_id", n_buckets=32, n_iters=25, lr=4.0
+    )
+    scored = hashed_linear_score(df, "text", "doc_id", w, bias=b).join(
+        df.select("doc_id", "y"), "doc_id"
+    )
+    rows = scored.collect()
+    pos = [r["clf_score"] for r in rows if r["y"] == 1.0]
+    neg = [r["clf_score"] for r in rows if r["y"] == 0.0]
+    assert min(pos) > max(neg)
+    assert sum(pos) / len(pos) > 0.8
+    assert sum(neg) / len(neg) < 0.2
+
+
+def test_hashed_logreg_loss_decreases(spark):
+    """More iterations must not hurt the training objective (full-batch
+    GD with a small lr on a smooth convex loss)."""
+    import math
+
+    from meds_polars_functions_spark.operators.text import (
+        hashed_linear_score,
+        hashed_logreg_train,
+    )
+
+    rows = [
+        (i, ("good stuff here truly " if i % 2 else "bad junk there really ") * 3,
+         1.0 if i % 2 else 0.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y double")
+
+    def loss(n_iters):
+        w, b = hashed_logreg_train(
+            df, "text", "y", "doc_id", n_buckets=32, n_iters=n_iters, lr=1.0
+        )
+        scored = hashed_linear_score(df, "text", "doc_id", w, bias=b).join(
+            df.select("doc_id", "y"), "doc_id"
+        )
+        tot = 0.0
+        for r in scored.collect():
+            p = min(max(r["clf_score"], 1e-12), 1 - 1e-12)
+            tot -= r["y"] * math.log(p) + (1 - r["y"]) * math.log(1 - p)
+        return tot
+
+    assert loss(10) < loss(1) < loss(0) + 1e-9
