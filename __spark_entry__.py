@@ -1447,6 +1447,20 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style banned-term gate: token-exact unigram + phrase hits
+    (shingle membership against plan-literal arrays, zero shuffle);
+    returns the drop list with counts."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import blocklist_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    out = blocklist_hits(
+        docs, "text", "doc_id", ["slow", "hash join", "table scan"]
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_hits")
+
+
 def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training, first exact step:
     hashed unigram+bigram features, y = (lang == 'en'), zero init.
@@ -2719,6 +2733,16 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries + patient_split_filter (r1 row was err:no_oracle) + the 17
 # stalest MEDS-parity r1 greens (they predate the round-2 NTZ load-path
 # change). Ever-green coverage ledger: COVERAGE.md.
+#
+# Round-4 rotation plan (after the round-3 window goes green): the only
+# queries then lacking a driver row are the 13 round-3 additions —
+# lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
+# dsir_weights, bpe_pair_counts, bm25_search, clf_score,
+# shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step —
+# so they take the first 13 slots, and the remaining 37 go to the
+# stalest r1 greens (TPC-shaped + temporal sets, dict order) for
+# re-proof under the current load path. All are locally green via
+# scripts/compare_oracle.py in the meantime.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
@@ -2818,6 +2842,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "cdc_chunks": q_cdc_chunks,
         "logreg_step": q_logreg_step,
+        "blocklist": q_blocklist,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3993,6 +4018,25 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # Blocklist replay: unigram membership + bigram-shingle phrase
+        # membership against the same literal term lists; ::INT matches
+        # Spark's int arithmetic.
+        "blocklist": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS words
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    (len(list_filter(words, x -> list_contains(['slow'], x)))
+     + CASE WHEN len(words) >= 2 THEN
+         len(list_filter(
+           list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]),
+           s -> list_contains(['hash join', 'table scan'], s)))
+       ELSE 0 END)::INT AS n_hits
+  FROM w)
+SELECT doc_id, n_hits FROM h WHERE n_hits >= 1
+""",
         # Logreg first-step replay: same hashed unigram+bigram postings
         # as clf_score, residual (0.5 - y) exact at zero init, weight =
         # -2^-8 * gradient; bucket -1 = bias. Buckets with no postings

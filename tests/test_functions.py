@@ -294,3 +294,26 @@ def test_repetition_stats_gopher_filters(spark):
     assert out[5]["top_bigram_char_frac"] == 1.0      # 1 bigram = all 10 word chars
     assert out[5]["dup_line_frac"] == 0.0
     assert out[6]["top_bigram_char_frac"] == 0.0      # no bigrams
+
+
+def test_blocklist_hits_token_exact_and_phrases(spark):
+    """Unigram matches must be word-boundary exact (no substring false
+    positives), phrases must match as shingles with overlap counting,
+    and documents shorter than the phrase length must be safe."""
+    from meds_polars_functions_spark.operators.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "the associate passed by"),          # 'ass' must NOT hit
+            (2, "ass and more ass here"),            # 2 unigram hits
+            (3, "a bad phrase and bad phrase again"),  # 2 phrase hits
+            (4, "bad"),                               # shorter than phrase
+            (5, "clean text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["n_hits"]
+        for r in blocklist_hits(df, "text", "doc_id", ["ass", "bad phrase"]).collect()
+    }
+    assert out == {2: 2, 3: 2}

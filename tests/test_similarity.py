@@ -189,3 +189,28 @@ def test_pq_encode_deterministic_and_compact(emb):
     codes = next(iter(a))[1]
     assert len(codes) == 8
     assert all(0 <= c < 8 for c in codes)
+
+
+def test_pq_encode_vectorized_bit_identical_to_expression(emb):
+    """The Arrow path must produce EXACTLY the expression path's codes —
+    same sequential fold association, same first-min tie rule — so the
+    cross-engine oracle covers both."""
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_vectorized,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    a = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq_encode(emb, "embedding", books).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq_encode_vectorized(emb, "embedding", books).collect()
+    }
+    assert a == b
