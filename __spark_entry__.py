@@ -2735,12 +2735,12 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 13 round-3 additions —
+# queries then lacking a driver row are the 14 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
-# shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step —
-# so they take the first 13 slots, and the remaining 37 go to the
-# stalest r1 greens (TPC-shaped + temporal sets, dict order) for
+# shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
+# blocklist — so they take the first 14 slots, and the remaining 36 go
+# to the stalest r1 greens (TPC-shaped + temporal sets, dict order) for
 # re-proof under the current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
 # ---------------------------------------------------------------------------
