@@ -1447,6 +1447,23 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (4×256 cells over lineitem
+    supplier keys, probes = suppkey <= 10). The sketch is a mergeable
+    (row, bucket, cnt) table; estimates are min-over-rows lookups. The
+    oracle replays the salted md5 bucket addressing cell-for-cell."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cms = count_min_build(li, "l_suppkey", depth=4, width=256)
+    probes = li.filter(F.col("l_suppkey") <= 10).select("l_suppkey").distinct()
+    return count_min_estimate(cms, probes, "l_suppkey", depth=4, width=256)
+
+
 def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-term gate: token-exact unigram + phrase hits
     (shingle membership against plan-literal arrays, zero shuffle);
@@ -2843,6 +2860,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "logreg_step": q_logreg_step,
         "blocklist": q_blocklist,
+        "cms_freq": q_cms_freq,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4018,6 +4036,24 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # CMS replay: identical salted-md5 bucket addressing, per-cell
+        # counts, min-over-rows point queries with absent cells as 0.
+        "cms_freq": """
+WITH cells AS (
+  SELECT j AS row,
+         ('0x' || substr(md5(j || ':' || l_suppkey), 1, 8))::BIGINT % 256 AS bucket,
+         count(*) AS cnt
+  FROM lineitem, UNNEST(range(0, 4)) AS t(j)
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT l_suppkey AS probe FROM lineitem WHERE l_suppkey <= 10),
+lk AS (
+  SELECT probe, j AS row,
+         ('0x' || substr(md5(j || ':' || probe), 1, 8))::BIGINT % 256 AS bucket
+  FROM probes, UNNEST(range(0, 4)) AS t(j))
+SELECT probe, min(coalesce(cnt, 0)) AS est
+FROM lk LEFT JOIN cells USING (row, bucket)
+GROUP BY 1
+""",
         # Blocklist replay: unigram membership + bigram-shingle phrase
         # membership against the same literal term lists; ::INT matches
         # Spark's int arithmetic.

@@ -122,3 +122,93 @@ def merge_bitmap_states(
     return merged.groupBy(*group_cols).agg(
         F.sum(F.expr("bitmap_count(__bm__)")).alias(out_col)
     )
+
+
+def _cms_bucket(col: F.Column, row: int, width: int) -> F.Column:
+    """Row-``row``'s CMS bucket for a value: engine-portable md5 bucket
+    of the salted value (DuckDB: ``('0x' || substr(md5(row || ':' ||
+    x), 1, 8))::BIGINT % width``)."""
+    salted = F.concat_ws(":", F.lit(str(row)), col.cast("string"))
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % F.lit(width)
+
+
+def count_min_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a plain
+    ``(row, bucket, cnt)`` table — ``depth × width`` cells, one
+    partial-aggregated groupBy regardless of input size.
+
+    Why a table and not a blob: CMS cells are ADDITIVE, so the sketch
+    of a union is the per-cell SUM of the sketches — plain
+    ``union → groupBy(row, bucket).sum`` merges sketches of any number
+    of shards/datasets without re-scanning facts, the same
+    mergeable-statistics convention as the HLL/bitmap state tables
+    above. The estimate of any item is ``min over rows of
+    cell(row, h_row(item))`` — an over-approximation with error
+    ≤ 2N/width at probability ≥ 1 - 2^-depth.
+
+    Scale: the explode is ×depth (a constant), the shuffle carries at
+    most depth×width cells after map-side combine — metadata-sized
+    output for any corpus."""
+    c = F.col(col)
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"), _cms_bucket(c, j, width).alias("bucket")
+                )
+                for j in range(depth)
+            ]
+        )
+    ).alias("__rb__")
+    return (
+        df.select(rows, w.alias("__w__"))
+        .groupBy(F.col("__rb__.row").alias("row"), F.col("__rb__.bucket").alias("bucket"))
+        .agg(F.sum("__w__").alias("cnt"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the same (depth, width): per-cell sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a CMS table for each probe value: min over the
+    depth rows of the addressed cells. The probe side is human-scale
+    and broadcasts; absent cells count 0 (the min with any present
+    row is then 0 — handled by coalescing missed lookups)."""
+    p = probes.select(F.col(probe_col).alias("probe"))
+    lookups = p.select(
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col("probe"), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__rb__"),
+    ).select("probe", F.col("__rb__.row").alias("row"), F.col("__rb__.bucket").alias("bucket"))
+    joined = lookups.join(F.broadcast(cms), ["row", "bucket"], "left").select(
+        "probe", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell")
+    )
+    return joined.groupBy("probe").agg(F.min("cell").alias("est"))

@@ -100,3 +100,47 @@ def test_approx_percentile_bounded_error_vs_exact(spark):
         # 1/accuracy rank error -> value error bounded by the local density;
         # with ~25k uniform values over 20k span, 1% of rank ~ 200 in value
         assert abs(r["approx"] - r["exact"]) <= 400, r
+
+
+def test_count_min_overestimates_and_is_tight_when_wide(spark):
+    """CMS guarantee: est >= true count always; with width >> distinct
+    keys collisions are rare, so most estimates are exact."""
+    from meds_polars_functions_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    truth = {
+        r["l_suppkey"]: r["n"]
+        for r in li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cms = count_min_build(li, "l_suppkey", depth=4, width=2048)
+    probes = li.select("l_suppkey").distinct()
+    est = {
+        r["probe"]: r["est"]
+        for r in count_min_estimate(cms, probes, "l_suppkey", depth=4, width=2048).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    exact = sum(1 for k in truth if est[k] == truth[k])
+    assert exact / len(truth) > 0.9
+
+
+def test_count_min_merge_equals_whole(spark):
+    """Sketch of a union == per-cell sum of the parts' sketches — the
+    mergeability that lets shard sketches combine without re-scans."""
+    from meds_polars_functions_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = count_min_merge(
+        count_min_build(a, "l_suppkey", 4, 128), count_min_build(b, "l_suppkey", 4, 128)
+    )
+    whole = count_min_build(li, "l_suppkey", 4, 128)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
