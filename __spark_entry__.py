@@ -1447,6 +1447,19 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: directed shingle-containment pairs
+    |A∩B|/|A| >= 0.5 (the excerpt/quote case Jaccard misses)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = containment_pairs(docs, "text", "doc_id", threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
 def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates (4×256 cells over lineitem
     supplier keys, probes = suppkey <= 10). The sketch is a mergeable
@@ -2861,6 +2874,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_step": q_logreg_step,
         "blocklist": q_blocklist,
         "cms_freq": q_cms_freq,
+        "containment": q_containment,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4036,6 +4050,30 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # Containment replay: same shingle postings as ngram_jaccard,
+        # directed pairs (a != b), divided by |A| only.
+        "containment": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+posts AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(n_inter::DOUBLE / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE n_inter::DOUBLE / sa.n >= 0.5
+""",
         # CMS replay: identical salted-md5 bucket addressing, per-cell
         # counts, min-over-rows point queries with absent cells as 0.
         "cms_freq": """

@@ -1585,3 +1585,46 @@ def cdc_shared_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by shingle containment
+    (Broder 1997's second resemblance measure): ``|A ∩ B| / |A|`` —
+    how much of document A is inside document B. Jaccard misses the
+    excerpt/quote case (a 50-word snippet of a 5000-word article has
+    tiny Jaccard but containment ≈ 1); containment is the right gate
+    for dropping documents that are substantially CONTAINED in another.
+
+    Output: DIRECTED pairs ``(id_a, id_b, containment)`` with
+    containment(A in B) >= threshold, both directions considered, a != b.
+    Same posting-join shape as ngram_jaccard_pairs — exact baseline;
+    at scale seed candidates from minhash buckets first and verify
+    containment only on candidates."""
+    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
+    sh = sh.filter(F.size("sh") >= min_shingles)
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    # shingle arrays are already distinct (_ngrams_from_words), so the
+    # posting table needs no extra dedup exchange
+    posts = sh.select("id", F.explode("sh").alias("g"))
+    inter = (
+        posts.alias("a")
+        .join(posts.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / F.col("n_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

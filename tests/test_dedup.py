@@ -494,3 +494,30 @@ def test_cdc_shared_chunks_counts(spark):
     out = cdc_shared_chunks(df, "text", "doc_id", divisor=8, min_docs=2).collect()
     assert len(out) >= 1
     assert all(r["n_docs"] >= 2 and r["n_total"] >= r["n_docs"] for r in out)
+
+
+def test_containment_asymmetric_excerpt(spark):
+    """An excerpt wholly contained in a larger doc must score
+    containment ~1.0 in the excerpt->article direction but far below in
+    the reverse — the case symmetric Jaccard misses."""
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    article = " ".join(f"w{i}" for i in range(300))
+    excerpt = " ".join(f"w{i}" for i in range(40, 70))
+    df = spark.createDataFrame(
+        [(1, article), (2, excerpt), (3, "totally unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert cont.get((2, 1), 0) == 1.0          # excerpt fully inside article
+    assert (1, 2) not in cont                   # article not inside excerpt
+    assert not any(3 in k for k in cont)
+    # and Jaccard at the same 0.5 bar misses the excerpt entirely
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
