@@ -1447,6 +1447,29 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the 'new batch' (doc_id >= 400) deduped
+    against the signature INDEX of the existing corpus (doc_id < 400) —
+    new×index band join only, history never re-paired. Portable hash
+    mode; the oracle replays the shared minhash CTE and keeps only
+    cross-split verified pairs."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import (
+        minhash_dedup_against_index,
+        minhash_signature_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old_sigs = minhash_signature_table(
+        docs.filter(F.col("doc_id") < 400), "text", "doc_id", portable=True
+    )
+    new_sigs = minhash_signature_table(
+        docs.filter(F.col("doc_id") >= 400), "text", "doc_id", portable=True
+    )
+    out = minhash_dedup_against_index(new_sigs, old_sigs, threshold=0.5)
+    return out.select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: directed shingle-containment pairs
     |A∩B|/|A| >= 0.5 (the excerpt/quote case Jaccard misses)."""
@@ -2765,13 +2788,14 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 14 round-3 additions —
+# queries then lacking a driver row are the 17 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
-# blocklist — so they take the first 14 slots, and the remaining 36 go
-# to the stalest r1 greens (TPC-shaped + temporal sets, dict order) for
-# re-proof under the current load path. All are locally green via
+# blocklist, cms_freq, containment, incremental_dedup — so they take
+# the first 17 slots, and the remaining 33 go to the stalest r1 greens
+# (TPC-shaped + temporal sets, dict order) for re-proof under the
+# current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
 # ---------------------------------------------------------------------------
 
@@ -2875,6 +2899,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "cms_freq": q_cms_freq,
         "containment": q_containment,
+        "incremental_dedup": q_incremental_dedup,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4050,6 +4075,14 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        # Incremental-dedup replay: the shared portable-minhash CTE
+        # verifies ALL pairs; keep cross-split ones (old < 400 <= new —
+        # id_a < id_b makes id_a the old side).
+        "incremental_dedup": f"""
+WITH {{MINHASH_CTE}}
+SELECT id_b AS new_id, id_a AS old_id, round(jaccard, 6) AS jaccard
+FROM ver WHERE jaccard >= 0.5 AND id_a < 400 AND id_b >= 400
+""".format(MINHASH_CTE=_minhash_pairs_cte()),
         # Containment replay: same shingle postings as ngram_jaccard,
         # directed pairs (a != b), divided by |A| only.
         "containment": """

@@ -1628,3 +1628,72 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The persistable minhash INDEX of a corpus: ``(id, bands, sh)`` —
+    band hashes for LSH bucketing plus the hashed shingle set for exact
+    Jaccard verification (~KB/doc). Write this once per corpus snapshot
+    (ideally bucketed on a band column); incremental dedup of every
+    later batch then reads the index instead of re-hashing 100 TB of
+    history. Same UDF/seed family as minhash_dedup_pairs, so indexes
+    and ad-hoc runs are interchangeable."""
+    udf = _band_hash_udf(
+        shingle_n, num_hashes, bands, seed, frozenset(), with_shingles=True,
+        portable=portable,
+    ).asNondeterministic()
+    return (
+        _spread(df, None)
+        .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
+        .select("id", F.col("s.bands").alias("bands"), F.col("s.sh").alias("sh"))
+    )
+
+
+def minhash_dedup_against_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: verified (new_id, old_id, jaccard) pairs of
+    a NEW batch against an EXISTING signature index — the daily-crawl
+    case. Candidate generation joins banded-new against banded-index on
+    (band_idx, band_hash) with the new side BROADCAST, so the history
+    index is never shuffled and never rescanned as text; history×history
+    pairs are never formed (they were settled when the index was built).
+    Verification pulls hashed shingle sets only for candidate old ids
+    (the candidate join acts as the semi-filter) and computes exact
+    Jaccard with native set ops."""
+    bn = new_sigs.select(
+        F.col("id").alias("new_id"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    bo = index_sigs.select(
+        F.col("id").alias("old_id"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    cands = (
+        bo.join(F.broadcast(bn), ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = new_sigs.select(F.col("id").alias("new_id"), F.col("sh").alias("__sn__"))
+    sh_old = index_sigs.select(F.col("id").alias("old_id"), F.col("sh").alias("__so__"))
+    return (
+        cands.join(sh_old, "old_id")
+        .join(F.broadcast(sh_new), "new_id")
+        .select(
+            "new_id",
+            "old_id",
+            jaccard_similarity(F.col("__sn__"), F.col("__so__")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

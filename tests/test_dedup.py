@@ -521,3 +521,60 @@ def test_containment_asymmetric_excerpt(spark):
     # and Jaccard at the same 0.5 bar misses the excerpt entirely
     jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
     assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+
+def test_incremental_dedup_matches_full_run_cross_pairs(spark):
+    """Incremental (new batch vs index) must find exactly the
+    cross-split subset of a full-corpus run at the same threshold, and
+    must emit no history×history or new×new pairs."""
+    from meds_polars_functions_spark.operators.dedup import (
+        minhash_dedup_against_index,
+        minhash_dedup_pairs,
+        minhash_signature_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = 40
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    inc = {
+        (r["old_id"], r["new_id"])
+        for r in minhash_dedup_against_index(
+            minhash_signature_table(new, "text", "doc_id"),
+            minhash_signature_table(old, "text", "doc_id"),
+            threshold=0.5,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    cross_full = {(a, b) for a, b in full if a < split <= b}
+    assert inc == cross_full
+    assert all(o < split <= n for o, n in inc)
+
+
+def test_incremental_dedup_index_plan_broadcasts_new_side(spark):
+    """The history index must never shuffle for candidates: the banded
+    join must be a BroadcastHashJoin with the NEW side broadcast."""
+    import io
+    from contextlib import redirect_stdout
+
+    from meds_polars_functions_spark.operators.dedup import (
+        minhash_dedup_against_index,
+        minhash_signature_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs_old = minhash_signature_table(
+        docs.filter(F.col("doc_id") < 40), "text", "doc_id"
+    )
+    sigs_new = minhash_signature_table(
+        docs.filter(F.col("doc_id") >= 40), "text", "doc_id"
+    )
+    out = minhash_dedup_against_index(sigs_new, sigs_old)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
