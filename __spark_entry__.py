@@ -1447,6 +1447,23 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→apply round trip: learn 10 merges from the corpus
+    (distributed trainer over the word-frequency table), then encode
+    every distinct word with the learned merges (native fold per merge).
+    Output is (word, space-joined tokens) — pure string/integer ops, so
+    the oracle replays training in Python (same tie rule, proven equal
+    to the Spark trainer by test_bpe_train_matches_reference) and the
+    encode folds in SQL with the merges inlined."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", n_merges=10, checkpoint_every=8)
+    enc = bpe_encode(docs, "text", merges)
+    return enc.select("word", F.concat_ws(" ", "syms").alias("toks"))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: the 'new batch' (doc_id >= 400) deduped
     against the signature INDEX of the existing corpus (doc_id < 400) —
@@ -2788,12 +2805,12 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 17 round-3 additions —
+# queries then lacking a driver row are the 18 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
-# blocklist, cms_freq, containment, incremental_dedup — so they take
-# the first 17 slots, and the remaining 33 go to the stalest r1 greens
+# blocklist, cms_freq, containment, incremental_dedup, bpe_encode — they take
+# the first 18 slots, and the remaining 32 go to the stalest r1 greens
 # (TPC-shaped + temporal sets, dict order) for re-proof under the
 # current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
@@ -2900,6 +2917,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "containment": q_containment,
         "incremental_dedup": q_incremental_dedup,
+        "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3406,6 +3424,112 @@ ranked AS (
                             ORDER BY approx_d ASC, vec_id) AS rank
   FROM scored)
 SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _bpe_encode_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 10
+) -> str | None:
+    """DuckDB replay of q_bpe_encode: merges recomputed by the pure
+    Python Sennrich reference over the DuckDB word-frequency table
+    (identical count-desc/pair-asc tie rule as the Spark trainer —
+    integer arithmetic, no float risk), then the per-merge greedy
+    leftmost fold unrolled as nested list_reduce expressions with a
+    struct {out, pend} accumulator (list_prepend supplies the init
+    state, mirroring the Spark aggregate fold exactly)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    from collections import Counter
+
+    import duckdb
+
+    freqs = dict(
+        duckdb.sql(
+            f"""
+SELECT word, count(*) AS freq FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '')) AS word
+  FROM '{path}') GROUP BY 1"""
+        ).fetchall()
+    )
+    symtab = {w: tuple(w) for w in freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in symtab.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b))
+        for w, syms in list(symtab.items()):
+            out: list[str] = []
+            pend = None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            symtab[w] = tuple(out)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # One merge pass as windowed gaps-and-islands (DuckDB 1.0's
+    # list_reduce loses accumulated list state in struct accumulators,
+    # so the Spark-side fold is replayed positionally): a position is a
+    # merge START iff its (a, b) pair matches and it holds an ODD rank
+    # within its island of consecutive matching positions — exactly
+    # leftmost-first non-overlapping (overlap chains only arise when
+    # a == b); the symbol after a merge start is consumed.
+    passes = []
+    for k, (a, b) in enumerate(merges, start=1):
+        prev = "t0" if k == 1 else f"t{k - 1}"
+        passes.append(f""",
+e{k} AS (
+  SELECT word, i AS pos, syms[i] AS sym,
+         (syms[i] = {q(a)} AND i < len(syms) AND syms[i + 1] = {q(b)}) AS mt
+  FROM {prev}, UNNEST(range(1, len(syms) + 1)) AS u(i)),
+r{k} AS (
+  SELECT word, pos, sym, mt,
+         CASE WHEN mt THEN pos - row_number()
+           OVER (PARTITION BY word, mt ORDER BY pos) END AS island
+  FROM e{k}),
+s{k} AS (
+  SELECT word, pos, sym, mt,
+         mt AND (row_number() OVER (PARTITION BY word, island ORDER BY pos) % 2 = 1)
+           AS mstart
+  FROM r{k}),
+t{k} AS (
+  SELECT word,
+         list(CASE WHEN mstart THEN {q(a + b)} ELSE sym END ORDER BY pos) AS syms
+  FROM (SELECT *, coalesce(lag(mstart) OVER (PARTITION BY word ORDER BY pos), FALSE)
+          AS consumed FROM s{k})
+  WHERE NOT consumed
+  GROUP BY word)""")
+    final = f"t{len(merges)}" if merges else "t0"
+    return f"""
+WITH w AS (
+  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                  x -> x <> '')) AS word
+  FROM documents),
+t0 AS (
+  SELECT word, list_filter(string_split(word, ''), ch -> ch <> '') AS syms
+  FROM w){''.join(passes)}
+SELECT word, array_to_string(syms, ' ') AS toks FROM {final}
 """
 
 
@@ -4075,6 +4199,7 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         # Incremental-dedup replay: the shared portable-minhash CTE
         # verifies ALL pairs; keep cross-split ones (old < 400 <= new —
         # id_a < id_b makes id_a the old side).

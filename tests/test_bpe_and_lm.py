@@ -393,3 +393,20 @@ def test_hashed_logreg_loss_decreases(spark):
         return tot
 
     assert loss(10) < loss(1) < loss(0) + 1e-9
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    """Encoding with the learned merges must (1) concatenate back to
+    the original word, (2) never exceed the char-split length, and
+    (3) strictly compress words containing learned merges."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, symtab = bpe_train(df, "text", n_merges=8, checkpoint_every=3)
+    enc = {r["word"]: r["syms"] for r in bpe_encode(df, "text", merges).collect()}
+    trained = {r["word"]: tuple(r["syms"]) for r in symtab.collect()}
+    assert set(enc) == set(trained)
+    for w, syms in enc.items():
+        assert "".join(syms) == w
+        assert len(syms) <= len(w)
+        # encoding fresh text with the merges == the trainer's final state
+        assert tuple(syms) == trained[w]
+    assert any(len(s) < len(w) for w, s in enc.items())
