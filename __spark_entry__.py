@@ -1447,6 +1447,28 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-supplier graph (suppliers sharing an
+    order) via degree-oriented wedge join — orientation caps per-node
+    wedge fan-out at O(sqrt(E)) no matter the hub skew. Oracle counts
+    the same triangles with the direct u<v<w three-way join (the
+    orientation changes the execution, not the result)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train→apply round trip: learn 10 merges from the corpus
     (distributed trainer over the word-frequency table), then encode
@@ -2805,12 +2827,13 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 18 round-3 additions —
+# queries then lacking a driver row are the 19 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
-# blocklist, cms_freq, containment, incremental_dedup, bpe_encode — they take
-# the first 18 slots, and the remaining 32 go to the stalest r1 greens
+# blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
+# triangles — they take
+# the first 19 slots, and the remaining 31 go to the stalest r1 greens
 # (TPC-shaped + temporal sets, dict order) for re-proof under the
 # current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
@@ -2918,6 +2941,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "incremental_dedup": q_incremental_dedup,
         "bpe_encode": q_bpe_encode,
+        "triangles": q_triangles,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4200,6 +4224,18 @@ FROM w
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        # Triangle replay: direct u<v<w three-way self-join over the
+        # canonical undirected co-supplier edges.
+        "triangles": """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+""",
         # Incremental-dedup replay: the shared portable-minhash CTE
         # verifies ALL pairs; keep cross-split ones (old < 400 <= new —
         # id_a < id_b makes id_a the old side).

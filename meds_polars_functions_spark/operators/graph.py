@@ -98,3 +98,65 @@ def pagerank(
     dangling_nodes.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count by degree-oriented wedge join (the
+    Cohen / Suri-Vassilvitskii MapReduce formulation): undirected edges
+    are first ORIENTED from the lower-(degree, id) endpoint to the
+    higher one, making the oriented graph a DAG where every triangle
+    {u,v,w} is counted exactly once as u→v, u→w (wedge at u) closed by
+    v→w.
+
+    Why orientation is THE scale move: the wedge join fans out by the
+    out-degree² of each node, and orientation caps every out-degree at
+    O(√|E|) regardless of how skewed the raw degree distribution is —
+    the celebrity node with 10⁸ followers contributes no wedges because
+    all its edges point INTO it. Without orientation the same join
+    explodes on exactly those hubs. Shuffles: one degree agg, one
+    broadcast-or-hash join to orient, two equi-joins on node keys.
+
+    Returns a 1-row DataFrame ``(n_triangles)``."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    oriented = withdeg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.s") == F.col("y.s"))
+        .filter(F.col("x.t") < F.col("y.t"))
+        .select(F.col("x.t").alias("p"), F.col("y.t").alias("q"))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.least("s", "t").alias("p"), F.greatest("s", "t").alias("q")
+        ),
+        ["p", "q"],
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

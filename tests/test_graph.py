@@ -33,3 +33,30 @@ def test_pagerank_matches_dense_power_iteration(spark):
     for i in range(5):
         assert got[i] == pytest.approx(want[i], abs=1e-9), i
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_known_graphs(spark):
+    from meds_polars_functions_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).first()["n_triangles"]
+
+    # K4 has 4 triangles; duplicate/reversed/self edges must not inflate
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert tri(k4) == 4
+    assert tri([(1, 2), (2, 3), (3, 1), (2, 1), (1, 1)]) == 1
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
+    # two disjoint triangles sharing no vertex
+    assert tri([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]) == 2
+
+
+def test_triangle_orientation_caps_hub_fanout(spark):
+    """A star hub (degree n) plus one rim edge has exactly 1 triangle;
+    with orientation the hub (highest degree) contributes ZERO wedges —
+    the wedge join input stays linear, not quadratic, in hub degree."""
+    from meds_polars_functions_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 50)] + [(1, 2)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_count(df).first()["n_triangles"] == 1
