@@ -1447,6 +1447,21 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.4 via prefix filtering (AllPairs/PPJoin) —
+    provably identical output to ngram_jaccard, so it shares that
+    oracle verbatim; only the rarest |S|-ceil(t|S|)+1 shingles per doc
+    enter the posting join."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-supplier graph (suppliers sharing an
     order) via degree-oriented wedge join — orientation caps per-node
@@ -2827,13 +2842,13 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 19 round-3 additions —
+# queries then lacking a driver row are the 20 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
 # blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
-# triangles — they take
-# the first 19 slots, and the remaining 31 go to the stalest r1 greens
+# triangles, jaccard_prefix — they take
+# the first 20 slots, and the remaining 30 go to the stalest r1 greens
 # (TPC-shaped + temporal sets, dict order) for re-proof under the
 # current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
@@ -2942,6 +2957,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "bpe_encode": q_bpe_encode,
         "triangles": q_triangles,
+        "jaccard_prefix": q_jaccard_prefix,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -5338,5 +5354,8 @@ SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored GROUP BY doc_id
     # scale composition), so they get their own pipeline-replay oracle
     oracles["dedup_clusters_star"] = _dedup_clusters_star_oracle_sql()
     oracles["clf_score"] = _clf_score_oracle_sql()
+    # prefix filtering is an execution-only optimization: provably the
+    # same pairs as the posting-join baseline, so the oracle is shared
+    oracles["jaccard_prefix"] = oracles["ngram_jaccard"]
     # conditionally-available oracles (e.g. environment-dependent replays)
     return {k: v for k, v in oracles.items() if v is not None}

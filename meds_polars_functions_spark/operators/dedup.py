@@ -1697,3 +1697,60 @@ def minhash_dedup_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard threshold join with PREFIX FILTERING (AllPairs /
+    PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — identical output
+    to ``ngram_jaccard_pairs``, asymptotically smaller join.
+
+    Under any consistent global order of shingles, two sets with
+    J(A,B) >= t MUST share an element within each one's first
+    |S| - ceil(t*|S|) + 1 shingles (else their intersection fits in a
+    suffix smaller than t*|S| <= |A∩B|). Ordering by ASCENDING global
+    frequency makes those prefixes the RAREST shingles, so the posting
+    join indexes only rare tokens: the frequent-shingle postings that
+    dominate the quadratic baseline never enter the join. Candidates
+    are then verified with native set ops on the full arrays —
+    exactness is a theorem, not a heuristic.
+
+    Shuffle ledger: one shingle-frequency agg, one rank window per doc
+    (keyed by id), the prefix posting join, one verify join keyed by id.
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
+    ranked = posts.join(freq, "g").withColumn(
+        "__r__",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("__f__"), F.asc("g"))
+        ),
+    )
+    # prefix length |S| - ceil(t|S|) + 1
+    prefix = ranked.filter(
+        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "g")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa__"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb__"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_similarity(F.col("__sa__"), F.col("__sb__")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

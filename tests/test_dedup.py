@@ -578,3 +578,37 @@ def test_incremental_dedup_index_plan_broadcasts_new_side(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filtered_jaccard_equals_baseline(spark):
+    """Prefix filtering is exact by theorem: identical (pair, jaccard)
+    output to the full posting-join baseline at several thresholds, and
+    the prefix posting table is strictly smaller than the full one."""
+    from meds_polars_functions_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        shingle_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        base = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs_prefix(
+                docs, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        assert pref == base, f"threshold {t}"
+    full_posts = shingle_table(docs, "text", "doc_id", out_col="sh").select(
+        F.explode("sh")
+    ).count()
+    # at t=0.8 the prefix keeps ~|S|/5 of each doc's shingles
+    sh = shingle_table(docs, "text", "doc_id", out_col="sh")
+    n_prefix = sh.select(
+        (F.size("sh") - F.ceil(F.lit(0.8) * F.size("sh")) + 1).alias("p")
+    ).agg(F.sum("p")).first()[0]
+    assert n_prefix < 0.4 * full_posts
