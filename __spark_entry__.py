@@ -1447,6 +1447,19 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement: 50 docs
+    weighted by n_chars, deterministic (md5 u-draws, exponential-race
+    keys, round(9) + id tiebreak)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50, salt="s0").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.4 via prefix filtering (AllPairs/PPJoin) —
     provably identical output to ngram_jaccard, so it shares that
@@ -2842,13 +2855,13 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 20 round-3 additions —
+# queries then lacking a driver row are the 21 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
 # blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
-# triangles, jaccard_prefix — they take
-# the first 20 slots, and the remaining 30 go to the stalest r1 greens
+# triangles, jaccard_prefix, weighted_sample — they take
+# the first 21 slots, and the remaining 29 go to the stalest r1 greens
 # (TPC-shaped + temporal sets, dict order) for re-proof under the
 # current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
@@ -2958,6 +2971,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "triangles": q_triangles,
         "jaccard_prefix": q_jaccard_prefix,
+        "weighted_sample": q_weighted_sample,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4240,6 +4254,16 @@ FROM w
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        # Weighted-sample replay: same md5 u-draw, exponential-race key
+        # -ln(u)/w, round(9) + id tiebreak, top-50.
+        "weighted_sample": """
+WITH s AS (
+  SELECT doc_id, n_chars,
+    -ln(((('0x' || substr(md5(doc_id || ':s0'), 1, 15))::BIGINT % 2147483647) + 1)::DOUBLE
+        / 2147483648.0) / n_chars::DOUBLE AS key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars FROM s ORDER BY round(key, 9), doc_id LIMIT 50
+""",
         # Triangle replay: direct u<v<w three-way self-join over the
         # canonical undirected co-supplier edges.
         "triangles": """

@@ -170,3 +170,44 @@ def shuffle_positions(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
         .withColumn("pos", F.row_number().over(Window.orderBy("__k__", id_col)))
         .drop("__k__")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 exponential race): each row draws u in (0, 1] from
+    the engine-portable md5 hash of (id, salt) and races with key
+    ``-ln(u) / w`` — the k SMALLEST keys are a correctly-distributed
+    weighted sample, in one pass with no per-group state.
+
+    Why this is the 100 TB sampler: it needs no total weight, no second
+    pass, and no coordination — the key is a pure map-side expression,
+    selection is a global top-k (TakeOrdered: per-partition heads, then
+    a k-sized merge on one reducer), and the same (data, salt, k) always
+    yields the same sample on any engine that can md5. Re-draw by
+    changing the salt. Rows with weight <= 0 never win (key = +inf)."""
+    p = 2147483647
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(p)
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(p + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    return (
+        df.withColumn("__sk__", F.round(key, 9))
+        .orderBy(F.asc("__sk__"), F.asc(id_col))
+        .limit(k)
+        .drop("__sk__")
+    )

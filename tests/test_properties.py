@@ -170,3 +170,24 @@ def test_bpe_apply_merge_matches_python_greedy(spark, words, a, b):
         exp = _py_merge(ws, a, b)
         assert got[f"w{i}"] == exp
         assert "".join(got[f"w{i}"]) == "".join(ws)  # content preserved
+
+
+def test_weighted_sample_determinism_and_weight_bias(spark):
+    """Same (data, salt, k) => identical sample; heavier rows must be
+    overrepresented (statistical, wide margin: weight ratio 100:1);
+    zero-weight rows never selected; salt changes the draw."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = {r["id"] for r in weighted_sample(df, "id", "w", 100, salt="x").collect()}
+    b = {r["id"] for r in weighted_sample(df, "id", "w", 100, salt="x").collect()}
+    assert a == b and len(a) == 100
+    assert 999 not in a
+    heavy = sum(1 for i in a if i < 50)
+    # 50 heavy rows at 100x weight should nearly all be in a 100-sample
+    assert heavy >= 40
+    c = {r["id"] for r in weighted_sample(df, "id", "w", 100, salt="y").collect()}
+    assert c != a
