@@ -191,3 +191,53 @@ def test_weighted_sample_determinism_and_weight_bias(spark):
     assert heavy >= 40
     c = {r["id"] for r in weighted_sample(df, "id", "w", 100, salt="y").collect()}
     assert c != a
+
+
+word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
+doc_words = st.lists(word, min_size=0, max_size=30)
+
+
+@given(st.lists(doc_words, min_size=1, max_size=6))
+def test_cdc_chunks_tile_every_document(spark, docs):
+    """Random corpora: CDC chunks are a contiguous, complete partition
+    of each document's words; chunk hashes are reproducible."""
+    from meds_polars_functions_spark.operators.dedup import cdc_chunks
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df, "text", "doc_id", divisor=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, ws in enumerate(docs):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not ws:
+            assert chunks == []
+            continue
+        pos = 0
+        for j, r in enumerate(chunks):
+            assert r["chunk_idx"] == j and r["start_word"] == pos and r["n_words"] >= 1
+            pos += r["n_words"]
+        assert pos == len(ws)
+
+
+@given(
+    st.lists(word, min_size=8, max_size=8),
+    st.lists(word, min_size=0, max_size=6),
+    st.lists(word, min_size=0, max_size=6),
+)
+def test_winnow_guarantee_property(spark, shared, pre, post):
+    """For ANY shared run of window+k-1 = 8 words embedded in arbitrary
+    prefix/suffix contexts, winnowing must select at least one common
+    fingerprint for both documents (the scheme's coverage theorem)."""
+    from meds_polars_functions_spark.operators.dedup import winnow_fingerprints
+
+    t1 = " ".join(pre + shared + post)
+    t2 = " ".join(list(reversed(post)) + ["qq", "ww"] + shared + ["rr"])
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(df, "text", "doc_id", k=4, window=5).collect()
+    h1 = {r["fp_hash"] for r in fp if r["id"] == 1}
+    h2 = {r["fp_hash"] for r in fp if r["id"] == 2}
+    assert h1 & h2
