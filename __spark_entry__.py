@@ -1447,6 +1447,31 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, "text", "doc_id", k=4, window=5, min_shared=2)
 
 
+def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims (seeded plane literals), then
+    exact cosine top-5 IN THE PROJECTED SPACE — the
+    reduce-then-search pattern. Oracle replays projection with the
+    shared sequential-fold dot (_srp_dot_sql) and the rank."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        brute_force_topk_expression,
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    proj = random_projection(emb, "embedding", in_dim=64, out_dim=16, seed=7).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    queries = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk_expression(proj, queries, k=5, tie_round=6).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample without replacement: 50 docs
     weighted by n_chars, deterministic (md5 u-draws, exponential-race
@@ -2855,13 +2880,13 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change). Ever-green coverage ledger: COVERAGE.md.
 #
 # Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 21 round-3 additions —
+# queries then lacking a driver row are the 22 round-3 additions —
 # lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
 # blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
-# triangles, jaccard_prefix, weighted_sample — they take
-# the first 21 slots, and the remaining 29 go to the stalest r1 greens
+# triangles, jaccard_prefix, weighted_sample, jl_topk — they take
+# the first 22 slots, and the remaining 28 go to the stalest r1 greens
 # (TPC-shaped + temporal sets, dict order) for re-proof under the
 # current load path. All are locally green via
 # scripts/compare_oracle.py in the meantime.
@@ -2972,6 +2997,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "jaccard_prefix": q_jaccard_prefix,
         "weighted_sample": q_weighted_sample,
+        "jl_topk": q_jl_topk,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3384,6 +3410,39 @@ q AS (SELECT vec_id AS query_id, v, nrm, cell FROM cellado WHERE vec_id < 8),
 scored AS (
   SELECT q.query_id, c.vec_id, {dot} / (q.nrm * c.nrm) AS cosine
   FROM cellado c JOIN q ON c.cell = q.cell),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _jl_topk_oracle_sql(
+    dim: int = 64, out_dim: int = 16, seed: int = 7, k: int = 5
+) -> str:
+    """DuckDB replay of q_jl_topk: seeded projection planes inlined as
+    literals, each component the shared sequential-fold dot
+    (_srp_dot_sql — bit-identical to Spark's aggregate fold), then
+    exact cosine ranking in the projected space with round(6) + vec_id
+    tiebreak."""
+    from meds_polars_functions_spark.operators.similarity import _seeded_hyperplanes
+
+    planes = _seeded_hyperplanes(dim, out_dim, seed)
+    comps = ", ".join(_srp_dot_sql("v", pl, dim) for pl in planes)
+    norm = _SQL_NORM.format(v="p")
+    dot = _SQL_PAIR_DOT.format(n=out_dim + 1, a="c.p", b="q.p")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+proj AS (SELECT vec_id, [{comps}] AS p FROM e),
+withn AS (SELECT vec_id, p, {norm} AS nrm FROM proj),
+q AS (SELECT vec_id AS query_id, p, nrm FROM withn WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({dot} / (q.nrm * c.nrm), 6) AS cosine
+  FROM withn c CROSS JOIN q),
 ranked AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id
@@ -4253,6 +4312,7 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key
         # -ln(u)/w, round(9) + id tiebreak, top-50.

@@ -614,3 +614,31 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: multiply each embedding
+    by a seeded Gaussian matrix folded into the plan as literals —
+    map-side, no shuffle, reproducible on any engine. JL: pairwise
+    distances distort by at most (1 ± eps) with out_dim = O(ln n / eps²),
+    so downstream ANN / clustering / dedup run on vectors 4-8× smaller.
+
+    The per-component dot products are sequential left folds from 0.0
+    (the repo's cross-engine IEEE convention — the DuckDB oracle replays
+    them bit-for-bit). The expression form is interpreted per element;
+    for bulk re-encoding of a 100 TB corpus use the same
+    mapInPandas-with-sequential-accumulation pattern as
+    ``pq_encode_vectorized`` (bit-identical by the same argument)."""
+    planes = _seeded_hyperplanes(in_dim, out_dim, seed)
+    comps = []
+    for plane in planes:
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        comps.append(_dot(F.col(vec_col), p))
+    return df.withColumn(out_col, F.array(*comps))

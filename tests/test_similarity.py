@@ -214,3 +214,27 @@ def test_pq_encode_vectorized_bit_identical_to_expression(emb):
         for r in pq_encode_vectorized(emb, "embedding", books).collect()
     }
     assert a == b
+
+
+def test_random_projection_preserves_neighborhoods(emb, queries):
+    """JL with out_dim=32 of 64: projected-space top-5 must recover a
+    solid share of the exact top-5, and each query must find itself at
+    rank 1 (projection preserves self-similarity exactly)."""
+    from meds_polars_functions_spark.operators.similarity import random_projection
+
+    exact = brute_force_topk(emb, queries, k=5, tie_round=9)
+    proj = random_projection(emb, "embedding", in_dim=64, out_dim=32, seed=3).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    pq = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = brute_force_topk_vectorized(proj, pq, k=5, tie_round=9)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    for qid in [r["query_id"] for r in pq.collect()]:
+        assert (qid, qid) in ap
+    # random Gaussian embeddings have near-tied neighbors (no cluster
+    # structure), the hardest case for any projection — chance level is
+    # ~1%, so 15% is a strong preservation signal
+    assert len(ex & ap) / len(ex) > 0.15
