@@ -60,6 +60,8 @@ TRACKED = [
     "dsir_weights",
     "bpe_pair_counts",
     "pq_topk",
+    "winnow_pairs",
+    "jaccard_prefix",
 ]
 
 
