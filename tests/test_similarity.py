@@ -238,3 +238,36 @@ def test_random_projection_preserves_neighborhoods(emb, queries):
     # structure), the hardest case for any projection — chance level is
     # ~1%, so 15% is a strong preservation signal
     assert len(ex & ap) / len(ex) > 0.15
+
+
+def test_pq_fused_scan_bit_identical_and_single_pass(emb, queries):
+    """The fused encode+ADC+local-top-k Arrow pass must produce exactly
+    the staged pipeline's rows (ranks AND rounded distances), in a plan
+    with a single corpus scan and only the final rank exchange."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    staged = pq_topk(emb, queries, books, k=5, tie_round=6, encode="vectorized")
+    fused = pq_topk(emb, queries, books, k=5, tie_round=6, encode="fused")
+    a = {(r["query_id"], r["rank"]): (r["vec_id"], r["approx_d"]) for r in staged.collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["approx_d"]) for r in fused.collect()}
+    assert a == b
+    # explain a FRESH plan: an executed adaptive plan prints final AND
+    # initial sections, double-counting every node
+    fresh = pq_topk(emb, queries, books, k=5, tie_round=6, encode="fused")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fresh.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
