@@ -2863,6 +2863,112 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact span dedup (Lee et al. 2022 span granularity /
+    C4 line-dedup): 20-word tiles, keep-first by (doc_id, idx), docs
+    reassembled from surviving spans; fully-duplicated docs drop. Span
+    text crosses the wire once (operators/dedup.py span_dedup)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup(docs, "text", "doc_id", span_words=20)
+    return out.select("doc_id", "text")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (most-frequent
+    neighbor label, ties -> smallest; 3 iterations) over the
+    supplier-customer trade graph — communities for corpus/domain
+    grouping. Oracle unrolls the 3 rounds as chained CTEs."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, n_iter=3)
+
+
+def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-histogram quantiles of l_extendedprice per
+    returnflag (width-100 bins on [0, 120000)): the deterministic,
+    engine-portable alternative to approx_percentile — one histogram
+    pass over the fact table, quantiles from the tiny cell table."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_histogram,
+        binned_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = binned_histogram(
+        li, "l_extendedprice", ["l_returnflag"], lo=0.0, hi=120_000.0, n_bins=1200
+    )
+    out = binned_quantiles(
+        hist, [0.25, 0.5, 0.75, 0.9, 0.99], ["l_returnflag"],
+        lo=0.0, hi=120_000.0, n_bins=1200,
+    )
+    return out.select("l_returnflag", "q", "est")
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding table via Arrow partial
+    (count, sum, sumsq) folds — exchange carries partitions x dims
+    cells, independent of row count (operators/similarity.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_dim_stats(emb, "embedding")
+    return out.select(F.col("dim").cast("long").alias("dim"), "n", "mean", "std")
+
+
+def q_standardize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-then-apply z-scoring: dim stats broadcast back as one-row
+    mu/sigma arrays, transform is a native zip_with chain (no explode,
+    no UDF on the big side). Output is per-vector z-sum/z-norm so the
+    comparator sees scalars."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        embedding_dim_stats,
+        standardize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    stats = embedding_dim_stats(emb, "embedding")
+    z = standardize_embeddings(emb, "embedding", stats, out_col="z")
+    zsum = F.aggregate("z", F.lit(0.0), lambda a, x: a + x)
+    zss = F.aggregate("z", F.lit(0.0), lambda a, x: a + x * x)
+    return z.select(
+        "vec_id",
+        F.round(zsum, 6).alias("z_sum"),
+        F.round(zss, 6).alias("z_sumsq"),
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature resampling over the skewed lang column
+    (mBERT/XLM-R alpha-sampling): adaptive per-source keep-rates from
+    one tiny count agg, broadcast back; md5-bucket keep decision — the
+    adaptive sibling of mixture_sample."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Query registry + correctness-window ordering
 #
@@ -2887,11 +2993,12 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dsir_weights, bpe_pair_counts, bm25_search, clf_score,
 # shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
 # blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
-# triangles, jaccard_prefix, weighted_sample, jl_topk — they take
-# the first 22 slots, and the remaining 28 go to the stalest r1 greens
-# (TPC-shaped + temporal sets, dict order) for re-proof under the
-# current load path. All are locally green via
-# scripts/compare_oracle.py in the meantime.
+# triangles, jaccard_prefix, weighted_sample, jl_topk, span_dedup,
+# label_propagation, binned_quantiles, embedding_dim_stats,
+# standardize_embeddings, temperature_mixture — they take the first
+# slots, and the remaining go to the stalest r1 greens (TPC-shaped +
+# temporal sets, dict order) for re-proof under the current load path.
+# All are locally green via scripts/compare_oracle.py in the meantime.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
@@ -3000,6 +3107,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "weighted_sample": q_weighted_sample,
         "jl_topk": q_jl_topk,
+        "span_dedup": q_span_dedup,
+        "label_propagation": q_label_propagation,
+        "binned_quantiles": q_binned_quantiles,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "standardize_embeddings": q_standardize_embeddings,
+        "temperature_mixture": q_temperature_mixture,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4337,6 +4450,100 @@ SELECT count(*) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+""",
+        # Span-dedup replay: identical 20-word tiling (1-based list_slice
+        # == Spark F.slice), keep-first by (doc_id, idx) via row_number
+        # over the span STRING (Spark elects per sha2(span) — equal
+        # winners absent collisions), ordered string_agg reassembly.
+        "span_dedup": """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, t.i AS idx,
+         array_to_string(list_slice(w, t.i*20+1, t.i*20+20), ' ') AS span
+  FROM words, unnest(range(0, cast(ceil(len(w)/20.0) AS BIGINT))) AS t(i)
+),
+winners AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx, row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+    FROM spans) WHERE rn = 1),
+joined AS (
+  SELECT s.doc_id, string_agg(s.span, ' ' ORDER BY s.idx) AS text
+  FROM spans s JOIN winners u ON s.doc_id = u.doc_id AND s.idx = u.idx
+  GROUP BY 1)
+SELECT doc_id, text FROM joined WHERE length(text) > 0
+""",
+        # LPA replay: 3 synchronous rounds unrolled (most-frequent
+        # neighbor label, ties -> smallest) over the undirected trade
+        # graph; row_number(count DESC, label ASC) == Spark's
+        # max(struct(cnt, -label)) argmax.
+        "label_propagation": """
+WITH e0 AS (SELECT DISTINCT l_suppkey AS s, o_custkey + 10000000 AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+c1 AS (SELECT e.s AS node, l.label, count(*) AS n FROM e JOIN l0 l ON e.d = l.node GROUP BY 1,2),
+l1 AS (SELECT node, label FROM (SELECT node, label,
+        row_number() OVER (PARTITION BY node ORDER BY n DESC, label) rn FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.s AS node, l.label, count(*) AS n FROM e JOIN l1 l ON e.d = l.node GROUP BY 1,2),
+l2 AS (SELECT node, label FROM (SELECT node, label,
+        row_number() OVER (PARTITION BY node ORDER BY n DESC, label) rn FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.s AS node, l.label, count(*) AS n FROM e JOIN l2 l ON e.d = l.node GROUP BY 1,2),
+l3 AS (SELECT node, label FROM (SELECT node, label,
+        row_number() OVER (PARTITION BY node ORDER BY n DESC, label) rn FROM c3) WHERE rn = 1)
+SELECT node, label FROM l3
+""",
+        # Binned-quantile replay: same clamp/width arithmetic; the
+        # estimate is the upper edge of the first bin whose cumulative
+        # count reaches q*total.
+        "binned_quantiles": """
+WITH h AS (SELECT l_returnflag,
+    least(greatest(cast(floor(l_extendedprice/100.0) AS BIGINT), 0), 1199) AS bin,
+    count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1,2),
+c AS (SELECT l_returnflag, bin,
+    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+    sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM h),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT l_returnflag, q, round(min(bin + 1) * 100.0, 9) AS est
+FROM c CROSS JOIN qs WHERE cum >= q * tot GROUP BY 1, 2
+""",
+        # Dim-stats replay: zipped unnest (value, position); population
+        # std via the same sum/sumsq formula the Spark reduce uses.
+        "embedding_dim_stats": """
+WITH x AS (SELECT unnest(embedding)::DOUBLE AS v,
+                  unnest(range(len(embedding))) AS dim FROM embeddings)
+SELECT dim, count(*) AS n,
+  round(sum(v)/count(*), 6) AS mean,
+  round(sqrt(sum(v*v)/count(*) - (sum(v)/count(*))*(sum(v)/count(*))), 6) AS std
+FROM x GROUP BY 1
+""",
+        # Standardize replay: stats CTE rounds to 6 exactly like the
+        # Spark fit step, z folded in dim order (ORDER BY dim inside the
+        # aggregate == Spark's sequential F.aggregate over the array).
+        "standardize_embeddings": """
+WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                  unnest(range(len(embedding))) AS dim FROM embeddings),
+st AS (SELECT dim,
+  round(sum(v)/count(*), 6) AS mean,
+  round(sqrt(sum(v*v)/count(*) - (sum(v)/count(*))*(sum(v)/count(*))), 6) AS std
+  FROM x GROUP BY 1),
+z AS (SELECT vec_id, dim, CASE WHEN std > 0 THEN (v - mean)/std ELSE v - mean END AS z
+  FROM x JOIN st USING (dim))
+SELECT vec_id, round(sum(z ORDER BY dim), 6) AS z_sum,
+       round(sum(z*z ORDER BY dim), 6) AS z_sumsq
+FROM z GROUP BY 1
+""",
+        # Temperature-mixture replay: alpha=0.5 shares over lang counts,
+        # keep-rate min(1, share * total / count), same md5 bucket as
+        # mixture_sample.
+        "temperature_mixture": """
+WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+t AS (SELECT sum(pow(c, 0.5)) AS wsum, sum(c) AS n FROM c),
+r AS (SELECT lang, least(1.0, (pow(c, 0.5)/wsum) * (n/c)) AS rate FROM c CROSS JOIN t),
+b AS (SELECT doc_id, lang,
+   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS bucket
+   FROM documents)
+SELECT b.doc_id, b.lang FROM b JOIN r USING (lang) WHERE bucket < rate
 """,
         # Incremental-dedup replay: the shared portable-minhash CTE
         # verifies ALL pairs; keep cross-split ones (old < 400 <= new —

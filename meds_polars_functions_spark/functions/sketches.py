@@ -18,7 +18,9 @@ relative error above it (lgK 12 default). All JVM-native — no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -212,3 +214,69 @@ def count_min_estimate(
         "probe", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell")
     )
     return joined.groupBy("probe").agg(F.min("cell").alias("est"))
+
+
+def binned_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Fixed-width binned histogram — the MERGEABLE quantile sketch.
+
+    Emits one row per (group, bin) with the bin's row count; values are
+    clamped into ``[lo, hi)`` (bin 0 / bin n_bins-1 absorb the tails).
+    Because the cell table is a plain additive aggregate it enjoys
+    map-side partial aggregation, merges across shards/streams by
+    summing counts (like ``count_min_merge``), and bounds quantile error
+    by one bin width — the deterministic, engine-portable alternative to
+    ``approx_percentile`` (whose GK sketch is not reproducible across
+    engines, so it can never be oracle-checked)."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def binned_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Quantile estimates from a ``binned_histogram`` cell table: for each
+    requested ``q`` the estimate is the UPPER edge of the first bin whose
+    cumulative count reaches ``q * total`` (conservative: exact value is
+    within one bin width below). One window over the (small) cell table +
+    a literal-array explode for the q grid — the raw data is never
+    touched again, so quantiles over 100 TB cost one histogram pass."""
+    width = (hi - lo) / n_bins
+    gc = list(group_cols)
+    w = (
+        Window.partitionBy(*gc).orderBy("bin")
+        if gc
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    cum = hist.withColumn("__cum__", F.sum("cnt").over(w)).withColumn(
+        "__tot__", F.sum("cnt").over(Window.partitionBy(*gc) if gc else Window.partitionBy(F.lit(1)))
+    )
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = cum.select(*gc, "bin", "__cum__", "__tot__", qlit).filter(
+        F.col("__cum__") >= F.col("q") * F.col("__tot__")
+    )
+    return hit.groupBy(*gc, "q").agg(
+        F.round(F.min(F.col("bin") + 1) * width + lo, 9).alias("est")
+    )

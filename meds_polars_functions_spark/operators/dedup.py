@@ -1754,3 +1754,75 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 20,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup: tile every document into consecutive
+    ``span_words``-word windows, keep only the FIRST occurrence (by
+    ``(doc_id, span_idx)``) of each distinct span across the whole
+    corpus, and reassemble documents from their surviving spans.
+
+    This is the span-granular exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", ~50-token
+    spans) / C4's line-level dedup (Raffel et al. 2020), restated for a
+    distributed engine: boilerplate paragraphs repeated across millions
+    of pages are removed from every copy but one, without dropping the
+    surrounding novel text. Reference parity note: the reference's
+    dedup is whole-row only (filter_measurements.py /
+    aggregate_code_metadata.py); span granularity is a beyond-reference
+    LLM-pipeline operator.
+
+    Scale design — the span TEXT crosses the wire at most once:
+      1. a light table ``(hash, id, idx)`` (hashes only, no text) is
+         aggregated per hash to elect the keep-first winner
+         ``min(struct(id, idx))`` — map-side partial agg applies;
+      2. winners collapse to one row per doc ``(id, sorted surviving
+         idx array)`` — second light shuffle, |docs| rows out;
+      3. the full text joins that per-doc keep-list hash-partitioned on
+         ``id`` and spans are re-derived + filtered MAP-SIDE with a
+         positional lambda, so document bodies are shuffled exactly
+         once (for the join on ``id``) and never exploded through an
+         exchange.
+    Documents whose every span lost (pure duplicates of earlier docs)
+    are dropped when ``drop_empty`` (C4 behavior).
+    """
+    idc = F.col(id_col)
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    span_at = lambda i: F.concat_ws(  # noqa: E731 — words[i*k : (i+1)*k]
+        " ", F.slice(words, i * span_words + 1, span_words)
+    )
+    # sequence(0, -1) is DESCENDING [0, -1]; guard the empty-document case
+    # explicitly (the repetition_stats nb==1 bug class)
+    spans = F.when(
+        n_spans > 0, F.transform(F.sequence(F.lit(0), n_spans - 1), span_at)
+    ).otherwise(F.array().cast("array<string>"))
+    light = df.select(
+        idc.alias("id"),
+        F.posexplode(spans).alias("idx", "__sp__"),
+    ).select("id", "idx", F.sha2(F.col("__sp__"), 256).alias("h"))
+    winners = light.groupBy("h").agg(
+        F.min(F.struct(F.col("id"), F.col("idx"))).alias("w")
+    )
+    keep_per_doc = (
+        winners.select(F.col("w.id").alias("id"), F.col("w.idx").alias("idx"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("idx")).alias("__keep__"))
+    )
+    kept_spans = F.filter(
+        spans, lambda s, i: F.array_contains(F.col("__keep__"), i)
+    )
+    out = (
+        df.join(keep_per_doc, idc == F.col("id"))
+        .withColumn(text_col, F.concat_ws(" ", kept_spans))
+        .drop("id", "__keep__")
+    )
+    if drop_empty:
+        out = out.filter(F.length(text_col) > 0)
+    return out

@@ -160,3 +160,64 @@ def triangle_count(
         ["p", "q"],
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with a DETERMINISTIC update rule: each round, every node adopts
+    the label that is most frequent among its neighbors, ties broken by
+    the smallest label; isolated nodes keep their label. Labels start as
+    the node id. Deterministic LPA is the standard cheap community signal
+    for near-dup cluster grouping / domain clustering of a link graph.
+
+    Scale design (mirrors pagerank above): the undirected edge table is
+    materialized once, pre-partitioned on the neighbor-side join key and
+    persisted — each iteration is one join (labels are |nodes|-sized,
+    edges reuse their exchange) + one (node, label) count agg + one
+    argmax agg. The argmax is ``max(struct(cnt, -label))`` so it
+    resolves map-side as a partial aggregate — no window, no sort.
+    Lineage is cut with localCheckpoint like the other iterative ops.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    und = (
+        e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition("d")
+        .persist()
+    )
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for it in range(n_iter):
+        nbr = und.join(
+            labels.select(F.col("node").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c__"))
+        new = counts.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("__c__"), (-F.col("label")).alias("__nl__"))
+            ).alias("__m__")
+        ).select("node", (-F.col("__m__.__nl__")).alias("label"))
+        # isolated nodes (none here by construction of `und`, but keep the
+        # rule total) retain their previous label
+        prev = labels
+        labels = (
+            prev.select("node", F.col("label").alias("__old__"))
+            .join(new, "node", "left")
+            .select("node", F.coalesce("label", "__old__").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -211,3 +211,57 @@ def weighted_sample(
         .limit(k)
         .drop("__sk__")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture resampling: target share of source ``s``
+    is ``count(s)^alpha / sum_t count(t)^alpha`` (the multilingual /
+    multi-corpus alpha-sampling rule of mBERT / XLM-R / T5, alpha < 1
+    upweights small sources), realized as a DETERMINISTIC per-source
+    keep-rate over md5 buckets of the row id — the adaptive sibling of
+    ``mixture_sample``, which needs hand-set weights.
+
+    ``target_total`` is the desired output row count (defaults to the
+    input count). Keep rate ``min(1, share * target / count)`` — a
+    source already smaller than its target share keeps everything
+    (upsampling is out of scope for a filter).
+
+    Scale design: one count agg over the source key (tiny), rates
+    derived driver-free in a BROADCAST one-row-per-source dim joined
+    back map-side; the keep decision is the same engine-portable md5
+    bucket as ``mixture_sample`` — no RNG, no shuffle of the corpus."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c__"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__c__"), F.lit(alpha))).alias("__wsum__"),
+        F.sum("__c__").alias("__n__"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.pow(F.col("__c__"), F.lit(alpha)) / F.col("__wsum__"))
+            * (F.coalesce(F.lit(target_total), F.col("__n__")) / F.col("__c__")),
+        ).alias("__rate__"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0x100000000))
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("__rate__"))
+        .drop("__rate__")
+    )

@@ -733,3 +733,99 @@ def random_projection(
         p = F.array(*[F.lit(float(x)) for x in plane])
         comps.append(_dot(F.col(vec_col), p))
     return df.withColumn(out_col, F.array(*comps))
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION mean / population-std over an embedding column —
+    the fit step of feature standardization (z-scoring embeddings before
+    clustering / linear probes / SemDeDup).
+
+    Scale design: the naive shape (posexplode → groupBy dim) shuffles
+    |rows| × dim cells. Instead each partition folds its vectors into ONE
+    (count, sum[dim], sumsq[dim]) partial inside an Arrow ``mapInPandas``
+    (numpy column sums, zero per-row Python), so the exchange carries
+    ``num_partitions × dim`` cells — independent of row count, the same
+    partial-aggregate contract as ``binned_histogram``. Final reduce is a
+    tiny groupBy over dims. The output (dim, n, mean, std) is broadcast-
+    sized; ``standardize_embeddings`` folds it back map-side."""
+    import pandas as pd
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "dim": np.arange(m.shape[1], dtype=np.int32),
+                    "pn": np.int64(m.shape[0]),
+                    "ps": m.sum(axis=0),
+                    "pss": (m * m).sum(axis=0),
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, schema="dim int, pn long, ps double, pss double"
+    )
+    return (
+        parts.groupBy("dim")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").alias("__s__"),
+            F.sum("pss").alias("__ss__"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("__s__") / F.col("n"), round_to).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.col("__ss__") / F.col("n")
+                    - (F.col("__s__") / F.col("n")) * (F.col("__s__") / F.col("n"))
+                ),
+                round_to,
+            ).alias("std"),
+        )
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    stats: DataFrame,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply (x - mean) / std per dimension using an ``embedding_dim_stats``
+    table: the dim-indexed mean/std arrays are assembled with one tiny
+    sorted aggregate and cross-joined as a ONE-ROW broadcast, then the
+    transform is a native ``zip_with`` chain — map-side, no explode, no
+    UDF on the big table. Zero-variance dims pass through centered."""
+    # collect_list after orderBy is NOT order-stable through an exchange;
+    # sort dim-keyed structs post-collect instead (the tokenization pattern)
+    arrs = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean", "std"))
+        ).alias("__a__")
+    ).select(
+        F.transform("__a__", lambda s: s["mean"]).alias("__mu__"),
+        F.transform("__a__", lambda s: s["std"]).alias("__sd__"),
+    )
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("__mu__"), lambda x, m: x - m
+    )
+    z = F.zip_with(
+        centered,
+        F.col("__sd__"),
+        lambda c, s: F.when(s > 0, c / s).otherwise(c),
+    )
+    return (
+        df.crossJoin(F.broadcast(arrs))
+        .withColumn(out_col or vec_col, z)
+        .drop("__mu__", "__sd__")
+    )

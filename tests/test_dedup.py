@@ -612,3 +612,50 @@ def test_prefix_filtered_jaccard_equals_baseline(spark):
         (F.size("sh") - F.ceil(F.lit(0.8) * F.size("sh")) + 1).alias("p")
     ).agg(F.sum("p")).first()[0]
     assert n_prefix < 0.4 * full_posts
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    novel1 = " ".join(f"x{i}" for i in range(20))
+    novel2 = " ".join(f"y{i}" for i in range(20))
+    rows = [
+        (1, boiler + " " + novel1),
+        (2, boiler + " " + novel2),  # boilerplate span drops, novel kept
+        (3, boiler),                 # fully duplicated -> doc dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in span_dedup(df, "text", "doc_id", 20).collect()}
+    assert got[1] == boiler + " " + novel1
+    assert got[2] == novel2
+    assert 3 not in got
+
+
+def test_span_dedup_partial_tail_span_and_empty(spark):
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    # 25 words -> spans of 20 + 5; tail spans differ so both docs survive
+    t1 = " ".join(f"w{i}" for i in range(20)) + " tail one two three four"
+    t2 = " ".join(f"w{i}" for i in range(20)) + " tail five six seven eight"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["text"] for r in span_dedup(df, "text", "doc_id", 20).collect()}
+    assert got[1] == t1
+    # doc 2 loses its first span (dup of doc 1's) but keeps the tail
+    assert got[2] == "tail five six seven eight"
+    assert 3 not in got  # empty doc: no spans, dropped
+
+
+def test_span_dedup_keeps_other_columns(spark):
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "a b c d", "s1")], ["doc_id", "text", "src"]
+    )
+    out = span_dedup(df, "text", "doc_id", span_words=2)
+    rows = {r["doc_id"]: (r["text"], r["src"]) for r in out.collect()}
+    # doc2: spans "a b" (dup, drops), "c d" (unique, kept)
+    assert rows[1] == ("a b c", "s0")
+    assert rows[2] == ("c d", "s1")

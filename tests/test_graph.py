@@ -60,3 +60,43 @@ def test_triangle_orientation_caps_hub_fanout(spark):
     star = [(0, i) for i in range(1, 50)] + [(1, 2)]
     df = spark.createDataFrame(star, "src long, dst long")
     assert triangle_count(df).first()["n_triangles"] == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    from meds_polars_functions_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA with min-label ties floods
+    # each clique with its smallest member id
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=4).collect()}
+    assert set(got) == {0, 1, 2, 10, 11, 12}
+    # clique A collapses to label 0
+    assert got[0] == got[1] == got[2] == 0
+    # clique B: all three agree; the bridge 2-10 leaks label 2 in (hand
+    # trace: 10 adopts 2 at iter1 via the bridge, it floods B by iter3)
+    assert got[10] == got[11] == got[12] == 2
+
+
+def test_label_propagation_deterministic(spark):
+    from meds_polars_functions_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20)] + [(5, 6), (6, 7)]
+    df = spark.createDataFrame(
+        [(s, d) for s, d in edges if s != d], ["src", "dst"]
+    )
+    a = sorted(map(tuple, label_propagation(df, n_iter=3).collect()))
+    b = sorted(map(tuple, label_propagation(df, n_iter=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_star_adopts_hub_majority(spark):
+    from meds_polars_functions_spark.operators.graph import label_propagation
+
+    # star: hub 0 with leaves 1..4. Iter1: leaves -> 0, hub -> 1 (min
+    # label among leaf labels, all count 1). Iter2: leaves -> 1, hub -> 0.
+    df = spark.createDataFrame([(0, i) for i in range(1, 5)], ["src", "dst"])
+    got1 = {r["node"]: r["label"] for r in label_propagation(df, n_iter=1).collect()}
+    assert got1 == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0}
+    got2 = {r["node"]: r["label"] for r in label_propagation(df, n_iter=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1}

@@ -241,3 +241,49 @@ def test_winnow_guarantee_property(spark, shared, pre, post):
     h1 = {r["fp_hash"] for r in fp if r["id"] == 1}
     h2 = {r["fp_hash"] for r in fp if r["id"] == 2}
     assert h1 & h2
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    """alpha=0.5 downsamples the majority source toward sqrt-share,
+    keeps every row of sources already under their target share, and is
+    replay-deterministic (md5 buckets, no RNG)."""
+    import pyspark.sql.functions as F
+
+    from meds_polars_functions_spark.operators.packing import temperature_mixture
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_mixture(df, "src", "id", alpha=0.5)
+    counts = {r["src"]: r["cnt"] for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # small source is under its alpha-share target -> rate capped at 1, all kept
+    assert counts["small"] == 100
+    # big source's keep-rate = share * total / count < 1
+    import math
+
+    share = math.sqrt(800) / (math.sqrt(800) + math.sqrt(100))
+    expected_rate = share * 900 / 800
+    assert expected_rate < 1
+    # md5 buckets are uniform-ish; allow generous binomial slack
+    assert abs(counts["big"] / 800 - expected_rate) < 0.07
+    again = temperature_mixture(df, "src", "id", alpha=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_temperature_mixture_alpha_one_keeps_everything(spark):
+    """alpha=1 with default target: every source's rate is exactly
+    share*total/count = 1 -> identity filter."""
+    from meds_polars_functions_spark.operators.packing import temperature_mixture
+
+    rows = [(i, f"s{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    assert temperature_mixture(df, "src", "id", alpha=1.0).count() == 120
+
+
+def test_temperature_mixture_target_total_scales_output(spark):
+    from meds_polars_functions_spark.operators.packing import temperature_mixture
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_mixture(df, "src", "id", alpha=0.5, target_total=200)
+    n = out.count()
+    assert 140 <= n <= 260  # ~200 expected, binomial slack

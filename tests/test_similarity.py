@@ -271,3 +271,56 @@ def test_pq_fused_scan_bit_identical_and_single_pass(emb, queries):
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import embedding_dim_stats
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(40)], ["vec_id", "embedding"]
+    ).repartition(6)
+    got = {r["dim"]: (r["n"], r["mean"], r["std"]) for r in embedding_dim_stats(df, "embedding").collect()}
+    for d in range(5):
+        n, mean, std = got[d]
+        assert n == 40
+        assert mean == round(float(m[:, d].mean()), 6)
+        assert abs(std - float(m[:, d].std())) < 2e-6
+
+
+def test_standardize_embeddings_zero_mean_unit_std(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import (
+        embedding_dim_stats,
+        standardize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(loc=3.0, scale=2.0, size=(60, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(60)], ["vec_id", "embedding"]
+    )
+    stats = embedding_dim_stats(df, "embedding")
+    z = standardize_embeddings(df, "embedding", stats, out_col="z")
+    zm = np.stack([np.array(r["z"]) for r in z.orderBy("vec_id").collect()])
+    assert np.allclose(zm.mean(axis=0), 0.0, atol=1e-4)
+    assert np.allclose(zm.std(axis=0), 1.0, atol=1e-4)
+
+
+def test_standardize_embeddings_zero_variance_dim_passes_centered(spark):
+    from meds_polars_functions_spark.operators.similarity import (
+        embedding_dim_stats,
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 5.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    stats = embedding_dim_stats(df, "embedding")
+    z = standardize_embeddings(df, "embedding", stats, out_col="z")
+    for r in z.collect():
+        assert r["z"][1] == 0.0  # constant dim: centered, not divided

@@ -144,3 +144,54 @@ def test_count_min_merge_equals_whole(spark):
     )
     whole = count_min_build(li, "l_suppkey", 4, 128)
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_binned_histogram_merges_across_shards(spark):
+    """The cell table is an additive sketch: hist(A) + hist(B) summed
+    cell-wise equals hist(A ∪ B) — the shard-reduce contract."""
+    import pyspark.sql.functions as F
+
+    from meds_polars_functions_spark.functions.sketches import binned_histogram
+
+    vals = [(i, float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(vals, ["id", "v"])
+    a = df.filter(F.col("id") < 90)
+    b = df.filter(F.col("id") >= 90)
+    whole = binned_histogram(df, "v", lo=0.0, hi=100.0, n_bins=10)
+    merged = (
+        binned_histogram(a, "v", lo=0.0, hi=100.0, n_bins=10)
+        .unionByName(binned_histogram(b, "v", lo=0.0, hi=100.0, n_bins=10))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_binned_quantiles_within_one_bin_of_exact(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_histogram,
+        binned_quantiles,
+    )
+
+    raw = [float((i * 97) % 1000) for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in raw], ["v"])
+    hist = binned_histogram(df, "v", lo=0.0, hi=1000.0, n_bins=100)
+    out = binned_quantiles(hist, [0.1, 0.5, 0.9], lo=0.0, hi=1000.0, n_bins=100)
+    got = {r["q"]: r["est"] for r in out.collect()}
+    width = 10.0
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(np.array(raw), q)
+        # upper-edge estimate: exact value lies within one bin below
+        assert exact <= got[q] <= exact + width + 1e-9, (q, got[q], exact)
+
+
+def test_binned_histogram_clamps_tails(spark):
+    from meds_polars_functions_spark.functions.sketches import binned_histogram
+
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (99.0,), (250.0,), (None,)], "v double"
+    )
+    got = {r["bin"]: r["cnt"] for r in binned_histogram(df, "v", lo=0.0, hi=100.0, n_bins=10).collect()}
+    assert got == {0: 2, 9: 2}  # -50 clamps to bin 0, 250 to bin 9; null dropped
