@@ -274,3 +274,46 @@ def test_pq_adc_scan_is_single_corpus_pass_broadcast_only(spark):
     # exactly one non-broadcast exchange: the final top-k window shuffle
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "BroadcastExchange" in plan
+
+
+def test_span_dedup_no_sortmerge_and_text_scanned_not_shuffle_exploded(spark, entry_mod):
+    """Winner election shuffles hashes only; the document text is re-read
+    from the scan for reassembly (2 scans) rather than exploded through
+    an exchange; partial agg applies to the hash election."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["span_dedup"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+    # formatted plans print each node in tree AND detail section; count
+    # the detail headers only
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
+
+
+def test_temperature_mixture_rates_broadcast(spark, entry_mod):
+    """The per-source rate dim reaches the corpus via broadcast — the
+    corpus side is never shuffled for the keep decision."""
+    plan = plan_of(entry_mod.queries()["temperature_mixture"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_binned_quantiles_single_histogram_pass(spark, entry_mod):
+    """One scan of lineitem feeds a partial+final agg; quantiles come
+    from the cell table (window over bins), never a second data pass."""
+    import re
+
+    plan = plan_of(entry_mod.queries()["binned_quantiles"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_dim_stats_exchange_is_row_count_independent(spark, entry_mod):
+    """The only exchanges carry the per-partition (dim, n, s, ss)
+    partials — two exchanges max (partial reduce + AQE final), with the
+    vectors folded inside an Arrow mapInPandas before any shuffle."""
+    plan = plan_of(entry_mod.queries()["embedding_dim_stats"](spark, SF))
+    assert plan.count("Exchange") <= 2
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "partial_" in plan
