@@ -2863,6 +2863,40 @@ def q_trailing_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of its distinct word 5-grams no
+    earlier doc contains (memorization-risk signal). Exchange carries
+    (xxhash64, id) pairs only; oracle groups by the shingle string
+    itself (equal absent 64-bit collisions)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_scores(docs, "text", "doc_id", shingle_n=5).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_winsorize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile winsorization composed from the mergeable histogram
+    sketch: clamp l_extendedprice per returnflag to the [0.05, 0.95]
+    binned-quantile bounds (broadcast back, map-side clamp); output the
+    per-flag clamped aggregate."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import winsorize_by_quantile
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = winsorize_by_quantile(
+        li, "l_extendedprice", ["l_returnflag"],
+        q_lo=0.05, q_hi=0.95, lo=0.0, hi=120_000.0, n_bins=1200,
+        out_col="clamped",
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("clamped"), 4).alias("sum_clamped"),
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact span dedup (Lee et al. 2022 span granularity /
     C4 line-dedup): 20-word tiles, keep-first by (doc_id, idx), docs
@@ -3113,6 +3147,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "standardize_embeddings": q_standardize_embeddings,
         "temperature_mixture": q_temperature_mixture,
+        "novelty_score": q_novelty_score,
+        "winsorize_quantile": q_winsorize_quantile,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -4544,6 +4580,51 @@ b AS (SELECT doc_id, lang,
    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS bucket
    FROM documents)
 SELECT b.doc_id, b.lang FROM b JOIN r USING (lang) WHERE bucket < rate
+""",
+        # Novelty replay: same tokenization/5-gram CTE family as
+        # ngram_jaccard; first-owner = min(doc_id) per shingle STRING
+        # (Spark elects per xxhash64 — equal absent collisions).
+        "novelty_score": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 5 THEN
+      list_distinct(list_transform(range(1, len(words) - 3),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w),
+posts AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+first AS (SELECT g, min(doc_id) AS first_id FROM posts GROUP BY 1)
+SELECT p.doc_id, count(*) AS n_shingles,
+  sum(CASE WHEN p.doc_id = f.first_id THEN 1 ELSE 0 END) AS novel,
+  round(sum(CASE WHEN p.doc_id = f.first_id THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+FROM posts p JOIN first f ON p.g = f.g
+GROUP BY 1
+""",
+        # Winsorize replay: per-flag [0.05, 0.95] binned-quantile bounds
+        # (same cell arithmetic as binned_quantiles), clamp, aggregate.
+        "winsorize_quantile": """
+WITH h AS (SELECT l_returnflag,
+    least(greatest(cast(floor(l_extendedprice/100.0) AS BIGINT), 0), 1199) AS bin,
+    count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1,2),
+c AS (SELECT l_returnflag, bin,
+    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+    sum(cnt) OVER (PARTITION BY l_returnflag) AS tot FROM h),
+qs AS (SELECT unnest([0.05, 0.95]) AS q),
+b AS (SELECT l_returnflag, q, round(min(bin + 1) * 100.0, 9) AS est
+      FROM c CROSS JOIN qs WHERE cum >= q * tot GROUP BY 1, 2),
+bounds AS (SELECT l_returnflag,
+    min(CASE WHEN q = 0.05 THEN est END) AS lo,
+    min(CASE WHEN q = 0.95 THEN est END) AS hi
+  FROM b GROUP BY 1)
+SELECT l.l_returnflag, count(*) AS n,
+  round(sum(least(greatest(l_extendedprice, lo), hi)), 4) AS sum_clamped
+FROM lineitem l JOIN bounds USING (l_returnflag)
+GROUP BY 1
 """,
         # Incremental-dedup replay: the shared portable-minhash CTE
         # verifies ALL pairs; keep cross-split ones (old < 400 <= new —

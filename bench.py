@@ -62,6 +62,11 @@ TRACKED = [
     "pq_topk",
     "winnow_pairs",
     "jaccard_prefix",
+    "span_dedup",
+    "label_propagation",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "temperature_mixture",
 ]
 
 

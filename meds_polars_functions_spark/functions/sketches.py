@@ -280,3 +280,41 @@ def binned_quantiles(
     return hit.groupBy(*gc, "q").agg(
         F.round(F.min(F.col("bin") + 1) * width + lo, 9).alias("est")
     )
+
+
+def winsorize_by_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 1000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile winsorization composed from the histogram sketch: clamp
+    ``value_col`` into the per-group ``[q_lo, q_hi]`` estimates from
+    ``binned_quantiles`` — the robust-scaling sibling of
+    occlude_outliers (which clamps by mean±k·std and so is itself
+    skew-sensitive; quantile clamps are not).
+
+    Scale design: pass 1 builds the mergeable cell table (tiny), the
+    per-group bounds pivot to ONE row per group and return to the fact
+    table as a BROADCAST join, pass 2 is a map-side clamp — two scans,
+    zero fact-table shuffles, same contract as normalization's
+    metadata join."""
+    gc = list(group_cols)
+    hist = binned_histogram(df, value_col, gc, lo=lo, hi=hi, n_bins=n_bins)
+    qs = binned_quantiles(hist, [q_lo, q_hi], gc, lo=lo, hi=hi, n_bins=n_bins)
+    bounds = qs.groupBy(*gc).agg(
+        F.min(F.when(F.col("q") == q_lo, F.col("est"))).alias("__lo__"),
+        F.min(F.when(F.col("q") == q_hi, F.col("est"))).alias("__hi__"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), gc)
+        if gc
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("__lo__")), F.col("__hi__"))
+    return joined.withColumn(out_col or value_col, clamped).drop("__lo__", "__hi__")

@@ -1826,3 +1826,44 @@ def span_dedup(
     if drop_empty:
         out = out.filter(F.length(text_col) > 0)
     return out
+
+
+def novelty_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct word
+    ``shingle_n``-grams that no earlier document (smaller id) contains —
+    the corpus-level memorization-risk / freshness signal (1.0 = fully
+    novel, 0.0 = every n-gram already seen upstream). The complement of
+    span_dedup's keep decision, reported as a score instead of a rewrite.
+
+    Scale design: one shingle pass; the exchange carries ``(hash, id)``
+    pairs only (never text). First-owner election is a min agg per hash
+    (map-side partial), the per-doc fraction one count agg keyed by id.
+    Returns (id, n_shingles, novel, novelty).
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
+    posts = sh.select(
+        "id", F.explode(F.array_distinct("sh")).alias("g")
+    ).select("id", F.xxhash64("g").alias("h"))  # 64-bit: birthday-safe where 32-bit murmur is not
+    first = posts.groupBy("h").agg(F.min("id").alias("__first__"))
+    return (
+        posts.join(first, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("__first__"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "novel",
+            F.round(F.col("novel") / F.col("n_shingles"), round_to).alias("novelty"),
+        )
+    )

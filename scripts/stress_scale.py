@@ -70,6 +70,15 @@ STRESS_QUERIES = [
     # winnowing: Arrow-batched map-side selection, posting self-join
     # shuffles only the ~2/(w+1) selected (hash, id) tuples
     "winnow_pairs",
+    # span dedup: hash-only winner election + per-doc keep-lists; the
+    # document text shuffles exactly once (the id join). histogram
+    # quantiles: exchange carries the fixed-size cell table. dim stats:
+    # exchange is partitions x dims, row-count independent. temperature
+    # mixture: tiny count agg + broadcast rate dim, corpus stays put.
+    "span_dedup",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "temperature_mixture",
 ]
 
 # Key DOMAINS: every column in a domain (primary key + the foreign keys

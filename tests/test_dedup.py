@@ -659,3 +659,18 @@ def test_span_dedup_keeps_other_columns(spark):
     # doc2: spans "a b" (dup, drops), "c d" (unique, kept)
     assert rows[1] == ("a b c", "s0")
     assert rows[2] == ("c d", "s1")
+
+
+def test_novelty_scores_first_doc_fully_novel(spark):
+    from meds_polars_functions_spark.operators.dedup import novelty_scores
+
+    d1 = "alpha beta gamma delta epsilon zeta"          # all 5-grams novel
+    d2 = "alpha beta gamma delta epsilon eta"           # shares 1 of 2 5-grams
+    d3 = "alpha beta gamma delta epsilon zeta"          # exact dup of d1
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    got = {r["id"]: r for r in novelty_scores(df, "text", "doc_id", 5).collect()}
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["n_shingles"] == 2 and got[2]["novel"] == 1
+    assert got[3]["novelty"] == 0.0

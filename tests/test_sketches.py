@@ -195,3 +195,22 @@ def test_binned_histogram_clamps_tails(spark):
     )
     got = {r["bin"]: r["cnt"] for r in binned_histogram(df, "v", lo=0.0, hi=100.0, n_bins=10).collect()}
     assert got == {0: 2, 9: 2}  # -50 clamps to bin 0, 250 to bin 9; null dropped
+
+
+def test_winsorize_by_quantile_clamps_outliers(spark):
+    from meds_polars_functions_spark.functions.sketches import winsorize_by_quantile
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]  # one wild outlier
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = winsorize_by_quantile(
+        df, "v", q_lo=0.1, q_hi=0.9, lo=0.0, hi=200.0, n_bins=200, out_col="w"
+    )
+    rows = out.collect()
+    assert len(rows) == 100
+    ws = sorted(r["w"] for r in rows)
+    # outlier clamped to the 0.9-quantile bin edge (within [lo, hi))
+    assert ws[-1] <= 92.0
+    # low tail clamped up to the 0.1 edge
+    assert ws[0] >= 10.0
+    # mid-range untouched
+    assert 50.0 in ws
