@@ -3029,7 +3029,8 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
 # triangles, jaccard_prefix, weighted_sample, jl_topk, span_dedup,
 # label_propagation, binned_quantiles, embedding_dim_stats,
-# standardize_embeddings, temperature_mixture — they take the first
+# standardize_embeddings, temperature_mixture, novelty_score,
+# winsorize_quantile — they take the first
 # slots, and the remaining go to the stalest r1 greens (TPC-shaped +
 # temporal sets, dict order) for re-proof under the current load path.
 # All are locally green via scripts/compare_oracle.py in the meantime.
