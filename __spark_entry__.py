@@ -2897,6 +2897,38 @@ def q_winsorize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_code_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at driver grade: aggregate two PATIENT-DISJOINT shards (parity
+    split) independently, reduce with merge_pre_aggregated (union +
+    sum/min/max re-agg — the reference's reducer,
+    aggregate_code_metadata.py:522-548), and the result must equal the
+    one-shot aggregation the oracle computes. Patient-disjointness is
+    what makes the distinct-patient counts algebraic across shards —
+    the same contract the reference's patient-sharded layout enforces."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.aggregate_code_metadata import (
+        aggregate_code_metadata,
+        merge_pre_aggregated,
+    )
+
+    meds = _meds(spark, sf_dir).drop("event_id")
+    shard_a = aggregate_code_metadata(meds.filter(F.col("patient_id") % 2 == 0))
+    shard_b = aggregate_code_metadata(meds.filter(F.col("patient_id") % 2 == 1))
+    out = merge_pre_aggregated([shard_a, shard_b])
+    return out.select(
+        "code",
+        "code/n_patients",
+        "code/n_occurrences",
+        "values/n_patients",
+        "values/n_occurrences",
+        "values/n_ints",
+        F.round("values/sum", 6).alias("values/sum"),
+        F.round("values/sum_sqd", 6).alias("values/sum_sqd"),
+        F.round("values/min", 6).alias("values/min"),
+        F.round("values/max", 6).alias("values/max"),
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact span dedup (Lee et al. 2022 span granularity /
     C4 line-dedup): 20-word tiles, keep-first by (doc_id, idx), docs
@@ -3150,6 +3182,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "novelty_score": q_novelty_score,
         "winsorize_quantile": q_winsorize_quantile,
+        "incremental_code_agg": q_incremental_code_agg,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3867,6 +3900,24 @@ WHERE vec_id NOT IN (SELECT id FROM lab WHERE id != cluster_id)
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "agg_code_metadata": f"""
+WITH {_MEDS_CTE}
+SELECT code,
+  count(DISTINCT patient_id) AS "code/n_patients",
+  count(*) AS "code/n_occurrences",
+  count(DISTINCT CASE WHEN numeric_value IS NOT NULL AND NOT isnan(numeric_value) THEN patient_id END) AS "values/n_patients",
+  count(CASE WHEN numeric_value IS NOT NULL AND NOT isnan(numeric_value) THEN 1 END) AS "values/n_occurrences",
+  count(CASE WHEN numeric_value IS NOT NULL AND NOT isnan(numeric_value) AND round(numeric_value) = numeric_value THEN 1 END) AS "values/n_ints",
+  round(coalesce(sum(CASE WHEN NOT isnan(numeric_value) THEN numeric_value END), 0), 6) AS "values/sum",
+  round(coalesce(sum(CASE WHEN NOT isnan(numeric_value) THEN numeric_value * numeric_value END), 0), 6) AS "values/sum_sqd",
+  round(min(CASE WHEN NOT isnan(numeric_value) THEN numeric_value END), 6) AS "values/min",
+  round(max(CASE WHEN NOT isnan(numeric_value) THEN numeric_value END), 6) AS "values/max"
+FROM meds GROUP BY code
+""",
+        # Incremental shard-merge replay: the merged result must equal
+        # the ONE-SHOT aggregation — so the oracle is exactly the
+        # agg_code_metadata SQL. That identity (not a re-simulation of
+        # the merge) is the property under test.
+        "incremental_code_agg": f"""
 WITH {_MEDS_CTE}
 SELECT code,
   count(DISTINCT patient_id) AS "code/n_patients",

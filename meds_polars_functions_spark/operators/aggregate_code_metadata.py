@@ -101,7 +101,13 @@ def merge_pre_aggregated(frames: Sequence[DataFrame], code_modifiers: Sequence[s
     """Re-aggregate already-aggregated metadata tables (the reference's
     reducer, aggregate_code_metadata.py:522-548, for when inputs arrive
     pre-aggregated rather than raw): union-by-name + sum/min/max re-agg.
-    Valid because the stored stats are algebraic (sums, counts, extrema)."""
+    Valid because the stored stats are algebraic (sums, counts, extrema)
+    — with one caveat: the ``*/n_patients`` columns are DISTINCT counts,
+    algebraic across shards only when shards are PATIENT-DISJOINT (the
+    reference's patient-sharded layout guarantees this; summing them
+    over patient-overlapping shards double-counts). For merging
+    arbitrary-overlap datasets use the HLL/bitmap state tables in
+    functions/sketches.py instead."""
     from functools import reduce
 
     keys = ["code", *code_modifiers]
