@@ -109,13 +109,36 @@ def test_merge_pre_aggregated(spark, meds_df):
     full = {r["code"]: r.asDict() for r in aggregate_code_metadata(meds_df).collect()}
     for code, row in full.items():
         for k, v in row.items():
-            if k in ("code", "code/n_patients", "values/n_patients"):
-                continue  # countDistinct is not mergeable across patient-disjoint shards it IS here
+            if k == "code":
+                continue
+            # n_patients included: the shards are patient-disjoint, so
+            # the distinct counts ARE algebraic here (see the caveat in
+            # merge_pre_aggregated's docstring)
             got = merged[code][k]
             if isinstance(v, float):
                 assert math.isclose(got, v), (code, k)
             else:
                 assert got == v, (code, k)
+
+
+def test_merge_pre_aggregated_overlapping_shards_double_count(spark, meds_df):
+    """The documented caveat, executable: merging shards that SHARE a
+    patient double-counts the distinct-patient columns (while the plain
+    sums stay exact) — the reason the reference's layout keys shards by
+    patient."""
+    overlap_a = aggregate_code_metadata(meds_df)  # everyone
+    overlap_b = aggregate_code_metadata(
+        meds_df.filter(F.col("patient_id") == 239684)
+    )  # one patient again
+    merged = {r["code"]: r.asDict() for r in merge_pre_aggregated([overlap_a, overlap_b]).collect()}
+    full = {r["code"]: r.asDict() for r in aggregate_code_metadata(meds_df).collect()}
+    codes_of_239684 = {
+        r["code"] for r in meds_df.filter(F.col("patient_id") == 239684).select("code").distinct().collect()
+    }
+    assert any(
+        merged[c]["code/n_patients"] > full[c]["code/n_patients"]
+        for c in codes_of_239684
+    )
 
 
 def test_filter_patients(meds_df):
