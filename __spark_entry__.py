@@ -2897,6 +2897,52 @@ def q_winsorize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-code OLS trend of numeric_value over time (days since
+    2020-01-01 — centered near the data so the nΣxx − (Σx)² cancellation
+    keeps ~full double precision): one partial-agg pass of additive
+    sufficient statistics, closed-form finish (operators/stats.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.stats import grouped_ols_trend
+
+    epoch_2020_us = 1_577_836_800_000_000
+    meds = _meds(spark, sf_dir).select(
+        "code",
+        ((F.unix_micros("time") - F.lit(epoch_2020_us)) / 86_400_000_000.0).alias(
+            "x_days"
+        ),
+        "numeric_value",
+    )
+    return grouped_ols_trend(meds, ["code"], "x_days", "numeric_value")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table of event_type per user
+    (lag window keyed by user, deterministic (ts, event_id) order),
+    row-normalized (operators/stats.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.stats import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over event-type co-occurrence within (user, hour) baskets:
+    pairs generated map-side inside each basket (sorted distinct-item
+    array), marginals broadcast — never a basket×basket join
+    (operators/stats.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.stats import code_cooccurrence_pmi
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    )
+    return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
+
+
 def q_incremental_code_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 at driver grade: aggregate two PATIENT-DISJOINT shards (parity
     split) independently, reduce with merge_pre_aggregated (union +
@@ -3183,6 +3229,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_score": q_novelty_score,
         "winsorize_quantile": q_winsorize_quantile,
         "incremental_code_agg": q_incremental_code_agg,
+        "code_value_trend": q_code_value_trend,
+        "event_transitions": q_event_transitions,
+        "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
         "scrub_pii": q_scrub_pii,
         "chunk_documents": q_chunk_documents,
@@ -3912,6 +3961,66 @@ SELECT code,
   round(min(CASE WHEN NOT isnan(numeric_value) THEN numeric_value END), 6) AS "values/min",
   round(max(CASE WHEN NOT isnan(numeric_value) THEN numeric_value END), 6) AS "values/max"
 FROM meds GROUP BY code
+""",
+        # OLS replay: identical sufficient-statistic arithmetic, x
+        # centered at 2020-01-01 in both engines.
+        "code_value_trend": f"""
+WITH {_MEDS_CTE},
+x AS (
+  SELECT code,
+    (epoch_us("time") - 1577836800000000) / 86400000000.0 AS xv,
+    numeric_value::DOUBLE AS yv
+  FROM meds
+  WHERE "time" IS NOT NULL AND numeric_value IS NOT NULL
+    AND NOT isnan(numeric_value)),
+s AS (
+  SELECT code, count(*) AS n, sum(xv) AS sx, sum(yv) AS sy,
+         sum(xv*xv) AS sxx, sum(yv*yv) AS syy, sum(xv*yv) AS sxy
+  FROM x GROUP BY 1)
+SELECT code, n,
+  round(CASE WHEN n*sxx - sx*sx > 0 THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+  round(CASE WHEN n*sxx - sx*sx > 0
+        THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6) AS intercept,
+  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+FROM s
+""",
+        # Transition replay: same (ts, event_id) in-user order, lag,
+        # count, row-normalize.
+        "event_transitions": """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state,
+         event_type AS next_state
+  FROM events),
+c AS (SELECT prev_state, next_state, count(*) AS n
+      FROM p WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+SELECT prev_state, next_state, n,
+  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_state), 6) AS p
+FROM c
+""",
+        # PMI replay: distinct (basket, item) pairs self-joined a<b per
+        # basket; marginals count baskets containing the item; baskets
+        # with >= 2 distinct items only (the Spark basket filter).
+        "code_pmi": """
+WITH bi AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type AS item
+  FROM events),
+sized AS (
+  SELECT user_id, hour FROM bi GROUP BY 1, 2 HAVING count(*) >= 2),
+b2 AS (SELECT bi.* FROM bi JOIN sized USING (user_id, hour)),
+nb AS (SELECT count(*) AS n_baskets FROM sized),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+  FROM b2 a JOIN b2 b
+    ON a.user_id = b.user_id AND a.hour = b.hour AND a.item < b.item
+  GROUP BY 1, 2),
+marg AS (SELECT item, count(*) AS n_item FROM b2 GROUP BY 1)
+SELECT item_a, item_b, n_pair,
+  round(log2((n_pair * n_baskets)::DOUBLE / (ma.n_item * mb.n_item)), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.item = pairs.item_a
+JOIN marg mb ON mb.item = pairs.item_b
+CROSS JOIN nb
 """,
         # Incremental shard-merge replay: the merged result must equal
         # the ONE-SHOT aggregation — so the oracle is exactly the

@@ -1,0 +1,165 @@
+"""Grouped statistical modeling primitives, all native expressions.
+
+Beyond-reference analytics siblings of aggregate_code_metadata's
+mergeable-statistics convention (reference aggregate_code_metadata.py:
+33-41 stores sum/sum² so shards re-aggregate): each operator here
+reduces the corpus to ALGEBRAIC sufficient statistics in one
+partial-aggregated pass, then finishes with closed-form arithmetic on
+the tiny result — so every one of them merges across shards/streams by
+summing, and none ever shuffles raw rows more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b·x via sufficient
+    statistics: one partial-aggregated pass collects
+    (n, Σx, Σy, Σxx, Σxy), slope/intercept/R² are closed-form on the
+    group table. The statistics are additive, so per-shard tables merge
+    by summing — the OLS analogue of the code-metadata reducer.
+
+    slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²); groups with zero x-variance
+    return null slope/intercept (no trend is defined).
+    Returns (group..., n, slope, intercept, r2)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    stats = (
+        df.filter(
+            x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den_x > 0, num / den_x)
+    intercept = F.when(
+        den_x > 0, (F.col("sy") - slope * F.col("sx")) / n
+    )
+    r2 = F.when((den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y))
+    return stats.select(
+        *group_cols,
+        "n",
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    state_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition table over per-user event streams:
+    lag window keyed by user (ONE exchange — the same key the stream is
+    naturally bucketed by), then a (prev, next) count agg and a
+    row-normalized probability. Returns
+    (prev_state, next_state, n, p) — the behavioral-model fit step.
+
+    ``order_cols`` must deterministically order events within a user
+    (e.g. [ts, event_id]); ties without a tiebreak would make the chain
+    nondeterministic."""
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        df.withColumn("__prev__", F.lag(state_col).over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .select(F.col("__prev__").alias("prev_state"), F.col(state_col).alias("next_state"))
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), round_to).alias("p"),
+    )
+
+
+def code_cooccurrence_pmi(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_count: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information over item co-occurrence within
+    baskets (market-basket / code-comorbidity mining): baskets are the
+    distinct (basket_cols) groups, pairs are generated INSIDE each
+    basket from its sorted distinct-item array (map-side explode of
+    array_combinations — never a basket×basket join), and PMI compares
+    pair frequency against the independence baseline.
+
+    Scale ledger: one exchange to collect per-basket item sets, one
+    pair-count agg (pair fan-out is Σ k²/2 over basket sizes — bounded
+    by the basket key's natural cardinality, e.g. events per
+    user-hour), item marginals as a broadcast-sized dim joined twice.
+    Returns (item_a, item_b, n_pair, pmi) with item_a < item_b."""
+    baskets = (
+        df.groupBy(*basket_cols)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items__"))
+        .filter(F.size("__items__") >= 2)
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("__items__"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__items__"), i + 2, F.size("__items__")),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pairs_expr).alias("__p__"))
+        .groupBy(F.col("__p__.item_a").alias("item_a"), F.col("__p__.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    marg = (
+        baskets.select(F.explode("__items__").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    ma = marg.select(F.col("item").alias("item_a"), F.col("n_item").alias("__na__"))
+    mb = marg.select(F.col("item").alias("item_b"), F.col("n_item").alias("__nb__"))
+    return (
+        pair_counts.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(
+                F.log2(
+                    (F.col("n_pair") * F.col("n_baskets"))
+                    / (F.col("__na__") * F.col("__nb__"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Grouped OLS / Markov transitions / co-occurrence PMI vs numpy."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from meds_polars_functions_spark.operators.stats import (
+    code_cooccurrence_pmi,
+    event_transitions,
+    grouped_ols_trend,
+)
+
+
+def test_grouped_ols_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, (slope, icept) in {"a": (2.5, 1.0), "b": (-0.5, 4.0)}.items():
+        xs = rng.uniform(0, 10, 50)
+        ys = slope * xs + icept + rng.normal(0, 0.1, 50)
+        rows += [(g, float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in grouped_ols_trend(df, ["g"], "x", "y").collect()}
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        b, a = np.polyfit(xs, ys, 1)
+        assert got[g]["slope"] == pytest.approx(b, abs=1e-5)
+        assert got[g]["intercept"] == pytest.approx(a, abs=1e-5)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got[g]["r2"] == pytest.approx(r * r, abs=1e-5)
+        assert got[g]["n"] == 50
+
+
+def test_grouped_ols_zero_variance_x_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 1.0, 5.0), ("g", 1.0, 9.0)], ["g", "x", "y"]
+    )
+    row = grouped_ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] is None and row["intercept"] is None and row["r2"] is None
+
+
+def test_grouped_ols_stats_are_mergeable(spark):
+    """Sufficient statistics are additive: OLS over the union equals
+    OLS over summed shard statistics (here: just equality of the
+    operator over a reshuffled input — order independence)."""
+    rows = [("g", float(i), float(3 * i + 1 + (i % 5) * 0.01)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    a = grouped_ols_trend(df.repartition(13), ["g"], "x", "y").collect()[0]
+    b = grouped_ols_trend(df.coalesce(1), ["g"], "x", "y").collect()[0]
+    assert a == b
+
+
+def test_event_transitions_hand_chain(spark):
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+        (2, 1, "A"), (2, 2, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "seq", "state"])
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n"], r["p"])
+        for r in event_transitions(df, "user", ["seq"], "state").collect()
+    }
+    # A->B three times (p=1.0 from A), B->A once (p=1.0 from B)
+    assert got[("A", "B")] == (3, 1.0)
+    assert got[("B", "A")] == (1, 1.0)
+    assert len(got) == 2
+
+
+def test_code_pmi_hand_counts(spark):
+    # baskets: {A,B}, {A,B}, {A,C}, {B} (dropped: <2 items)
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_pair"], r["pmi"])
+        for r in code_cooccurrence_pmi(df, ["basket"], "item").collect()
+    }
+    # 3 qualifying baskets; A in 3, B in 2, C in 1
+    assert got[("A", "B")][0] == 2
+    assert got[("A", "B")][1] == pytest.approx(math.log2(2 * 3 / (3 * 2)), abs=1e-6)
+    assert got[("A", "C")][0] == 1
+    assert got[("A", "C")][1] == pytest.approx(math.log2(1 * 3 / (3 * 1)), abs=1e-6)
+    assert ("B", "C") not in got
+
+
+def test_code_pmi_dedups_within_basket(spark):
+    # repeated (basket, item) rows must not inflate counts
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): r["n_pair"]
+        for r in code_cooccurrence_pmi(df, ["basket"], "item").collect()
+    }
+    assert got[("A", "B")] == 2
