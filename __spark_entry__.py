@@ -3108,7 +3108,8 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triangles, jaccard_prefix, weighted_sample, jl_topk, span_dedup,
 # label_propagation, binned_quantiles, embedding_dim_stats,
 # standardize_embeddings, temperature_mixture, novelty_score,
-# winsorize_quantile — they take the first
+# winsorize_quantile, incremental_code_agg, code_value_trend,
+# event_transitions, code_pmi — they take the first
 # slots, and the remaining go to the stalest r1 greens (TPC-shaped +
 # temporal sets, dict order) for re-proof under the current load path.
 # All are locally green via scripts/compare_oracle.py in the meantime.
