@@ -104,3 +104,25 @@ def with_row_index(
         w = Window.orderBy(*order_by)
         return df.withColumn(name, F.row_number().over(w) - F.lit(1))
     return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+) -> DataFrame:
+    """JSON-Lines dataset reader — the de-facto interchange format of
+    LLM training corpora (one document object per line, gzip-splittable
+    per file). Beyond-reference source (the reference reads
+    parquet/csv only).
+
+    At 100 TB ALWAYS pass ``schema`` (a StructType or DDL string):
+    without it Spark runs a full inference pre-pass over every byte of
+    input before the real scan — doubling the most expensive stage of
+    the job. With a schema the scan is single-pass, malformed lines go
+    to ``_corrupt_record`` (PERMISSIVE mode) instead of failing the
+    job, and column pruning still reaches the parser."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

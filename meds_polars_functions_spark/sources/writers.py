@@ -323,3 +323,38 @@ def write_zordered(
         .drop("__zval__", *tmp_cols)
     )
     out.write.mode("overwrite").parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    shard_key: str | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines dataset sink (one object per line, one file per
+    shard) — the export format downstream tokenizer/training jobs
+    consume. Beyond-reference sink.
+
+    Sharding: with ``shard_key``, rows are repartitioned by the
+    engine-portable md5 bucket of that key (same mechanism as
+    split_patients.hash_split_expr) so the SAME row lands in the SAME
+    shard on every run/engine — deterministic, resumable exports.
+    Plain ``n_shards`` round-robins for size balance. Gzip per file
+    keeps shards independently decompressible (splittability is
+    already lost to gzip; shard count is the parallelism knob)."""
+    out = df
+    if shard_key is not None and n_shards:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(shard_key).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % n_shards
+        )
+        out = df.repartition(n_shards, bucket)
+    elif n_shards:
+        out = df.repartition(n_shards)
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
