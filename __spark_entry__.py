@@ -2943,6 +2943,19 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus Welch t of extendedprice, returnflag R vs N —
+    one-pass additive sufficient statistics, closed-form t and
+    Welch-Satterthwaite df (operators/stats.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.stats import grouped_welch_ttest
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_welch_ttest(
+        li, ["l_linestatus"], "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
 def q_incremental_code_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 at driver grade: aggregate two PATIENT-DISJOINT shards (parity
     split) independently, reduce with merge_pre_aggregated (union +
@@ -3231,6 +3244,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_quantile": q_winsorize_quantile,
         "incremental_code_agg": q_incremental_code_agg,
         "code_value_trend": q_code_value_trend,
+        "welch_ttest": q_welch_ttest,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -3985,6 +3999,33 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Welch replay: identical sufficient-statistic arithmetic
+        # (sample variance via sums, same guard conditions).
+        "welch_ttest": """
+WITH s AS (
+  SELECT l_linestatus,
+    count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_a,
+    sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS s_a,
+    sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * l_extendedprice END) AS ss_a,
+    count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_b,
+    sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS s_b,
+    sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * l_extendedprice END) AS ss_b
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+d AS (
+  SELECT *,
+    (ss_a - n_a * (s_a/n_a) * (s_a/n_a)) / (n_a - 1) AS va,
+    (ss_b - n_b * (s_b/n_b) * (s_b/n_b)) / (n_b - 1) AS vb
+  FROM s),
+e AS (SELECT *, va/n_a + vb/n_b AS se2 FROM d)
+SELECT l_linestatus, n_a, n_b,
+  round(s_a/n_a, 6) AS mean_a,
+  round(s_b/n_b, 6) AS mean_b,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        THEN (s_a/n_a - s_b/n_b) / sqrt(se2) END, 6) AS t,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        THEN (se2 * se2) / ((va/n_a)*(va/n_a)/(n_a-1) + (vb/n_b)*(vb/n_b)/(n_b-1)) END, 6) AS df
+FROM e
 """,
         # Transition replay: same (ts, event_id) in-user order, lag,
         # count, row-normalize.

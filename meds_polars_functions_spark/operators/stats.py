@@ -163,3 +163,74 @@ def code_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def grouped_welch_ttest(
+    df: DataFrame,
+    strata_cols: list[str],
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-stratum Welch two-sample t statistic comparing ``group_a``
+    vs ``group_b`` — the A/B significance primitive (data-mixture
+    experiments, cohort comparisons), from the same one-pass additive
+    sufficient statistics as :func:`grouped_ols_trend`: (n, Σv, Σv²)
+    per (stratum, group), then closed form
+
+        t  = (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        df = Welch–Satterthwaite approximation
+
+    with SAMPLE variance (n−1 denominator). Strata where either side
+    has n < 2 or both variances are zero return null t. No p-value on
+    purpose: the t CDF is not expressible in closed-form SQL, so the
+    deterministic statistic is the oracle-checkable surface; feed t/df
+    to scipy driver-side if needed (they are stratum-count-sized).
+    Returns (strata..., n_a, n_b, mean_a, mean_b, t, df)."""
+    v = F.col(value_col).cast("double")
+    base = (
+        df.filter(F.col(group_col).isin([group_a, group_b]) & v.isNotNull() & ~F.isnan(v))
+        .groupBy(*strata_cols)
+        .agg(
+            *[
+                agg
+                for tag, val in (("a", group_a), ("b", group_b))
+                for agg in (
+                    F.count(F.when(F.col(group_col) == val, 1)).alias(f"n_{tag}"),
+                    F.sum(F.when(F.col(group_col) == val, v)).alias(f"s_{tag}"),
+                    F.sum(F.when(F.col(group_col) == val, v * v)).alias(f"ss_{tag}"),
+                )
+            ]
+        )
+    )
+    def mean(tag):
+        return F.col(f"s_{tag}") / F.col(f"n_{tag}")
+
+    def var(tag):  # sample variance via sums: (Σv² − n·mean²) / (n−1)
+        n = F.col(f"n_{tag}")
+        return (F.col(f"ss_{tag}") - n * mean(tag) * mean(tag)) / (n - 1)
+
+    se2 = var("a") / F.col("n_a") + var("b") / F.col("n_b")
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (mean("a") - mean("b")) / F.sqrt(se2),
+    )
+    welch_df = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (se2 * se2)
+        / (
+            (var("a") / F.col("n_a")) * (var("a") / F.col("n_a")) / (F.col("n_a") - 1)
+            + (var("b") / F.col("n_b")) * (var("b") / F.col("n_b")) / (F.col("n_b") - 1)
+        ),
+    )
+    return base.select(
+        *strata_cols,
+        "n_a",
+        "n_b",
+        F.round(mean("a"), round_to).alias("mean_a"),
+        F.round(mean("b"), round_to).alias("mean_b"),
+        F.round(t, round_to).alias("t"),
+        F.round(welch_df, round_to).alias("df"),
+    )

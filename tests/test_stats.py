@@ -100,3 +100,36 @@ def test_code_pmi_dedups_within_basket(spark):
         for r in code_cooccurrence_pmi(df, ["basket"], "item").collect()
     }
     assert got[("A", "B")] == 2
+
+
+def test_welch_ttest_matches_numpy(spark):
+    from meds_polars_functions_spark.operators.stats import grouped_welch_ttest
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(10.0, 2.0, 40)
+    b = rng.normal(11.0, 3.0, 60)
+    rows = [("s", "A", float(v)) for v in a] + [("s", "B", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["stratum", "grp", "v"])
+    row = grouped_welch_ttest(df, ["stratum"], "grp", "v", "A", "B").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dof = se2**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert row["n_a"] == 40 and row["n_b"] == 60
+    assert row["mean_a"] == pytest.approx(a.mean(), abs=1e-6)
+    assert row["t"] == pytest.approx(t, abs=1e-5)
+    assert row["df"] == pytest.approx(dof, abs=1e-4)
+
+
+def test_welch_ttest_degenerate_guards(spark):
+    from meds_polars_functions_spark.operators.stats import grouped_welch_ttest
+
+    rows = [("s", "A", 1.0), ("s", "B", 2.0), ("s", "B", 3.0)]  # n_a = 1
+    df = spark.createDataFrame(rows, ["stratum", "grp", "v"])
+    row = grouped_welch_ttest(df, ["stratum"], "grp", "v", "A", "B").collect()[0]
+    assert row["t"] is None and row["df"] is None
+    # zero variance on both sides -> se2 = 0 -> null
+    rows2 = [("s", "A", 5.0)] * 3 + [("s", "B", 7.0)] * 3
+    df2 = spark.createDataFrame(rows2, ["stratum", "grp", "v"])
+    row2 = grouped_welch_ttest(df2, ["stratum"], "grp", "v", "A", "B").collect()[0]
+    assert row2["t"] is None
