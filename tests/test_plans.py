@@ -317,3 +317,23 @@ def test_embedding_dim_stats_exchange_is_row_count_independent(spark, entry_mod)
     assert plan.count("Exchange") <= 2
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
     assert "partial_" in plan
+
+
+def test_sufficient_statistic_ops_single_scan_partial_agg(spark, entry_mod):
+    """OLS trend and Welch t reduce to one scan + partial/final agg —
+    no joins, no second data pass."""
+    import re
+
+    for q in ["code_value_trend", "welch_ttest"]:
+        plan = plan_of(entry_mod.queries()[q](spark, SF))
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, q
+        assert "partial_" in plan, q
+        assert "Join" not in plan, q
+
+
+def test_code_pmi_marginals_broadcast_no_basket_self_join(spark, entry_mod):
+    """Pairs are generated map-side inside baskets; the only joins are
+    broadcast marginal lookups — never a shuffle self-join of baskets."""
+    plan = plan_of(entry_mod.queries()["code_pmi"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
