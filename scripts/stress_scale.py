@@ -79,6 +79,13 @@ STRESS_QUERIES = [
     "binned_quantiles",
     "embedding_dim_stats",
     "temperature_mixture",
+    # sufficient-statistic family: one partial-agg pass each, reduce
+    # side is group/state/pair-bounded — expected scan-bound
+    "code_value_trend",
+    "event_transitions",
+    "code_pmi",
+    "welch_ttest",
+    "novelty_score",
 ]
 
 # Key DOMAINS: every column in a domain (primary key + the foreign keys
