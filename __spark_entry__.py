@@ -2943,6 +2943,38 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean/std/min/max over the 7 PRECEDING events
+    (leakage-free frame) + lag-1, one window exchange
+    (operators/features.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.features import rolling_features
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_features(ev, "user_id", ["ts", "event_id"], "value", window_rows=7)
+    return out.select(
+        "event_id",
+        "value_roll_n",
+        "value_roll_mean",
+        "value_roll_std",
+        "value_roll_min",
+        "value_roll_max",
+        "value_lag1",
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of event_type against
+    value — window-keyed category sums, broadcast global mean, no join
+    back (operators/features.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.features import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = target_encode_loo(ev, "event_type", "value", smoothing=20.0)
+    return out.select("event_id", "event_type", "event_type_te")
+
+
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-linestatus Welch t of extendedprice, returnflag R vs N —
     one-pass additive sufficient statistics, closed-form t and
@@ -3245,6 +3277,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_code_agg": q_incremental_code_agg,
         "code_value_trend": q_code_value_trend,
         "welch_ttest": q_welch_ttest,
+        "rolling_features": q_rolling_features,
+        "target_encode": q_target_encode,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -3999,6 +4033,41 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Rolling-feature replay: identical leakage-free frame
+        # (7 PRECEDING .. 1 PRECEDING), same sum/sumsq std identity.
+        "rolling_features": """
+WITH w AS (
+  SELECT event_id,
+    count(value) OVER f AS n,
+    sum(value) OVER f AS s,
+    sum(value*value) OVER f AS ss,
+    min(value) OVER f AS mn,
+    max(value) OVER f AS mx,
+    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1
+  FROM events
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_id, n AS value_roll_n,
+  round(CASE WHEN n > 0 THEN s/n END, 6) AS value_roll_mean,
+  round(CASE WHEN n > 1 AND (ss - s*s/n)/(n-1) >= 0
+        THEN sqrt((ss - s*s/n)/(n-1)) END, 6) AS value_roll_std,
+  round(mn, 6) AS value_roll_min,
+  round(mx, 6) AS value_roll_max,
+  round(l1, 6) AS value_lag1
+FROM w
+""",
+        # LOO target-encoding replay: same smoothing arithmetic, global
+        # mean as sum/count.
+        "target_encode": """
+WITH g AS (SELECT sum(value)/count(value) AS gm FROM events),
+c AS (SELECT event_id, event_type, value,
+    sum(value) OVER (PARTITION BY event_type) AS cs,
+    count(value) OVER (PARTITION BY event_type) AS cn
+  FROM events)
+SELECT event_id, event_type,
+  round((cs - value + 20.0 * gm) / (cn - 1 + 20.0), 6) AS event_type_te
+FROM c CROSS JOIN g
 """,
         # Welch replay: identical sufficient-statistic arithmetic
         # (sample variance via sums, same guard conditions).
