@@ -2943,6 +2943,19 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numerics in ONE
+    aggregation pass — all sums/sumsqs/cross-products as parallel
+    aggregates over a single scan (operators/stats.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling mean/std/min/max over the 7 PRECEDING events
     (leakage-free frame) + lag-1, one window exchange
@@ -3279,6 +3292,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "rolling_features": q_rolling_features,
         "target_encode": q_target_encode,
+        "corr_matrix": q_corr_matrix,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -4033,6 +4047,43 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Correlation replay: same sufficient-statistic identity
+        # (n*sp - sa*sb) / sqrt((n*ssa - sa^2)(n*ssb - sb^2)),
+        # complete-case over the same 4 columns.
+        "corr_matrix": """
+WITH s AS (
+  SELECT count(*) AS n,
+    sum(l_quantity) AS s0, sum(l_quantity*l_quantity) AS ss0,
+    sum(l_extendedprice) AS s1, sum(l_extendedprice*l_extendedprice) AS ss1,
+    sum(l_discount) AS s2, sum(l_discount*l_discount) AS ss2,
+    sum(l_tax) AS s3, sum(l_tax*l_tax) AS ss3,
+    sum(l_quantity*l_extendedprice) AS sp0_1,
+    sum(l_quantity*l_discount) AS sp0_2,
+    sum(l_quantity*l_tax) AS sp0_3,
+    sum(l_extendedprice*l_discount) AS sp1_2,
+    sum(l_extendedprice*l_tax) AS sp1_3,
+    sum(l_discount*l_tax) AS sp2_3
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+p AS (
+  SELECT * FROM (
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+      n*sp0_1 - s0*s1 AS num, n*ss0 - s0*s0 AS da, n*ss1 - s1*s1 AS db FROM s
+    UNION ALL SELECT 'l_quantity', 'l_discount', n,
+      n*sp0_2 - s0*s2, n*ss0 - s0*s0, n*ss2 - s2*s2 FROM s
+    UNION ALL SELECT 'l_quantity', 'l_tax', n,
+      n*sp0_3 - s0*s3, n*ss0 - s0*s0, n*ss3 - s3*s3 FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+      n*sp1_2 - s1*s2, n*ss1 - s1*s1, n*ss2 - s2*s2 FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+      n*sp1_3 - s1*s3, n*ss1 - s1*s1, n*ss3 - s3*s3 FROM s
+    UNION ALL SELECT 'l_discount', 'l_tax', n,
+      n*sp2_3 - s2*s3, n*ss2 - s2*s2, n*ss3 - s3*s3 FROM s))
+SELECT col_a, col_b, n,
+  round(CASE WHEN da > 0 AND db > 0 THEN num / sqrt(da * db) END, 6) AS corr
+FROM p
 """,
         # Rolling-feature replay: identical leakage-free frame
         # (7 PRECEDING .. 1 PRECEDING), same sum/sumsq std identity.

@@ -234,3 +234,53 @@ def grouped_welch_ttest(
         F.round(t, round_to).alias("t"),
         F.round(welch_df, round_to).alias("df"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    value_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of ``value_cols`` in ONE
+    aggregation pass: all m + m(m+1)/2 sufficient statistics (per-column
+    sums/sumsqs + pairwise cross-products) are computed as parallel
+    aggregates over the same scan — never m² passes, never a
+    row-matrix collect. Rows with a null/NaN in ANY column are dropped
+    (complete-case, so every pair shares one n and the matrix is
+    positive semi-definite). Output is the upper triangle
+    (col_a, col_b, n, corr) with col_a < col_b in list order;
+    zero-variance columns yield null corr."""
+    cols = [F.col(c).cast("double") for c in value_cols]
+    keep = None
+    for c in cols:
+        cond = c.isNotNull() & ~F.isnan(c)
+        keep = cond if keep is None else (keep & cond)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(c).alias(f"s{i}"))
+        aggs.append(F.sum(c * c).alias(f"ss{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"sp{i}_{j}"))
+    stats = df.filter(keep).agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for i in range(len(value_cols)):
+        for j in range(i + 1, len(value_cols)):
+            num = n * F.col(f"sp{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+            di = n * F.col(f"ss{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+            dj = n * F.col(f"ss{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+            rows.append(
+                F.struct(
+                    F.lit(value_cols[i]).alias("col_a"),
+                    F.lit(value_cols[j]).alias("col_b"),
+                    n.alias("n"),
+                    F.round(
+                        F.when((di > 0) & (dj > 0), num / F.sqrt(di * dj)),
+                        round_to,
+                    ).alias("corr"),
+                )
+            )
+    return stats.select(F.explode(F.array(*rows)).alias("__r__")).select(
+        "__r__.col_a", "__r__.col_b", "__r__.n", "__r__.corr"
+    )

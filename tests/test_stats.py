@@ -133,3 +133,37 @@ def test_welch_ttest_degenerate_guards(spark):
     df2 = spark.createDataFrame(rows2, ["stratum", "grp", "v"])
     row2 = grouped_welch_ttest(df2, ["stratum"], "grp", "v", "A", "B").collect()[0]
     assert row2["t"] is None
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    from meds_polars_functions_spark.operators.stats import correlation_matrix
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=200)
+    y = 0.7 * x + rng.normal(scale=0.5, size=200)
+    z = rng.normal(size=200)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"]).repartition(7)
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    want = np.corrcoef(np.stack([x, y, z]))
+    assert got[("x", "y")] == pytest.approx(want[0, 1], abs=1e-5)
+    assert got[("x", "z")] == pytest.approx(want[0, 2], abs=1e-5)
+    assert got[("y", "z")] == pytest.approx(want[1, 2], abs=1e-5)
+    assert len(got) == 3
+
+
+def test_correlation_matrix_zero_variance_and_null_rows(spark):
+    from meds_polars_functions_spark.operators.stats import correlation_matrix
+
+    rows = [(1.0, 5.0, 1.0), (2.0, 5.0, 4.0), (3.0, 5.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): (r["n"], r["corr"]) for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    # complete-case: the null-c row drops everywhere -> n = 2
+    assert all(n == 2 for n, _ in got.values())
+    # b is constant -> null corr against anything
+    assert got[("a", "b")][1] is None and got[("b", "c")][1] is None
+    # a,c perfectly correlated on the 2 remaining rows
+    assert got[("a", "c")][1] == pytest.approx(1.0, abs=1e-6)
