@@ -152,7 +152,14 @@ def run_suite(spark, sf_dir: str, label: str) -> None:
     timings = {}
     for name in STRESS_QUERIES:
         t0 = time.time()
-        queries[name](spark, sf_dir).count()
+        # noop sink, not count(): count() lets Catalyst ELIMINATE
+        # projections that don't change cardinality (window functions,
+        # map-side transforms), silently under-measuring window-only
+        # queries. The noop sink evaluates every output column JVM-side.
+        # (Timings before this change used count(); aggregate-shaped
+        # queries are unaffected, window/projection-shaped ones read
+        # slightly higher now — the honest number.)
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     print(
         json.dumps(
