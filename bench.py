@@ -114,6 +114,19 @@ def main() -> None:
     timings = run(HEADLINE)
     tracked = run(TRACKED)
 
+    # Honest re-measurement of the projection-only headline queries:
+    # count() lets Catalyst eliminate cardinality-preserving projections,
+    # so for these three the frozen headline number times little more
+    # than the scan. Reported SEPARATELY (noop sink evaluates every
+    # output column) so the frozen 19-key baseline stays comparable.
+    forced = {}
+    for name in ["text_quality", "language_id", "doc_fingerprint"]:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        forced[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -123,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tracked": tracked,
+                "forced": forced,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
