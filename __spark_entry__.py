@@ -2943,6 +2943,30 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_code_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology rollup over the '//'-joined MEDS code hierarchy
+    (EVT//<type>//<props-or-UNK> built by code_expr): every prefix
+    level aggregated in one depth-bounded map-side explode + one
+    partial-agg groupBy (operators/aggregate_code_metadata.py
+    code_hierarchy_rollup)."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.expr import code_expr
+    from meds_polars_functions_spark.operators.aggregate_code_metadata import (
+        code_hierarchy_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    null_props = F.when(F.col("value") > 0.5, F.col("props"))
+    coded = ev.select(
+        code_expr(["EVT", F.col("event_type"), null_props]).alias("code"),
+        "value",
+    )
+    out = code_hierarchy_rollup(coded, "code", value_col="value")
+    return out.select(
+        "code_prefix", "level", "n", "n_codes", F.round("value_sum", 4).alias("value_sum")
+    )
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of the lineitem numerics in ONE
     aggregation pass — all sums/sumsqs/cross-products as parallel
@@ -3293,6 +3317,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": q_rolling_features,
         "target_encode": q_target_encode,
         "corr_matrix": q_corr_matrix,
+        "code_rollup": q_code_rollup,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -4047,6 +4072,25 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Hierarchy-rollup replay: same code construction as
+        # code_construction, prefixes via correlated generate over the
+        # split parts, identical (prefix, level) aggregation.
+        "code_rollup": """
+WITH coded AS (
+  SELECT 'EVT' || '//' || coalesce(event_type, 'UNK') || '//' ||
+         coalesce(CASE WHEN value > 0.5 THEN props END, 'UNK') AS code,
+         value
+  FROM events),
+parts AS (SELECT code, value, string_split(code, '//') AS p FROM coded),
+pref AS (
+  SELECT code, value, t.k AS level,
+         array_to_string(list_slice(p, 1, t.k), '//') AS code_prefix
+  FROM parts, unnest(range(1, len(p) + 1)) AS t(k))
+SELECT code_prefix, level, count(*) AS n,
+  count(DISTINCT code) AS n_codes,
+  round(sum(value), 4) AS value_sum
+FROM pref GROUP BY 1, 2
 """,
         # Correlation replay: same sufficient-statistic identity
         # (n*sp - sa*sb) / sqrt((n*ssa - sa^2)(n*ssb - sb^2)),

@@ -119,3 +119,52 @@ def merge_pre_aggregated(frames: Sequence[DataFrame], code_modifiers: Sequence[s
     if "values/max" in unioned.columns:
         aggs.append(F.max("values/max").alias("values/max"))
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def code_hierarchy_rollup(
+    df: DataFrame,
+    code_col: str = "code",
+    value_col: str | None = None,
+    sep: str = "//",
+) -> DataFrame:
+    """Aggregate at EVERY level of the ``//``-joined code hierarchy (the
+    MEDS code convention this engine builds via ``code_expr``):
+    ``ICD//9//428//22`` contributes to ``ICD``, ``ICD//9``,
+    ``ICD//9//428`` and itself — the ontology-rollup view clinical /
+    taxonomy dashboards aggregate over (reference codes carry
+    parent_codes in metadata, extract_code_metadata.py; this computes
+    the transitive rollup directly from the data).
+
+    Scale design: prefixes are generated MAP-SIDE with a native
+    array fold over the split code (depth-bounded explode — the ×depth
+    fan-out is the hierarchy depth, a small constant), then ONE
+    partial-aggregated groupBy on the prefix. Equivalent to a
+    grouping-sets rollup but keyed by the code's own structure instead
+    of fixed columns. Returns (code_prefix, level, n, n_codes
+    [, value_sum])."""
+    import re as _re
+
+    # F.split takes a regex, concat_ws a literal — escape so any sep works
+    parts = F.split(F.col(code_col), _re.escape(sep))
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda k: F.struct(
+            F.concat_ws(sep, F.slice(parts, 1, k)).alias("code_prefix"),
+            k.alias("level"),
+        ),
+    )
+    exploded = df.select(
+        F.explode(prefixes).alias("__p__"),
+        F.col(code_col).alias("__full__"),
+        *([F.col(value_col).alias("__v__")] if value_col else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("__full__").alias("n_codes"),
+    ]
+    if value_col:
+        aggs.append(F.sum("__v__").alias("value_sum"))
+    return exploded.groupBy(
+        F.col("__p__.code_prefix").alias("code_prefix"),
+        F.col("__p__.level").alias("level"),
+    ).agg(*aggs)

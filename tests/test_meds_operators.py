@@ -282,3 +282,28 @@ def test_hash_split_deterministic_and_proportional(spark):
     # salt draws an independent assignment
     c = ids.select("pid", hash_split_expr("pid", fr, salt="v2").alias("s"))
     assert a.join(c, "pid").filter(a["s"] != c["s"]).count() > 0
+
+
+def test_code_hierarchy_rollup_hand_values(spark):
+    from meds_polars_functions_spark.operators.aggregate_code_metadata import (
+        code_hierarchy_rollup,
+    )
+
+    rows = [
+        ("ICD//9//428", 1.0),
+        ("ICD//9//401", 2.0),
+        ("ICD//10//I50", 4.0),
+        ("LAB//HR", 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["code", "v"])
+    got = {
+        (r["code_prefix"], r["level"]): (r["n"], r["n_codes"], r["value_sum"])
+        for r in code_hierarchy_rollup(df, "code", value_col="v").collect()
+    }
+    assert got[("ICD", 1)] == (3, 3, 7.0)
+    assert got[("ICD//9", 2)] == (2, 2, 3.0)
+    assert got[("ICD//9//428", 3)] == (1, 1, 1.0)
+    assert got[("LAB", 1)] == (1, 1, 8.0)
+    assert got[("LAB//HR", 2)] == (1, 1, 8.0)
+    # every row contributes once per level: total contributions = sum depth
+    assert sum(n for n, _, _ in got.values()) == 3 * 3 + 2
