@@ -3191,7 +3191,8 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label_propagation, binned_quantiles, embedding_dim_stats,
 # standardize_embeddings, temperature_mixture, novelty_score,
 # winsorize_quantile, incremental_code_agg, code_value_trend,
-# event_transitions, code_pmi, welch_ttest — they take the first
+# event_transitions, code_pmi, welch_ttest, rolling_features,
+# target_encode, corr_matrix, code_rollup — they take the first
 # slots, and the remaining go to the stalest r1 greens (TPC-shaped +
 # temporal sets, dict order) for re-proof under the current load path.
 # All are locally green via scripts/compare_oracle.py in the meantime.
