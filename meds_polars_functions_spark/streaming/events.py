@@ -85,3 +85,30 @@ def streaming_code_metadata(
             F.max(F.when(present, val)).alias("values/max"),
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once keyed dedup for live feeds: on a stream,
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival of each
+    key and bounds the dedup state by the watermark (state for a key is
+    dropped once the watermark passes it — without the watermark bound,
+    streaming dedup state grows forever and the job eventually OOMs; at
+    100 TB/day of events this bound is the difference between a dedup
+    that runs for months and one that dies in hours).
+
+    On a batch DataFrame the same call degrades to plain
+    ``dropDuplicates(key_cols)`` — which is how the batch-equivalence
+    test pins the semantics (equal key sets; WHICH duplicate survives
+    is arrival-order-dependent on the stream, exactly like the batch
+    operator is partition-order-dependent, so only key-level equality
+    is the contract)."""
+    if stream.isStreaming:
+        return stream.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return stream.dropDuplicates(key_cols)

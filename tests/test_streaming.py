@@ -94,3 +94,40 @@ def test_sessionize_streaming_matches_batch(spark, event_stream_dir):
         (dt.datetime(2024, 1, 1, 10, 0, 0), 2),
         (dt.datetime(2024, 1, 1, 11, 5, 0), 1),
     ]
+
+
+def test_streaming_dedup_matches_batch_keys(spark, event_stream_dir):
+    from meds_polars_functions_spark.streaming.events import streaming_dedup
+
+    # duplicate (user_id, event_type) arrivals exist in the fixture
+    def transform(s):
+        return streaming_dedup(s, ["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+
+    # append mode: dropDuplicatesWithinWatermark emits each survivor once
+    import tempfile as _tf
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = transform(stream)
+    ckpt = _tf.mkdtemp(prefix="ckpt_dedup_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["event_type"]) for r in spark.table("stream_dedup_out").collect()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    batch = sorted(
+        (r["user_id"], r["event_type"])
+        for r in transform(spark.read.parquet(event_stream_dir)).collect()
+    )
+    assert got == batch
+    assert got == [(100, "click"), (100, "view"), (200, "click"), (200, "view")]
