@@ -2943,6 +2943,30 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve drift check: binned KS + PSI between returned
+    (l_returnflag='R') and non-returned lineitem price distributions
+    per linestatus — both sides reduce to fixed-size cell tables
+    independently, the comparison touches only cells
+    (functions/sketches.py binned_drift_metrics)."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_drift_metrics,
+        binned_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ha = binned_histogram(
+        li.filter(F.col("l_returnflag") == "R"),
+        "l_extendedprice", ["l_linestatus"], lo=0.0, hi=120_000.0, n_bins=120,
+    )
+    hb = binned_histogram(
+        li.filter(F.col("l_returnflag") != "R"),
+        "l_extendedprice", ["l_linestatus"], lo=0.0, hi=120_000.0, n_bins=120,
+    )
+    return binned_drift_metrics(ha, hb, ["l_linestatus"])
+
+
 def q_code_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ontology rollup over the '//'-joined MEDS code hierarchy
     (EVT//<type>//<props-or-UNK> built by code_expr): every prefix
@@ -3319,6 +3343,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "corr_matrix": q_corr_matrix,
         "code_rollup": q_code_rollup,
+        "drift_metrics": q_drift_metrics,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -4073,6 +4098,39 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Drift replay: same cell tables (width-1000 bins), full-outer
+        # cell align, CDF/smoothed-probability windows, KS + PSI.
+        "drift_metrics": """
+WITH ha AS (
+  SELECT l_linestatus, least(greatest(cast(floor(l_extendedprice/1000.0) AS BIGINT), 0), 119) AS bin,
+         count(*) AS ca
+  FROM lineitem WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL GROUP BY 1, 2),
+hb AS (
+  SELECT l_linestatus, least(greatest(cast(floor(l_extendedprice/1000.0) AS BIGINT), 0), 119) AS bin,
+         count(*) AS cb
+  FROM lineitem WHERE l_returnflag <> 'R' AND l_extendedprice IS NOT NULL GROUP BY 1, 2),
+cells AS (
+  SELECT coalesce(ha.l_linestatus, hb.l_linestatus) AS l_linestatus,
+         coalesce(ha.bin, hb.bin) AS bin,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ha FULL OUTER JOIN hb
+    ON ha.l_linestatus = hb.l_linestatus AND ha.bin = hb.bin),
+p AS (
+  SELECT l_linestatus, bin,
+    sum(ca) OVER (PARTITION BY l_linestatus ORDER BY bin)
+      / (sum(ca) OVER (PARTITION BY l_linestatus))::DOUBLE AS cdf_a,
+    sum(cb) OVER (PARTITION BY l_linestatus ORDER BY bin)
+      / (sum(cb) OVER (PARTITION BY l_linestatus))::DOUBLE AS cdf_b,
+    (ca + 0.5) / (sum(ca) OVER (PARTITION BY l_linestatus)
+                  + 0.5 * count(*) OVER (PARTITION BY l_linestatus)) AS pa,
+    (cb + 0.5) / (sum(cb) OVER (PARTITION BY l_linestatus)
+                  + 0.5 * count(*) OVER (PARTITION BY l_linestatus)) AS pb
+  FROM cells)
+SELECT l_linestatus,
+  round(max(abs(cdf_a - cdf_b)), 6) AS ks,
+  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM p GROUP BY 1
 """,
         # Hierarchy-rollup replay: same code construction as
         # code_construction, prefixes via correlated generate over the

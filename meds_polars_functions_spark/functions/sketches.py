@@ -318,3 +318,59 @@ def winsorize_by_quantile(
     )
     clamped = F.least(F.greatest(F.col(value_col), F.col("__lo__")), F.col("__hi__"))
     return joined.withColumn(out_col or value_col, clamped).drop("__lo__", "__hi__")
+
+
+def binned_drift_metrics(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    group_cols: Sequence[str] = (),
+    smoothing: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution-drift metrics between two ``binned_histogram`` cell
+    tables (same lo/hi/n_bins): per group,
+
+    - ``ks``:  max over bins of |CDF_a − CDF_b| (the binned
+      Kolmogorov–Smirnov statistic, exact up to bin resolution), and
+    - ``psi``: Σ (p_a − p_b)·ln(p_a/p_b) with additive ``smoothing``
+      counts so empty cells stay finite (the population-stability index
+      of model-monitoring practice; > 0.2 is the conventional
+      "significant shift" alarm).
+
+    This is THE train/serve drift check at 100 TB: both sides reduce to
+    their fixed-size cell tables independently (one scan each, map-side
+    partials — or incrementally via ``binned_histogram`` state you
+    already persisted), and the comparison itself touches only cells.
+    Neither raw dataset is ever co-shuffled."""
+    gc = list(group_cols)
+    a = hist_a.groupBy(*gc, "bin").agg(F.sum("cnt").alias("ca"))
+    b = hist_b.groupBy(*gc, "bin").agg(F.sum("cnt").alias("cb"))
+    cells = a.join(b, [*gc, "bin"], "full_outer").select(
+        *gc,
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.partitionBy(*gc) if gc else Window.partitionBy(F.lit(1))
+    wo = w.orderBy("bin")
+    with_p = cells.select(
+        *gc,
+        "bin",
+        (F.sum("ca").over(wo) / F.sum("ca").over(w)).alias("cdf_a"),
+        (F.sum("cb").over(wo) / F.sum("cb").over(w)).alias("cdf_b"),
+        (
+            (F.col("ca") + F.lit(smoothing))
+            / (F.sum("ca").over(w) + F.lit(smoothing) * F.count(F.lit(1)).over(w))
+        ).alias("pa"),
+        (
+            (F.col("cb") + F.lit(smoothing))
+            / (F.sum("cb").over(w) + F.lit(smoothing) * F.count(F.lit(1)).over(w))
+        ).alias("pb"),
+    )
+    return with_p.groupBy(*gc).agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), round_to).alias("ks"),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            round_to,
+        ).alias("psi"),
+    )

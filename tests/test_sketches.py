@@ -214,3 +214,53 @@ def test_winsorize_by_quantile_clamps_outliers(spark):
     assert ws[0] >= 10.0
     # mid-range untouched
     assert 50.0 in ws
+
+
+def test_binned_drift_metrics_identical_distributions_zero(spark):
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_drift_metrics,
+        binned_histogram,
+    )
+
+    vals = [(float((i * 37) % 100),) for i in range(500)]
+    df = spark.createDataFrame(vals, ["v"])
+    h = binned_histogram(df, "v", lo=0.0, hi=100.0, n_bins=20)
+    row = binned_drift_metrics(h, h).collect()[0]
+    assert row["ks"] == 0.0
+    assert row["psi"] == 0.0
+
+
+def test_binned_drift_metrics_detects_shift(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_drift_metrics,
+        binned_histogram,
+    )
+
+    rng = np.random.default_rng(2)
+    a = spark.createDataFrame([(float(v),) for v in rng.normal(40, 10, 2000)], ["v"])
+    b = spark.createDataFrame([(float(v),) for v in rng.normal(60, 10, 2000)], ["v"])
+    ha = binned_histogram(a, "v", lo=0.0, hi=100.0, n_bins=50)
+    hb = binned_histogram(b, "v", lo=0.0, hi=100.0, n_bins=50)
+    row = binned_drift_metrics(ha, hb).collect()[0]
+    # 2-sigma mean shift: KS near theoretical max |Phi(x-40)-Phi(x-60)| ~ 0.68
+    assert 0.6 < row["ks"] < 0.8
+    assert row["psi"] > 0.2  # conventional "significant shift" alarm fires
+    # drift in the other direction is symmetric for KS
+    rev = binned_drift_metrics(hb, ha).collect()[0]
+    assert rev["ks"] == row["ks"]
+
+
+def test_binned_drift_metrics_disjoint_group_bins_align(spark):
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_drift_metrics,
+        binned_histogram,
+    )
+
+    a = spark.createDataFrame([("g", 5.0), ("g", 15.0)], ["grp", "v"])
+    b = spark.createDataFrame([("g", 95.0)], ["grp", "v"])
+    ha = binned_histogram(a, "v", ["grp"], lo=0.0, hi=100.0, n_bins=10)
+    hb = binned_histogram(b, "v", ["grp"], lo=0.0, hi=100.0, n_bins=10)
+    row = binned_drift_metrics(ha, hb, ["grp"]).collect()[0]
+    assert row["ks"] == 1.0  # fully separated supports
