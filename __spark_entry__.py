@@ -2943,6 +2943,17 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of lang x source + Cramér's V: one count
+    agg, marginals from window sums over the cell table, zero-observed
+    cells folded in closed form (operators/stats.py)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.stats import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
 def q_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/serve drift check: binned KS + PSI between returned
     (l_returnflag='R') and non-returned lineitem price distributions
@@ -3216,7 +3227,8 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standardize_embeddings, temperature_mixture, novelty_score,
 # winsorize_quantile, incremental_code_agg, code_value_trend,
 # event_transitions, code_pmi, welch_ttest, rolling_features,
-# target_encode, corr_matrix, code_rollup — they take the first
+# target_encode, corr_matrix, code_rollup, drift_metrics,
+# chi_square — they take the first
 # slots, and the remaining go to the stalest r1 greens (TPC-shaped +
 # temporal sets, dict order) for re-proof under the current load path.
 # All are locally green via scripts/compare_oracle.py in the meantime.
@@ -3344,6 +3356,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "code_rollup": q_code_rollup,
         "drift_metrics": q_drift_metrics,
+        "chi_square": q_chi_square,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -4098,6 +4111,28 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Chi-square replay: same observed-cell formula with the
+        # closed-form zero-cell correction (sum e over missing cells =
+        # n - sum e over present cells).
+        "chi_square": """
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*) AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT o,
+    sum(o) OVER (PARTITION BY a) * sum(o) OVER (PARTITION BY b)
+      / (sum(o) OVER ())::DOUBLE AS e,
+    sum(o) OVER () AS n,
+    count(DISTINCT a) OVER () AS ka,
+    count(DISTINCT b) OVER () AS kb
+  FROM cells)
+SELECT n, (ka - 1) * (kb - 1) AS dof,
+  round(sum((o - e) * (o - e) / e) + (n - sum(e)), 6) AS chi2,
+  round(CASE WHEN (ka - 1) * (kb - 1) > 0
+        THEN sqrt((sum((o - e) * (o - e) / e) + (n - sum(e)))
+                  / (n * least(ka - 1, kb - 1))) END, 6) AS cramers_v
+FROM m GROUP BY n, ka, kb
 """,
         # Drift replay: same cell tables (width-1000 bins), full-outer
         # cell align, CDF/smoothed-probability windows, KS + PSI.

@@ -284,3 +284,61 @@ def correlation_matrix(
     return stats.select(F.explode(F.array(*rows)).alias("__r__")).select(
         "__r__.col_a", "__r__.col_b", "__r__.n", "__r__.corr"
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns + Cramér's V effect size — the categorical counterpart of
+    :func:`correlation_matrix` (is language associated with source? is
+    event type associated with user cohort?).
+
+    One count aggregation over (a, b); marginals derive from the cell
+    table with window sums (no second scan); the statistic is
+    Σ (observed − expected)² / expected over observed cells plus the
+    zero-observed cells' contribution Σ expected (added in closed form:
+    for cells with o=0 the term is exactly e, and Σe over missing cells
+    = n − Σe over present cells — so absent combinations are accounted
+    without materializing the full cross product). Returns one row
+    (n, dof, chi2, cramers_v). No p-value by design (chi2 CDF is not
+    closed-form SQL; the statistic is the oracle-checkable surface)."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a__"), b.alias("__b__"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wa = Window.partitionBy("__a__")
+    wb = Window.partitionBy("__b__")
+    wall = Window.partitionBy(F.lit(1))
+    with_e = cells.select(
+        "o",
+        (
+            F.sum("o").over(wa) * F.sum("o").over(wb) / F.sum("o").over(wall).cast("double")
+        ).alias("e"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("__a__").over(wall)).alias("ka"),
+        F.size(F.collect_set("__b__").over(wall)).alias("kb"),
+    )
+    agg = with_e.groupBy("n", "ka", "kb").agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "__present__"
+        ),
+        F.sum("e").alias("__e_present__"),
+    )
+    chi2 = F.col("__present__") + (F.col("n") - F.col("__e_present__"))
+    dof = (F.col("ka") - 1) * (F.col("kb") - 1)
+    v = F.when(
+        dof > 0,
+        F.sqrt(chi2 / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))),
+    )
+    return agg.select(
+        "n",
+        dof.alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"),
+    )

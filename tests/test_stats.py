@@ -167,3 +167,46 @@ def test_correlation_matrix_zero_variance_and_null_rows(spark):
     assert got[("a", "b")][1] is None and got[("b", "c")][1] is None
     # a,c perfectly correlated on the 2 remaining rows
     assert got[("a", "c")][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chi_square_hand_2x2(spark):
+    from meds_polars_functions_spark.operators.stats import chi_square_independence
+
+    # classic 2x2: a=[10,20], b=[30,40]
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    row = chi_square_independence(df, "a", "b").collect()[0]
+    o = np.array([[10, 20], [30, 40]], dtype=float)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = float((((o - e) ** 2) / e).sum())
+    assert row["n"] == 100 and row["dof"] == 1
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert row["cramers_v"] == pytest.approx(math.sqrt(chi2 / 100), abs=1e-5)
+
+
+def test_chi_square_zero_observed_cells_counted(spark):
+    from meds_polars_functions_spark.operators.stats import chi_square_independence
+
+    # (y, q) never observed — its expected count must still contribute
+    rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 10
+    df = spark.createDataFrame(rows, ["a", "b"])
+    row = chi_square_independence(df, "a", "b").collect()[0]
+    o = np.array([[5, 5], [10, 0]], dtype=float)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = float((((o - e) ** 2) / e).sum())
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-5)
+
+
+def test_chi_square_independent_columns_near_zero(spark):
+    from meds_polars_functions_spark.operators.stats import chi_square_independence
+
+    # perfectly independent layout: every (a, b) cell equal
+    rows = [(f"a{i}", f"b{j}") for i in range(3) for j in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    row = chi_square_independence(df, "a", "b").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert row["dof"] == 6
