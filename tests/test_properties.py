@@ -287,3 +287,58 @@ def test_temperature_mixture_target_total_scales_output(spark):
     out = temperature_mixture(df, "src", "id", alpha=0.5, target_total=200)
     n = out.count()
     assert 140 <= n <= 260  # ~200 expected, binomial slack
+
+
+def test_span_dedup_is_idempotent(spark):
+    """Property: span_dedup(span_dedup(X)) == span_dedup(X). After the
+    first pass every surviving span is corpus-unique, so a second pass
+    must be the identity — the fixed-point contract that makes the
+    operator safe to re-run on partially-deduped corpora."""
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    words = [f"w{(i * 7) % 23}" for i in range(400)]
+    rows = [
+        (i, " ".join(words[(i * 13) % 80 : (i * 13) % 80 + 60]))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = span_dedup(df, "text", "doc_id", span_words=10)
+    twice = span_dedup(once, "text", "doc_id", span_words=10)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_binned_quantiles_monotone_in_q(spark):
+    """Property: estimates are non-decreasing in q for every group."""
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_histogram,
+        binned_quantiles,
+    )
+
+    rows = [(f"g{i % 3}", float((i * 37) % 997)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    hist = binned_histogram(df, "v", ["g"], lo=0.0, hi=1000.0, n_bins=100)
+    qs = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+    out = binned_quantiles(hist, qs, ["g"], lo=0.0, hi=1000.0, n_bins=100)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], []).append((r["q"], r["est"]))
+    for g, pairs in got.items():
+        ests = [e for _, e in sorted(pairs)]
+        assert ests == sorted(ests), g
+        assert len(pairs) == len(qs)
+
+
+def test_temperature_mixture_monotone_in_alpha(spark):
+    """Property: for the LARGEST source, the keep-rate (and so the kept
+    count) is non-decreasing in alpha — alpha=1 keeps everything,
+    smaller alpha shaves the head."""
+    from meds_polars_functions_spark.operators.packing import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small")) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    kept = []
+    for alpha in (0.2, 0.5, 0.8, 1.0):
+        out = temperature_mixture(df, "src", "id", alpha=alpha)
+        kept.append(out.filter("src = 'big'").count())
+    assert kept == sorted(kept)
+    assert kept[-1] == 900
