@@ -2943,6 +2943,29 @@ def q_code_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_cooccurrence_pmi(ev, ["user_id", "hour"], "event_type")
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation pipeline end-to-end AT ORACLE GRADE:
+    quality gate → corpus-wide span dedup (20-word tiles, keep-first)
+    → alpha=0.5 temperature mixture over lang → per-lang doc/token
+    totals. Four operator families composed in one declarative plan,
+    hash-verified against a chained-CTE DuckDB replay."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+    from meds_polars_functions_spark.operators.packing import temperature_mixture
+    from meds_polars_functions_spark.operators.text import quality_filter, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = quality_filter(docs, "text", "doc_id", min_words=30).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    sd = span_dedup(kept, "text", "doc_id", span_words=20)
+    mixed = temperature_mixture(sd, "lang", "doc_id", alpha=0.5)
+    return (
+        mixed.select("lang", token_count("text").alias("n"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("token_sum"))
+    )
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence of lang x source + Cramér's V: one count
     agg, marginals from window sums over the cell table, zero-observed
@@ -3228,7 +3251,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # winsorize_quantile, incremental_code_agg, code_value_trend,
 # event_transitions, code_pmi, welch_ttest, rolling_features,
 # target_encode, corr_matrix, code_rollup, drift_metrics,
-# chi_square — they take the first
+# chi_square, curation_v2 — they take the first
 # slots, and the remaining go to the stalest r1 greens (TPC-shaped +
 # temporal sets, dict order) for re-proof under the current load path.
 # All are locally green via scripts/compare_oracle.py in the meantime.
@@ -3357,6 +3380,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_rollup": q_code_rollup,
         "drift_metrics": q_drift_metrics,
         "chi_square": q_chi_square,
+        "curation_v2": q_curation_v2,
         "event_transitions": q_event_transitions,
         "code_pmi": q_code_pmi,
         "semantic_dedup": q_semantic_dedup,
@@ -4111,6 +4135,59 @@ SELECT code, n,
   round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
 FROM s
+""",
+        # Curation-v2 replay: the quality-gate, span-dedup and
+        # temperature-mixture CTEs chained (each identical to its
+        # standalone oracle, re-rooted on the previous stage's output).
+        "curation_v2": r"""
+WITH w AS (
+  SELECT doc_id, text, lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS words
+  FROM documents),
+stats AS (
+  SELECT doc_id, text, lang,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE
+      / (CASE WHEN len(words) > 0 THEN len(words) END) AS mean_word_len,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE
+      / (CASE WHEN length(text) > 0 THEN length(text) END) AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+      / (CASE WHEN length(text) > 0 THEN length(text) END) AS digit_ratio,
+    len(list_filter(words, x -> list_contains(
+      ['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be'], x)))::DOUBLE
+      / (CASE WHEN len(words) > 0 THEN len(words) END) AS stopword_ratio
+  FROM w),
+kept AS (
+  SELECT doc_id, text, lang FROM stats
+  WHERE n_words BETWEEN 30 AND 100000
+    AND punct_ratio <= 0.2 AND digit_ratio <= 0.2
+    AND stopword_ratio >= 0.02
+    AND mean_word_len BETWEEN 3.0 AND 12.0),
+words2 AS (SELECT doc_id, lang, string_split(text, ' ') AS wd FROM kept),
+spans AS (
+  SELECT doc_id, t.i AS idx,
+         array_to_string(list_slice(wd, t.i*20+1, t.i*20+20), ' ') AS span
+  FROM words2, unnest(range(0, cast(ceil(len(wd)/20.0) AS BIGINT))) AS t(i)),
+winners AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx, row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+    FROM spans) WHERE rn = 1),
+rebuilt AS (
+  SELECT s.doc_id, string_agg(s.span, ' ' ORDER BY s.idx) AS text
+  FROM spans s JOIN winners u ON s.doc_id = u.doc_id AND s.idx = u.idx
+  GROUP BY 1),
+sd AS (
+  SELECT r.doc_id, r.text, k.lang FROM rebuilt r JOIN kept k USING (doc_id)
+  WHERE length(r.text) > 0),
+c AS (SELECT lang, count(*) AS c FROM sd GROUP BY 1),
+t2 AS (SELECT sum(pow(c, 0.5)) AS wsum, sum(c) AS n FROM c),
+r2 AS (SELECT lang, least(1.0, (pow(c, 0.5)/wsum) * (n/c)) AS rate FROM c CROSS JOIN t2),
+mx AS (
+  SELECT sd.* FROM sd JOIN r2 USING (lang)
+  WHERE ('0x' || substr(md5(sd.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 < rate)
+SELECT lang, count(*) AS n_docs,
+  sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))::BIGINT AS token_sum
+FROM mx GROUP BY 1
 """,
         # Chi-square replay: same observed-cell formula with the
         # closed-form zero-cell correction (sum e over missing cells =
