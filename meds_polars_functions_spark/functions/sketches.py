@@ -303,7 +303,14 @@ def winsorize_by_quantile(
     per-group bounds pivot to ONE row per group and return to the fact
     table as a BROADCAST join, pass 2 is a map-side clamp — two scans,
     zero fact-table shuffles, same contract as normalization's
-    metadata join."""
+    metadata join.
+
+    Null semantics: a NULL ``value_col`` stays NULL (Spark's
+    greatest/least skip nulls, so an unguarded clamp would silently
+    rewrite NULL to the lower bound — data corruption for MEDS-style
+    data where numeric_value is frequently null), and groups with no
+    non-null values (hence no histogram cells / bounds) pass through
+    unclamped via the LEFT join rather than being dropped."""
     gc = list(group_cols)
     hist = binned_histogram(df, value_col, gc, lo=lo, hi=hi, n_bins=n_bins)
     qs = binned_quantiles(hist, [q_lo, q_hi], gc, lo=lo, hi=hi, n_bins=n_bins)
@@ -311,12 +318,25 @@ def winsorize_by_quantile(
         F.min(F.when(F.col("q") == q_lo, F.col("est"))).alias("__lo__"),
         F.min(F.when(F.col("q") == q_hi, F.col("est"))).alias("__hi__"),
     )
-    joined = (
-        df.join(F.broadcast(bounds), gc)
-        if gc
-        else df.crossJoin(F.broadcast(bounds))
+    if gc:
+        joined = df.join(F.broadcast(bounds), gc, "left")
+    else:
+        # constant-key LEFT join (not crossJoin): an all-null input has no
+        # bounds row, and crossJoin against an empty broadcast would
+        # silently drop every input row.
+        joined = (
+            df.withColumn("__wq_k__", F.lit(1))
+            .join(
+                F.broadcast(bounds.withColumn("__wq_k__", F.lit(1))),
+                "__wq_k__",
+                "left",
+            )
+            .drop("__wq_k__")
+        )
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("__lo__")), F.col("__hi__")),
     )
-    clamped = F.least(F.greatest(F.col(value_col), F.col("__lo__")), F.col("__hi__"))
     return joined.withColumn(out_col or value_col, clamped).drop("__lo__", "__hi__")
 
 
@@ -353,11 +373,19 @@ def binned_drift_metrics(
     )
     w = Window.partitionBy(*gc) if gc else Window.partitionBy(F.lit(1))
     wo = w.orderBy("bin")
+    # A group present in only one histogram has a zero total on the absent
+    # side: guard the CDF denominators (ANSI sessions would otherwise raise
+    # DIVIDE_BY_ZERO and crash the whole drift job on one absent group) and
+    # define KS := 1.0 for such one-sided groups below (the max possible
+    # divergence — an absent distribution IS maximally shifted). PSI needs
+    # no guard: its smoothed denominators are strictly positive.
+    tot_a = F.sum("ca").over(w)
+    tot_b = F.sum("cb").over(w)
     with_p = cells.select(
         *gc,
         "bin",
-        (F.sum("ca").over(wo) / F.sum("ca").over(w)).alias("cdf_a"),
-        (F.sum("cb").over(wo) / F.sum("cb").over(w)).alias("cdf_b"),
+        F.when(tot_a > 0, F.sum("ca").over(wo) / tot_a).alias("cdf_a"),
+        F.when(tot_b > 0, F.sum("cb").over(wo) / tot_b).alias("cdf_b"),
         (
             (F.col("ca") + F.lit(smoothing))
             / (F.sum("ca").over(w) + F.lit(smoothing) * F.count(F.lit(1)).over(w))
@@ -368,7 +396,14 @@ def binned_drift_metrics(
         ).alias("pb"),
     )
     return with_p.groupBy(*gc).agg(
-        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), round_to).alias("ks"),
+        # cdf_a - cdf_b is NULL on every row of a one-sided group, so the
+        # max is NULL there → coalesce to the defined KS=1.0.
+        F.round(
+            F.coalesce(
+                F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), F.lit(1.0)
+            ),
+            round_to,
+        ).alias("ks"),
         F.round(
             F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
             round_to,

@@ -1790,7 +1790,12 @@ def span_dedup(
          once (for the join on ``id``) and never exploded through an
          exchange.
     Documents whose every span lost (pure duplicates of earlier docs)
-    are dropped when ``drop_empty`` (C4 behavior).
+    are dropped when ``drop_empty`` (C4 behavior); with
+    ``drop_empty=False`` they are genuinely kept with empty text (LEFT
+    join + empty keep-list — an inner join could never honor that
+    contract, since all-loser docs have no keep_per_doc row at all).
+    Internal columns use collision-safe ``__sd_*__`` names so inputs
+    that already carry an ``id`` column work unchanged.
     """
     idc = F.col(id_col)
     words = F.split(F.col(text_col), " ")
@@ -1804,24 +1809,29 @@ def span_dedup(
         n_spans > 0, F.transform(F.sequence(F.lit(0), n_spans - 1), span_at)
     ).otherwise(F.array().cast("array<string>"))
     light = df.select(
-        idc.alias("id"),
-        F.posexplode(spans).alias("idx", "__sp__"),
-    ).select("id", "idx", F.sha2(F.col("__sp__"), 256).alias("h"))
+        idc.alias("__sd_id__"),
+        F.posexplode(spans).alias("__sd_idx__", "__sp__"),
+    ).select("__sd_id__", "__sd_idx__", F.sha2(F.col("__sp__"), 256).alias("h"))
     winners = light.groupBy("h").agg(
-        F.min(F.struct(F.col("id"), F.col("idx"))).alias("w")
+        F.min(F.struct(F.col("__sd_id__"), F.col("__sd_idx__"))).alias("w")
     )
     keep_per_doc = (
-        winners.select(F.col("w.id").alias("id"), F.col("w.idx").alias("idx"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list("idx")).alias("__keep__"))
+        winners.select(
+            F.col("w.__sd_id__").alias("__sd_id__"),
+            F.col("w.__sd_idx__").alias("__sd_idx__"),
+        )
+        .groupBy("__sd_id__")
+        .agg(F.array_sort(F.collect_list("__sd_idx__")).alias("__keep__"))
     )
-    kept_spans = F.filter(
-        spans, lambda s, i: F.array_contains(F.col("__keep__"), i)
-    )
+    # coalesce to an empty keep-list: docs with no winning span (or empty
+    # docs) have no keep_per_doc row, and a NULL array would null out the
+    # filter predicate instead of cleanly keeping zero spans.
+    keep = F.coalesce(F.col("__keep__"), F.array().cast("array<int>"))
+    kept_spans = F.filter(spans, lambda s, i: F.array_contains(keep, i))
     out = (
-        df.join(keep_per_doc, idc == F.col("id"))
+        df.join(keep_per_doc, idc == F.col("__sd_id__"), "left")
         .withColumn(text_col, F.concat_ws(" ", kept_spans))
-        .drop("id", "__keep__")
+        .drop("__sd_id__", "__keep__")
     )
     if drop_empty:
         out = out.filter(F.length(text_col) > 0)

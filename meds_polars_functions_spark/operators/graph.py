@@ -175,13 +175,17 @@ def label_propagation(
     the smallest label; isolated nodes keep their label. Labels start as
     the node id. Deterministic LPA is the standard cheap community signal
     for near-dup cluster grouping / domain clustering of a link graph.
+    Node ids may be any orderable type (numeric, string, …) — the
+    tie-break is ``min_by(label, struct(-cnt, label))``, i.e. min over
+    (−count, label), which negates only the count (always numeric), not
+    the label, so string ids stay deterministic too.
 
     Scale design (mirrors pagerank above): the undirected edge table is
     materialized once, pre-partitioned on the neighbor-side join key and
     persisted — each iteration is one join (labels are |nodes|-sized,
     edges reuse their exchange) + one (node, label) count agg + one
-    argmax agg. The argmax is ``max(struct(cnt, -label))`` so it
-    resolves map-side as a partial aggregate — no window, no sort.
+    argmax agg. ``min_by`` is a declarative aggregate, so it resolves
+    map-side as a partial aggregate — no window, no sort.
     Lineage is cut with localCheckpoint like the other iterative ops.
     """
     e0 = (
@@ -206,10 +210,11 @@ def label_propagation(
         ).select(F.col("s").alias("node"), "label")
         counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c__"))
         new = counts.groupBy("node").agg(
-            F.max(
-                F.struct(F.col("__c__"), (-F.col("label")).alias("__nl__"))
-            ).alias("__m__")
-        ).select("node", (-F.col("__m__.__nl__")).alias("label"))
+            F.min_by(
+                F.col("label"),
+                F.struct((-F.col("__c__")).alias("__nc__"), F.col("label")),
+            ).alias("label")
+        )
         # isolated nodes (none here by construction of `und`, but keep the
         # rule total) retain their previous label
         prev = labels

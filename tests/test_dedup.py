@@ -674,3 +674,42 @@ def test_novelty_scores_first_doc_fully_novel(spark):
     assert got[1]["novelty"] == 1.0
     assert got[2]["n_shingles"] == 2 and got[2]["novel"] == 1
     assert got[3]["novelty"] == 0.0
+
+
+def test_span_dedup_input_with_id_column(spark):
+    # ADVICE r3: internal alias 'id' collided with an input column named
+    # 'id' (AMBIGUOUS_REFERENCE) — including span_dedup(df, 'text', 'id').
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 9), (2, "a b c d", 8)], ["id", "text", "other"]
+    )
+    rows = {r["id"]: (r["text"], r["other"])
+            for r in span_dedup(df, "text", "id", span_words=2).collect()}
+    assert rows == {1: ("a b c", 9), 2: ("c d", 8)}
+    # and a non-id key with a bystander 'id' column also survives
+    df2 = spark.createDataFrame(
+        [(1, "a b c", 7), (2, "a b c d", 6)], ["doc_id", "text", "id"]
+    )
+    rows2 = {r["doc_id"]: (r["text"], r["id"])
+             for r in span_dedup(df2, "text", "doc_id", span_words=2).collect()}
+    assert rows2 == {1: ("a b c", 7), 2: ("c d", 6)}
+
+
+def test_span_dedup_drop_empty_false_keeps_all_loser_docs(spark):
+    # ADVICE r3: with an inner join, docs whose every span lost (and empty
+    # docs) could never be kept regardless of drop_empty. LEFT join +
+    # empty keep-list honors the contract.
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in span_dedup(df, "text", "doc_id", 20, drop_empty=False).collect()}
+    assert got == {1: boiler, 2: "", 3: ""}
+    # drop_empty=True still drops them
+    got_t = {r["doc_id"]: r["text"]
+             for r in span_dedup(df, "text", "doc_id", 20, drop_empty=True).collect()}
+    assert got_t == {1: boiler}

@@ -100,3 +100,20 @@ def test_label_propagation_star_adopts_hub_majority(spark):
     assert got1 == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0}
     got2 = {r["node"]: r["label"] for r in label_propagation(df, n_iter=2).collect()}
     assert got2 == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_label_propagation_string_node_ids(spark):
+    # ADVICE r3: the old max(struct(cnt, -label)) tie-break negated the
+    # label and so only worked for numeric ids. min_by(label,
+    # struct(-cnt, label)) must give the same deterministic min-label
+    # tie-break for string ids.
+    from meds_polars_functions_spark.operators.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=4).collect()}
+    # mirrors test_label_propagation_two_cliques with ids mapped to strings
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "c"
+    again = {r["node"]: r["label"] for r in label_propagation(df, n_iter=4).collect()}
+    assert got == again

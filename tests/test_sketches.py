@@ -264,3 +264,45 @@ def test_binned_drift_metrics_disjoint_group_bins_align(spark):
     hb = binned_histogram(b, "v", ["grp"], lo=0.0, hi=100.0, n_bins=10)
     row = binned_drift_metrics(ha, hb, ["grp"]).collect()[0]
     assert row["ks"] == 1.0  # fully separated supports
+
+
+def test_winsorize_nulls_pass_through_unclamped(spark):
+    # ADVICE r3: greatest(NULL, lo) = lo in Spark (nulls skipped), so an
+    # unguarded clamp silently rewrites NULL measurements to the lower
+    # quantile bound. Nulls must stay null.
+    from meds_polars_functions_spark.functions.sketches import winsorize_by_quantile
+
+    rows = [("g", float(v)) for v in range(1, 100)] + [("g", None), ("h", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize_by_quantile(
+        df, "v", ["grp"], q_lo=0.1, q_hi=0.9, lo=0.0, hi=200.0, n_bins=200,
+        out_col="w",
+    ).collect()
+    assert len(out) == 101  # group h (all null -> no bounds) NOT dropped
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["w"])
+    assert by_grp["g"].count(None) == 1  # null stays null, not q_lo
+    assert by_grp["h"] == [None]
+    # ungrouped path: constant-key left join, all-null input survives
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    got = winsorize_by_quantile(allnull, "v", out_col="w").collect()
+    assert [r["w"] for r in got] == [None, None]
+
+
+def test_binned_drift_metrics_one_sided_group_ks_one(spark):
+    # ADVICE r3: a group present in only one histogram had a zero CDF
+    # denominator -> DIVIDE_BY_ZERO under ANSI. Defined: KS = 1.0.
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_drift_metrics,
+        binned_histogram,
+    )
+
+    a = spark.createDataFrame([("g", 5.0), ("only_a", 7.0)], ["grp", "v"])
+    b = spark.createDataFrame([("g", 95.0)], ["grp", "v"])
+    ha = binned_histogram(a, "v", ["grp"], lo=0.0, hi=100.0, n_bins=10)
+    hb = binned_histogram(b, "v", ["grp"], lo=0.0, hi=100.0, n_bins=10)
+    got = {r["grp"]: r for r in binned_drift_metrics(ha, hb, ["grp"]).collect()}
+    assert got["only_a"]["ks"] == 1.0
+    assert got["only_a"]["psi"] is not None  # smoothing keeps PSI finite
+    assert got["g"]["ks"] == 1.0  # disjoint supports, both sides present
