@@ -3233,85 +3233,86 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-3 window = the 30 queries with no driver row in rounds 1-2
-# (CORRECTNESS_r01/r02 dict indices 50-80) + the 2 re-shaped tokenize
-# queries + patient_split_filter (r1 row was err:no_oracle) + the 17
-# stalest MEDS-parity r1 greens (they predate the round-2 NTZ load-path
-# change). Ever-green coverage ledger: COVERAGE.md.
+# Round-4 window (this round) = the 42 round-3 additions (which by
+# construction had zero driver rows — the whole round-3 verification
+# debt) + the 8 stalest r1-only greens (time_parse … top_orders_per_
+# customer, registry order; their last driver row predates the round-2
+# NTZ load-path change). Ever-green coverage ledger: COVERAGE.md.
 #
-# Round-4 rotation plan (after the round-3 window goes green): the only
-# queries then lacking a driver row are the 22 round-3 additions —
-# lm_score, semantic_dedup, dedup_clusters_star, bigram_lm,
-# dsir_weights, bpe_pair_counts, bm25_search, clf_score,
-# shuffle_positions, pq_topk, winnow_pairs, cdc_chunks, logreg_step,
-# blocklist, cms_freq, containment, incremental_dedup, bpe_encode,
-# triangles, jaccard_prefix, weighted_sample, jl_topk, span_dedup,
-# label_propagation, binned_quantiles, embedding_dim_stats,
-# standardize_embeddings, temperature_mixture, novelty_score,
-# winsorize_quantile, incremental_code_agg, code_value_trend,
-# event_transitions, code_pmi, welch_ttest, rolling_features,
-# target_encode, corr_matrix, code_rollup, drift_metrics,
-# chi_square, curation_v2 — they take the first
-# slots, and the remaining go to the stalest r1 greens (TPC-shaped +
-# temporal sets, dict order) for re-proof under the current load path.
-# All are locally green via scripts/compare_oracle.py in the meantime.
+# REGISTRY FREEZE (round 4, per VERDICT.md): the registry holds at 165
+# until verification debt < window size — any new query must displace a
+# slot, not grow the backlog. tests/test_registry.py asserts the cap.
+#
+# Round-5 rotation plan (after the round-4 window goes green): the only
+# staleness left is (a) the remaining 17 r1-only greens —
+# hourly_event_counts, mixture_sample, hash_split, code_patients_hll,
+# funnel_conversion, retention_cohort, orders_histogram,
+# json_props_stats, value_percentiles, cube_revenue, pivot_status,
+# sessionize, reorder_rank, event_user_enrich, distinct_twophase,
+# order_restore, embedding_topk_vectorized — which take the first 17
+# slots, and (b) the stalest r2-only greens (CORRECTNESS_r02 dict
+# order: add_age, time_delta_days, datetime_parts, pack_sequences,
+# corpus_curation, text_quality, quality_filter, tfidf_top_terms,
+# language_id, token_count, doc_fingerprint, exact_dup_groups,
+# exact_dedup, ngram_jaccard, minhash_near_dup, dedup_clusters, …)
+# filling the remaining 33. All are locally green via
+# scripts/compare_oracle.py (ORACLE_DRIVER_DEFAULTS=1) in the meantime.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # re-shaped this round (arrays -> canonicalizer-safe strings)
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    # never driver-checked (rounds 1-2)
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "decontaminate",
-    "repetition_stats",
-    "pagerank_trade",
-    "profile_events",
-    "heavy_hitters",
-    "image_features",
-    "audio_features",
-    "late_order_priority",
-    "returned_item_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "brand_predicate_revenue",
-    "dormant_customers",
-    "moving_avg_revenue",
-    "ntile_acctbal",
-    "unpivot_nation_metrics",
-    "only_late_supplier",
-    "user_streaks",
-    "bitmap_distinct_users",
-    "argmax_customer",
-    "group_median",
-    "grouping_sets_revenue",
-    "interpolate_values",
-    "scd2_priority",
-    "snapshot_diff",
-    "repeat_buyers_setop",
-    # oracle exists since r2 but no driver row ever (r1 err: no_oracle)
-    "patient_split_filter",
-    # stalest MEDS-parity r1 greens (pre-NTZ-change verification)
-    "agg_code_metadata",
-    "agg_all_codes",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "patient_id_harvest",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
+    # round-4 window: the 42 round-3 additions (never driver-checked)
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "pq_topk",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
+    "cms_freq",
+    "containment",
+    "incremental_dedup",
+    "bpe_encode",
+    "triangles",
+    "jaccard_prefix",
+    "weighted_sample",
+    "jl_topk",
+    "span_dedup",
+    "label_propagation",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "standardize_embeddings",
+    "temperature_mixture",
+    "novelty_score",
+    "winsorize_quantile",
+    "incremental_code_agg",
+    "code_value_trend",
+    "event_transitions",
+    "code_pmi",
+    "welch_ttest",
+    "rolling_features",
+    "target_encode",
+    "corr_matrix",
+    "code_rollup",
+    "drift_metrics",
+    "chi_square",
+    "curation_v2",
+    # + the 8 stalest r1-only greens (last driver row predates the
+    # round-2 NTZ load-path change), registry order
+    "time_parse",
+    "typed_coercion",
+    "regex_filter",
+    "integral_values",
+    "fill_to_nans",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
 ]
 
 

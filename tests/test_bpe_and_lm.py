@@ -410,3 +410,89 @@ def test_bpe_encode_roundtrip_and_compression(spark):
         # encoding fresh text with the merges == the trainer's final state
         assert tuple(syms) == trained[w]
     assert any(len(s) < len(w) for w, s in enc.items())
+
+
+def test_top_pairs_batch_is_conflict_free_and_rank_ordered(spark):
+    from meds_polars_functions_spark.operators.bpe import top_pairs
+
+    texts = [("the cat sat on the mat while the dog dug a big rug",)] * 3
+    df = spark.createDataFrame(texts, ["text"])
+    tab = init_symbol_table(word_freq_table(df, "text"))
+    batch = top_pairs(tab, 5)
+    assert 1 <= len(batch) <= 5
+    # pairwise-disjoint symbol sets
+    used = set()
+    for a, b, c in batch:
+        assert a not in used and b not in used
+        used.update((a, b))
+        assert c >= 2
+    # counts weakly decreasing in selection order
+    cnts = [c for _, _, c in batch]
+    assert cnts == sorted(cnts, reverse=True)
+    # first element IS the sequential argmax (top_pair)
+    from meds_polars_functions_spark.operators.bpe import top_pair
+
+    assert top_pair(tab) == batch[0]
+
+
+def test_bpe_train_batched_equals_sequential_on_disjoint_pairs(spark):
+    # corpus engineered so the top merges touch disjoint symbols:
+    # batched selection then provably equals sequential order.
+    texts = [("aa bb cc dd " * 10,)] * 5
+    df = spark.createDataFrame(texts, ["text"])
+    seq, _ = bpe_train(df, "text", n_merges=4, batch_size=1)
+    bat, _ = bpe_train(df, "text", n_merges=4, batch_size=4)
+    assert seq == bat == [("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")]
+
+
+def test_bpe_train_batched_still_compresses(spark):
+    # generic corpus: batched merges may reorder vs sequential (the
+    # documented approximation) but must stay valid BPE — every merge
+    # applies with count >= 2 and the encode round-trip compresses.
+    texts = [
+        ("hello yellow mellow fellow bellow",),
+        ("the cellar dweller teller seller",),
+        ("swelling spelling dwelling telling",),
+    ] * 4
+    df = spark.createDataFrame(texts, ["text"])
+    merges, _ = bpe_train(df, "text", n_merges=12, batch_size=6)
+    assert len(merges) == 12
+    assert len(set(merges)) == 12  # no pair learned twice
+    enc = bpe_encode(df, "text", merges)
+    rows = {r["word"]: r["syms"] for r in enc.collect()}
+    # "ell" words compress well below character count
+    assert len(rows["yellow"]) < len("yellow")
+
+
+def test_logreg_plan_size_constant_in_n_buckets(spark):
+    # VERDICT r3: literal-array weights made plan size O(n_buckets·iters);
+    # the broadcast (bucket, weight) table must keep it constant — the
+    # 2^18-wide plan may not be materially larger than the 2^10 one.
+    from meds_polars_functions_spark.operators.text import (
+        _hashed_features,
+        _logreg_margins,
+    )
+
+    rows = [(i, f"doc number {i} with words", float(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "text", "y"])
+
+    def plan_len(n_buckets):
+        feats = _hashed_features(df, "text", "id", "y", n_buckets)
+        w = [0.1] * n_buckets  # worst case: every weight nonzero
+        m = _logreg_margins(feats, w, 0.0)
+        return len(m._jdf.queryExecution().analyzed().toString())
+
+    small, big = plan_len(2**10), plan_len(2**18)
+    assert big < 2 * small + 10_000, (small, big)
+
+
+def test_hashed_logreg_trains_at_wide_bucket_count(spark):
+    # the realistic hashing-trick width must actually run (one step)
+    from meds_polars_functions_spark.operators.text import hashed_logreg_train
+
+    rows = [(i, "good great fine" if i % 2 else "bad awful poor", float(i % 2))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "text", "y"])
+    w, b = hashed_logreg_train(df, "text", "y", "id", n_buckets=2**18, n_iters=2)
+    assert len(w) == 2**18
+    assert any(x != 0.0 for x in w)

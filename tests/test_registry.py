@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-3 window. Edit deliberately (and only here + in
+# The exact round-4 window. Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "decontaminate",
-    "repetition_stats",
-    "pagerank_trade",
-    "profile_events",
-    "heavy_hitters",
-    "image_features",
-    "audio_features",
-    "late_order_priority",
-    "returned_item_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "brand_predicate_revenue",
-    "dormant_customers",
-    "moving_avg_revenue",
-    "ntile_acctbal",
-    "unpivot_nation_metrics",
-    "only_late_supplier",
-    "user_streaks",
-    "bitmap_distinct_users",
-    "argmax_customer",
-    "group_median",
-    "grouping_sets_revenue",
-    "interpolate_values",
-    "scd2_priority",
-    "snapshot_diff",
-    "repeat_buyers_setop",
-    "patient_split_filter",
-    "agg_code_metadata",
-    "agg_all_codes",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "patient_id_harvest",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "pq_topk",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
+    "cms_freq",
+    "containment",
+    "incremental_dedup",
+    "bpe_encode",
+    "triangles",
+    "jaccard_prefix",
+    "weighted_sample",
+    "jl_topk",
+    "span_dedup",
+    "label_propagation",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "standardize_embeddings",
+    "temperature_mixture",
+    "novelty_score",
+    "winsorize_quantile",
+    "incremental_code_agg",
+    "code_value_trend",
+    "event_transitions",
+    "code_pmi",
+    "welch_ttest",
+    "rolling_features",
+    "target_encode",
+    "corr_matrix",
+    "code_rollup",
+    "drift_metrics",
+    "chi_square",
+    "curation_v2",
+    "time_parse",
+    "typed_coercion",
+    "regex_filter",
+    "integral_values",
+    "fill_to_nans",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
 ]
 
 
@@ -121,3 +121,12 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
+
+
+def test_registry_frozen_at_165_until_debt_clears():
+    # VERDICT r3: breadth already exceeds the brief; driver-grade proof is
+    # the scarce resource. The registry holds at 165 until every
+    # registered query has a driver row — a new query must DISPLACE a
+    # slot (and this pin must be edited deliberately), not grow the
+    # verification backlog past the 50-row window.
+    assert len(entry.queries()) == 165
