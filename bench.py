@@ -67,6 +67,10 @@ TRACKED = [
     "binned_quantiles",
     "embedding_dim_stats",
     "temperature_mixture",
+    # round 4: the end-to-end curation composition (quality gate →
+    # span dedup → temperature mixture → per-lang totals) — the number
+    # a real corpus-curation user cares about (VERDICT r3 item 9)
+    "curation_v2",
 ]
 
 

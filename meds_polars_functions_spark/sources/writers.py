@@ -93,11 +93,12 @@ def write_nrt(
     (tensorization.py:16-106).
 
     ``container="jnrt"``: writes the actual on-disk
-    ``JointNestedRaggedTensorDict`` container (``part-{pid}.nrt``) via the
-    public ``nested_ragged_tensors`` package, so existing reference
-    readers consume the output as-is. Raises ImportError where that
-    library is absent (it is optional and pure-Python; the npz layout
-    carries identical information).
+    ``JointNestedRaggedTensorDict`` container (``part-{pid}.nrt``) so
+    existing reference readers consume the output as-is — via the public
+    ``nested_ragged_tensors`` package when installed, else via the
+    vendored pure-numpy writer of the same public layout
+    (``sources/_jnrt_numpy.py``: safetensors container + JNRT
+    ``dim{n}/{key}`` / ``dim{n}/bounds`` tensor schema).
 
     Returns the number of partition files written. Scale note: this is an
     embarrassingly-parallel per-partition write — no shuffle, no driver
@@ -106,15 +107,11 @@ def write_nrt(
     from pyspark.sql import types as T
 
     if container == "jnrt":
-        # fail fast on the driver, not inside executors mid-write
+        # probe on the driver, not inside executors mid-write
         import importlib
 
-        if importlib.util.find_spec("nested_ragged_tensors") is None:
-            raise ImportError(
-                "container='jnrt' needs the public 'nested_ragged_tensors' "
-                "package; use the default npz container otherwise"
-            )
-        return _write_nrt_jnrt(df, path, list_columns)
+        use_library = importlib.util.find_spec("nested_ragged_tensors") is not None
+        return _write_nrt_jnrt(df, path, list_columns, use_library=use_library)
     if container != "npz":
         raise ValueError(f"unknown NRT container: {container!r}")
 
@@ -169,27 +166,38 @@ def write_nrt(
     return int(n)
 
 
-def _write_nrt_jnrt(df: DataFrame, path: str, list_columns: list[str]) -> int:
+def _write_nrt_jnrt(
+    df: DataFrame, path: str, list_columns: list[str], use_library: bool = True
+) -> int:
     """Write the reference's ``JointNestedRaggedTensorDict`` container
     (one ``part-{pid}.nrt`` per partition, reference tensorization.py:90-106:
     the ragged columns go into the JNRT file; scalar columns — typically
     the patient/shard index — ride in a ``part-{pid}.index.npz`` sidecar,
     mirroring how the reference keeps ids in the schema parquet rather
-    than inside the tensor container)."""
+    than inside the tensor container). With ``use_library=False`` the
+    vendored pure-numpy writer (``_jnrt_numpy.save_jnrt``) emits the same
+    public safetensors + dim-keyed layout without the dependency."""
     os.makedirs(path, exist_ok=True)
     other_cols = [c for c in df.columns if c not in list_columns]
 
     def write_partition(pid: int, rows) -> Iterable[int]:
         import numpy as np
-        from nested_ragged_tensors.ragged_numpy import JointNestedRaggedTensorDict
 
         rows = list(rows)
         if not rows:
             return iter(())
         tensors = {c: [r[c] or [] for r in rows] for c in list_columns}
-        JointNestedRaggedTensorDict(tensors).save(
-            os.path.join(path, f"part-{pid:05d}.nrt")
-        )
+        fp = os.path.join(path, f"part-{pid:05d}.nrt")
+        if use_library:
+            from nested_ragged_tensors.ragged_numpy import (
+                JointNestedRaggedTensorDict,
+            )
+
+            JointNestedRaggedTensorDict(tensors).save(fp)
+        else:
+            from meds_polars_functions_spark.sources._jnrt_numpy import save_jnrt
+
+            save_jnrt(tensors, fp)
         if other_cols:
             np.savez(
                 os.path.join(path, f"part-{pid:05d}.index.npz"),

@@ -86,6 +86,10 @@ STRESS_QUERIES = [
     "code_pmi",
     "welch_ttest",
     "novelty_score",
+    # round 4: the end-to-end curation composition — four families in
+    # one declarative plan; should scale like its worst member
+    # (span_dedup's hash-posting shuffle), not like their sum
+    "curation_v2",
 ]
 
 # Key DOMAINS: every column in a domain (primary key + the foreign keys

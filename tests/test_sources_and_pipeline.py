@@ -88,12 +88,10 @@ def test_nrt_sink(tmpdir, spark, meds_df):
 
 
 def test_nrt_jnrt_container_roundtrip(tmpdir, spark, meds_df):
-    """Reference-reader parity: the jnrt container must load via the
-    public nested_ragged_tensors package with identical ragged content.
-    Skipped where the (optional, pure-Python) library is absent."""
-    pytest.importorskip("nested_ragged_tensors")
-    from nested_ragged_tensors.ragged_numpy import JointNestedRaggedTensorDict
-
+    """Reference-reader parity: the jnrt container round-trips with
+    identical ragged content — via the public nested_ragged_tensors
+    package when installed, else via the vendored pure-numpy
+    reader/writer of the same public layout (no skip either way)."""
     from meds_polars_functions_spark.operators.tokenization import (
         extract_seq_of_patient_events,
     )
@@ -108,21 +106,120 @@ def test_nrt_jnrt_container_roundtrip(tmpdir, spark, meds_df):
     )
     files = sorted(glob.glob(os.path.join(out_dir, "*.nrt")))
     assert len(files) == n == 1
-    loaded = JointNestedRaggedTensorDict.load(files[0])
     rows = seqs.coalesce(1).collect()
-    dense = loaded.to_dense()
-    assert len(rows) == len(dense["time_delta_days"])
-
-
-def test_nrt_jnrt_errors_cleanly_without_library(tmpdir, spark, meds_df):
     try:
-        import nested_ragged_tensors  # noqa: F401
+        from nested_ragged_tensors.ragged_numpy import JointNestedRaggedTensorDict
 
-        pytest.skip("library present; ImportError path not reachable")
+        dense = JointNestedRaggedTensorDict.load(files[0]).to_dense()
+        assert len(rows) == len(dense["time_delta_days"])
     except ImportError:
-        pass
-    with pytest.raises(ImportError, match="nested_ragged_tensors"):
-        write_nrt(meds_df, os.path.join(tmpdir, "x"), ["code"], container="jnrt")
+        from meds_polars_functions_spark.sources._jnrt_numpy import load_jnrt_dense
+
+        dense = load_jnrt_dense(files[0])
+        assert len(rows) == len(dense["time_delta_days"])
+        # content parity row-by-row against the Spark collect (NaN-safe:
+        # nan_fill=True puts NaNs in the ragged values, and NaN != NaN)
+        import math
+
+        def canon(rows3):
+            return sorted(
+                tuple(
+                    tuple("NaN" if math.isnan(v) else v for v in ev) for ev in r
+                )
+                for r in rows3
+            )
+
+        assert canon(dense["code"]) == canon(
+            [list(ev) for ev in r["code"]] for r in rows
+        )
+
+
+def test_jnrt_vendored_writer_matches_reference_example(tmpdir):
+    """The reference's own tensorization doctest example (reference
+    transforms/tensorization.py:33-77), written with the vendored
+    pure-numpy writer and re-nested: identical ragged content, and the
+    file layout is the public safetensors + dim{n}/{key} + dim{n}/bounds
+    schema of nested_ragged_tensors.ragged_numpy."""
+    import numpy as np
+
+    from meds_polars_functions_spark.sources._jnrt_numpy import (
+        load_jnrt,
+        load_jnrt_dense,
+        save_jnrt,
+    )
+
+    cols = {
+        "time_delta_days": [[float("nan"), 12.0], [float("nan")]],
+        "code": [[[101.0, 102.0], [103.0]], [[201.0, 202.0]]],
+        "numeric_value": [[[2.0, 3.0], [4.0]], [[6.0, 7.0]]],
+    }
+    fp = os.path.join(tmpdir, "ex.nrt")
+    save_jnrt(cols, fp)
+    flat = load_jnrt(fp)
+    assert set(flat) == {
+        "dim1/time_delta_days", "dim1/bounds",
+        "dim2/code", "dim2/numeric_value", "dim2/bounds",
+    }
+    assert flat["dim1/bounds"].tolist() == [2, 3]      # cumsum outer lengths
+    assert flat["dim2/bounds"].tolist() == [2, 3, 5]   # cumsum inner lengths
+    assert flat["dim2/code"].tolist() == [101.0, 102.0, 103.0, 201.0, 202.0]
+    dense = load_jnrt_dense(fp)
+    assert dense["code"] == cols["code"]
+    assert dense["numeric_value"] == cols["numeric_value"]
+    td = dense["time_delta_days"]
+    assert np.isnan(td[0][0]) and td[0][1] == 12.0 and np.isnan(td[1][0])
+
+
+def test_jnrt_safetensors_container_is_spec_conformant(tmpdir):
+    """Byte-level check of the vendored safetensors writer against the
+    public spec: u64le header length, JSON header with dtype/shape/
+    data_offsets, contiguous LE buffers — so the real safetensors/
+    nested_ragged_tensors readers consume these files as-is."""
+    import json
+    import struct
+
+    import numpy as np
+
+    from meds_polars_functions_spark.sources._jnrt_numpy import (
+        load_safetensors,
+        save_safetensors,
+    )
+
+    tensors = {
+        "a": np.arange(5, dtype=np.int64),
+        "b": np.array([1.5, -2.5], dtype=np.float64),
+        "m": np.array([True, False]),
+    }
+    fp = os.path.join(tmpdir, "t.safetensors")
+    save_safetensors(tensors, fp)
+    raw = open(fp, "rb").read()
+    (hlen,) = struct.unpack("<Q", raw[:8])
+    header = json.loads(raw[8 : 8 + hlen].decode("utf-8"))
+    assert header["a"]["dtype"] == "I64" and header["a"]["shape"] == [5]
+    assert header["b"]["dtype"] == "F64"
+    assert header["m"]["dtype"] == "BOOL"
+    # offsets contiguous from 0 in insertion order
+    ends = 0
+    for name in tensors:
+        lo, hi = header[name]["data_offsets"]
+        assert lo == ends
+        ends = hi
+    assert len(raw) == 8 + hlen + ends
+    back = load_safetensors(fp)
+    for k, v in tensors.items():
+        assert np.array_equal(back[k], v)
+
+
+def test_jnrt_rejects_non_coragged_columns(tmpdir):
+    import pytest as _pytest
+
+    from meds_polars_functions_spark.sources._jnrt_numpy import save_jnrt
+
+    with _pytest.raises(ValueError, match="co-ragged"):
+        save_jnrt(
+            {"a": [[1.0, 2.0], [3.0]], "b": [[1.0], [2.0]]},
+            os.path.join(tmpdir, "bad.nrt"),
+        )
 
 
 def test_pipeline_checkpoint_resume(tmpdir, spark, meds_df):
