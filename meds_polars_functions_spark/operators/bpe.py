@@ -90,10 +90,15 @@ def top_pairs(
     (x,a)/(b,y) adjacencies and creates (x,ab)/(ab,y) ones). A pair
     (c, d) with {c,d} ∩ {a,b} = ∅ has an IDENTICAL count before and
     after the merge, so every kept pair is applied at exactly the count
-    it was ranked with. The only divergence from strict sequential BPE
-    is that a pair *created* by an earlier in-batch merge (e.g. (x, ab))
-    cannot be chosen until the next pass — the standard distributed-BPE
-    approximation (k=1 degenerates to exact sequential order).
+    it was ranked with. The conflict set also includes each kept pair's
+    MERGED STRING ``a+b``: that makes the batch order-independent (no
+    kept pair can consume another's output, even via a pre-existing
+    symbol that spells the same string), so ``apply_merges`` may apply
+    the whole batch in ONE fold pass with sequential semantics. The
+    only divergence from strict sequential BPE is that a pair *created*
+    by an earlier in-batch merge (e.g. (x, ab)) cannot be chosen until
+    the next pass — the standard distributed-BPE approximation (k=1
+    degenerates to exact sequential order).
     """
     rows = (
         pair_counts(symtab)
@@ -107,22 +112,44 @@ def top_pairs(
     for r in rows:
         if len(chosen) >= k:
             break
-        if r["a"] in used or r["b"] in used:
+        if r["a"] in used or r["b"] in used or (r["a"] + r["b"]) in used:
             continue
         chosen.append((r["a"], r["b"], r["cnt"]))
-        used.update((r["a"], r["b"]))
+        used.update((r["a"], r["b"], r["a"] + r["b"]))
     return chosen
 
 
 def apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
     """Replace every adjacent, non-overlapping, leftmost-first (a, b)
     occurrence in each word's symbol array with the merged symbol a+b.
+    Single-pair case of ``apply_merges``."""
+    return apply_merges(symtab, [(a, b)])
+
+
+#: pair-key separator inside the fold's isin test; NUL cannot occur in a
+#: symbol because symbols descend from word characters (the tokenizer
+#: regex never emits it)
+_SEP = "\x00"
+
+
+def apply_merges(symtab: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Apply a CONFLICT-FREE batch of merges (as selected by
+    ``top_pairs``: pairwise-disjoint symbol sets, merged strings
+    included) in ONE fold pass over the symbol table.
 
     A native `aggregate` fold with state (out, pending): each incoming
-    symbol either completes a merge with the pending one, flushes it, or
-    becomes the new pending symbol. Pure whole-stage-codegen expression —
-    the merge step touches no Python and shuffles nothing."""
-    merged = F.lit(a + b)
+    symbol either completes a merge with the pending one (the pair key
+    ``pend + NUL + s`` hits the batch's literal key list, emitting
+    ``concat(pend, s)``), flushes it, or becomes the new pending symbol.
+    Greedy leftmost-first, non-overlapping — identical to applying the
+    batch members sequentially, which conflict-freedom makes
+    order-independent. No Python, no shuffle, and — the batching point —
+    ONE traversal of every word regardless of batch size, where chained
+    single-pair folds would re-traverse per pair (k× the work for an
+    interpreted higher-order expression)."""
+    if not pairs:
+        return symtab
+    keys = [a + _SEP + b for a, b in pairs]
     state = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("pend"),
@@ -134,9 +161,9 @@ def apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
             acc["pend"].isNull(), F.struct(acc["out"].alias("out"), s.alias("pend"))
         )
         .when(
-            (acc["pend"] == F.lit(a)) & (s == F.lit(b)),
+            F.concat(acc["pend"], F.lit(_SEP), s).isin(*keys),
             F.struct(
-                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.concat(acc["out"], F.array(F.concat(acc["pend"], s))).alias("out"),
                 F.lit(None).cast("string").alias("pend"),
             ),
         )
@@ -166,42 +193,63 @@ def bpe_train(
     ``batch_size=1`` (default) is EXACT sequential Sennrich BPE — one
     argmax collect per merge, fine for small vocabularies and for
     oracle replay. ``batch_size=k`` is the scale path for real vocab
-    sizes: each pass does ONE driver round-trip (`top_pairs`) and then
-    applies up to ``k`` conflict-free merges as chained native folds
-    with no job between them — a 32k-merge train becomes ~32k/k Spark
-    jobs instead of 32k sequential ones (the round-3 scale caveat).
-    The folds still localCheckpoint every ``checkpoint_every`` merges
-    so plan depth stays bounded regardless of batch size."""
+    sizes: each pass does ONE driver round-trip (`top_pairs`) and ONE
+    fold traversal (`apply_merges`) for up to ``k`` conflict-free
+    merges — a 32k-merge train becomes ~32k/k Spark jobs AND ~32k/k
+    word-table traversals instead of 32k of each (the round-3 scale
+    caveat). The table localCheckpoints every ``checkpoint_every``
+    merge PASSES so plan depth stays bounded."""
     symtab = init_symbol_table(word_freq_table(df, text_col))
     symtab = symtab.localCheckpoint()  # corpus scan happens exactly once
     merges: list[tuple[str, str]] = []
+    passes = 0
     while len(merges) < n_merges:
         k = min(batch_size, n_merges - len(merges))
         batch = top_pairs(symtab, k)
         if not batch:
             break
-        for a, b, _ in batch:
-            merges.append((a, b))
-            symtab = apply_merge(symtab, a, b)
-            if len(merges) % checkpoint_every == 0:
-                symtab = symtab.localCheckpoint()
+        pairs = [(a, b) for a, b, _ in batch]
+        merges.extend(pairs)
+        symtab = apply_merges(symtab, pairs)
+        passes += 1
+        if passes % checkpoint_every == 0:
+            symtab = symtab.localCheckpoint()
     return merges, symtab
 
 
 def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge list to new text: per-word char split, then
     each merge in training order (the standard BPE inference rule).
-    Implemented as the same native fold per merge over a distinct-word
-    table, then joined back — encoding cost scales with distinct words,
-    not corpus rows."""
+    Implemented over a distinct-word table, then joined back — encoding
+    cost scales with distinct words, not corpus rows.
+
+    Consecutive merges are greedily grouped into conflict-free runs
+    (same used-set rule as ``top_pairs``: a group member's symbols and
+    merged string may not appear in any earlier member's) and each run
+    is applied in ONE ``apply_merges`` fold pass. Unlike training-time
+    batching this is EXACT, not an approximation: within a run no merge
+    can consume another's output or input, so batch application equals
+    the sequential order — a 32k-merge vocabulary encodes in far fewer
+    table traversals than 32k."""
     words = df.select(F.explode(_WORDS(F.col(text_col))).alias("word")).distinct()
     tab = words.select(
         "word",
         F.lit(1).alias("freq"),
         F.filter(F.split("word", ""), lambda ch: ch != "").alias("syms"),
     )
-    for i, (a, b) in enumerate(merges):
-        tab = apply_merge(tab, a, b)
+    groups: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b in merges:
+        if a in used or b in used or (a + b) in used:
+            groups.append(cur)
+            cur, used = [], set()
+        cur.append((a, b))
+        used.update((a, b, a + b))
+    if cur:
+        groups.append(cur)
+    for i, g in enumerate(groups):
+        tab = apply_merges(tab, g)
         if (i + 1) % 8 == 0:
             tab = tab.localCheckpoint()
     return tab.select("word", "syms")

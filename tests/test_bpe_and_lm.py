@@ -496,3 +496,42 @@ def test_hashed_logreg_trains_at_wide_bucket_count(spark):
     w, b = hashed_logreg_train(df, "text", "y", "id", n_buckets=2**18, n_iters=2)
     assert len(w) == 2**18
     assert any(x != 0.0 for x in w)
+
+
+def test_apply_merges_batch_equals_chained_single_merges(spark):
+    from meds_polars_functions_spark.operators.bpe import (
+        apply_merge,
+        apply_merges,
+        init_symbol_table,
+    )
+
+    rows = [("abcabd", 3), ("aabb", 2), ("xyxy", 5), ("ab", 1)]
+    tab = init_symbol_table(spark.createDataFrame(rows, ["word", "freq"]))
+    batch = [("a", "b"), ("x", "y")]  # conflict-free
+    one_pass = {r["word"]: r["syms"] for r in apply_merges(tab, batch).collect()}
+    chained = tab
+    for a, b in batch:
+        chained = apply_merge(chained, a, b)
+    chained_out = {r["word"]: r["syms"] for r in chained.collect()}
+    assert one_pass == chained_out
+    assert one_pass["abcabd"] == ["ab", "c", "ab", "d"]
+    assert one_pass["xyxy"] == ["xy", "xy"]
+
+
+def test_top_pairs_merged_string_conflict_rule(spark):
+    # the (a,b) + (ab,c) class: if "ab" is both a merged output and a
+    # pre-existing symbol, batching them would diverge from sequential —
+    # top_pairs must keep at most one of the two per batch.
+    from meds_polars_functions_spark.operators.bpe import top_pairs
+
+    # words where symbols a,b adjacent often AND (after no merges) the
+    # candidate list contains pairs whose merged strings collide
+    rows = [("abab", 10), ("abac", 10)]
+    from meds_polars_functions_spark.operators.bpe import init_symbol_table
+
+    tab = init_symbol_table(spark.createDataFrame(rows, ["word", "freq"]))
+    batch = top_pairs(tab, 5)
+    used: set[str] = set()
+    for a, b, _ in batch:
+        assert a not in used and b not in used and (a + b) not in used
+        used.update((a, b, a + b))

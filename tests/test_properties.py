@@ -342,3 +342,41 @@ def test_temperature_mixture_monotone_in_alpha(spark):
         kept.append(out.filter("src = 'big'").count())
     assert kept == sorted(kept)
     assert kept[-1] == 900
+
+
+@given(
+    st.lists(  # per-row ragged depth-1 column
+        st.lists(st.floats(allow_nan=False, allow_infinity=False, width=64),
+                 max_size=5),
+        min_size=1, max_size=8,
+    ),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jnrt_roundtrip_property(col1, data):
+    """save_jnrt∘load_jnrt_dense is the identity on co-ragged columns
+    (depth-1 + a depth-2 column sharing the outer raggedness)."""
+    import os
+    import tempfile
+
+    from meds_polars_functions_spark.sources._jnrt_numpy import (
+        load_jnrt_dense,
+        save_jnrt,
+    )
+
+    # depth-2 column co-ragged with col1 at the outer level
+    col2 = [
+        [
+            data.draw(st.lists(
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                max_size=4))
+            for _ in row
+        ]
+        for row in col1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        fp = os.path.join(d, "t.nrt")
+        save_jnrt({"v": col1, "w": col2}, fp)
+        dense = load_jnrt_dense(fp)
+    assert dense["v"] == col1
+    assert dense["w"] == col2
