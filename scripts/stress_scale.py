@@ -90,6 +90,21 @@ STRESS_QUERIES = [
     # one declarative plan; should scale like its worst member
     # (span_dedup's hash-posting shuffle), not like their sum
     "curation_v2",
+    # round-4 widening: the families the r3 stress table missed —
+    # degree-oriented wedges (O(sqrt E) fan-out cap), deterministic LPA
+    # (per-iter joins against a persisted edge exchange), JL
+    # reduce-then-search (map-side projection), incremental dedup
+    # (history index never re-paired), directed containment postings,
+    # BM25 (query-term-filtered postings), hashed classifier inference
+    # (zero shuffle), BPE encode (distinct-word-bounded fold passes)
+    "triangles",
+    "label_propagation",
+    "jl_topk",
+    "incremental_dedup",
+    "containment",
+    "bm25_search",
+    "clf_score",
+    "bpe_encode",
 ]
 
 # Key DOMAINS: every column in a domain (primary key + the foreign keys
