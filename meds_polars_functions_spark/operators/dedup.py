@@ -100,6 +100,41 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     return _ngrams_from_words(_words_expr(text_col), n)
 
 
+def _shingles_udf(n: int):
+    """Arrow-batched pandas UDF: text -> array<string> of DISTINCT word
+    n-grams, first-occurrence order — bit-identical output to the
+    ``array_distinct(transform(...))`` expression form (same tokenizer
+    regex as ``_words_expr``, same <n-words fallback to the whole-word
+    join), but vectorized: the expression form is CodegenFallback
+    (interpreted per element) and measured ~8× slower at sf0.1 — the
+    same finding that motivated ``_band_hash_udf``."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    @pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = [w for w in token_re.split((t or "").lower()) if w]
+            if len(words) >= n:
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    )
+                )
+            else:
+                grams = [" ".join(words)]
+            out.append(grams)
+        return pd.Series(out)
+
+    return sh
+
+
 def shingle_table(
     df: DataFrame,
     text_col: str,
@@ -107,12 +142,14 @@ def shingle_table(
     n: int = 3,
     out_col: str = "shingles",
 ) -> DataFrame:
-    """(id, shingles) with the words array materialized as a bound column
-    between the split and the n-gram pass, so the sliding-window slice
-    reads an attribute (cheap per element) instead of re-running the
-    split/filter pipeline per n-gram."""
-    wdf = df.select(F.col(id_col).alias("id"), _words_expr(text_col).alias("__w__"))
-    return wdf.select("id", _ngrams_from_words(F.col("__w__"), n).alias(out_col))
+    """(id, shingles): one Arrow pass over the text (``_shingles_udf``).
+    The expression form survives as ``word_shingles`` for inline use on
+    small frames; this table form is the hot path shared by the exact
+    Jaccard / containment / decontamination / novelty families."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _shingles_udf(n)(F.col(text_col)).alias(out_col),
+    )
 
 
 def overfrequent_shingle_hashes(
@@ -1260,22 +1297,22 @@ def decontaminate(
         shingle_table(benchmark, bt, bt, shingle_n, out_col="sh")
         .select(F.explode("sh").alias("g"))
         .distinct()
+        .withColumn("__b__", F.lit(1))
     )
-    sh = shingle_table(corpus, text_col, id_col, shingle_n, out_col="sh")
-    sizes = sh.select("id", F.size("sh").alias("__n__"))
-    posts = sh.select("id", F.explode("sh").alias("g"))
-    hits = (
-        posts.join(F.broadcast(bench_shingles), "g", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("__hits__"))
+    # ONE corpus shingle pass: a broadcast LEFT join marks benchmark hits
+    # and a single aggregation yields both |doc shingles| (count of
+    # postings — shingle arrays are per-doc distinct and never empty, the
+    # <n-words fallback emits one whole-text shingle) and the hit count
+    # (count of the non-null marker). The previous semi-join + separate
+    # size scan evaluated the interpreted shingle pipeline twice.
+    posts = shingle_table(corpus, text_col, id_col, shingle_n, out_col="sh").select(
+        "id", F.explode("sh").alias("g")
     )
     ratios = (
-        sizes.join(hits, "id", "left")
-        .select(
-            "id",
-            (
-                F.coalesce(F.col("__hits__"), F.lit(0)) / F.col("__n__")
-            ).alias("contaminated_ratio"),
+        posts.join(F.broadcast(bench_shingles), "g", "left")
+        .groupBy("id")
+        .agg(
+            (F.count("__b__") / F.count(F.lit(1))).alias("contaminated_ratio")
         )
     )
     if keep_report:
