@@ -713,3 +713,40 @@ def test_span_dedup_drop_empty_false_keeps_all_loser_docs(spark):
     got_t = {r["doc_id"]: r["text"]
              for r in span_dedup(df, "text", "doc_id", 20, drop_empty=True).collect()}
     assert got_t == {1: boiler}
+
+
+def test_shingle_udf_matches_expression_form(spark):
+    # the vectorized Arrow path must be bit-identical to the HOF
+    # expression form it replaced (same tokenizer regex, first-occurrence
+    # distinct, <n-words whole-text fallback) — incl. edge shapes:
+    # punctuation runs, repeated n-grams, short docs, empty, null, digits
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.dedup import (
+        _ngrams_from_words,
+        _words_expr,
+        shingle_table,
+    )
+
+    rows = [
+        (1, "The quick brown fox -- jumps! Over the LAZY dog."),
+        (2, "a b c a b c a b c"),          # repeated shingles -> distinct
+        (3, "one two"),                     # < n words -> whole-text join
+        (4, ""),                            # empty -> [""]
+        (5, None),                          # null -> [""]
+        (6, "123 456 789 123 456"),         # digits survive the tokenizer
+        (7, "word"),                        # single word
+        (8, "  padded   spacing\tand\nnewlines here  "),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    udf_out = {
+        r["id"]: r["sh"]
+        for r in shingle_table(df, "text", "id", 3, out_col="sh").collect()
+    }
+    expr_out = {
+        r["id"]: r["sh"]
+        for r in df.select("id", _words_expr("text").alias("__w__"))
+        .select("id", _ngrams_from_words(F.col("__w__"), 3).alias("sh"))
+        .collect()
+    }
+    assert udf_out == expr_out
