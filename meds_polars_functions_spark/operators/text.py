@@ -53,7 +53,10 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         token_count(text_col).alias("n_tokens_ws"),
         bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
         (
-            F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            # Σ length(w) == length(concat of all w) — native codegen, no
+            # interpreted per-word fold; null text yields null via the
+            # n_words guard exactly as the fold form did
+            F.length(F.concat_ws("", words)).cast("long")
             / F.when(n_words > 0, n_words)
         ).alias("mean_word_len"),
         (
