@@ -107,7 +107,14 @@ def _shingles_udf(n: int):
     regex as ``_words_expr``, same <n-words fallback to the whole-word
     join), but vectorized: the expression form is CodegenFallback
     (interpreted per element) and measured ~8× slower at sf0.1 — the
-    same finding that motivated ``_band_hash_udf``."""
+    same finding that motivated ``_band_hash_udf``.
+
+    Invariant consumers rely on: the output array is NEVER null or
+    empty (the <n-words fallback emits ``[""]``), so downstream
+    explodes use ``explode_outer`` — identical rows, but no implicit
+    non-empty filter for Catalyst to push below the Arrow stage, which
+    would DUPLICATE this UDF's evaluation (observed: 2 ArrowEvalPython
+    stages per side before the switch; plan test pins 1)."""
     import re
 
     import pandas as pd
@@ -525,7 +532,7 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
     sizes = sh.select("id", F.size("sh").alias("n"))
-    posts = sh.select("id", F.explode("sh").alias("g"))
+    posts = sh.select("id", F.explode_outer("sh").alias("g"))
     inter = (
         posts.alias("a")
         .join(posts.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -1295,7 +1302,7 @@ def decontaminate(
     bt = benchmark_text_col or text_col
     bench_shingles = (
         shingle_table(benchmark, bt, bt, shingle_n, out_col="sh")
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
         .distinct()
         .withColumn("__b__", F.lit(1))
     )
@@ -1306,7 +1313,7 @@ def decontaminate(
     # (count of the non-null marker). The previous semi-join + separate
     # size scan evaluated the interpreted shingle pipeline twice.
     posts = shingle_table(corpus, text_col, id_col, shingle_n, out_col="sh").select(
-        "id", F.explode("sh").alias("g")
+        "id", F.explode_outer("sh").alias("g")
     )
     ratios = (
         posts.join(F.broadcast(bench_shingles), "g", "left")
@@ -1649,7 +1656,7 @@ def containment_pairs(
     sizes = sh.select("id", F.size("sh").alias("n"))
     # shingle arrays are already distinct (_ngrams_from_words), so the
     # posting table needs no extra dedup exchange
-    posts = sh.select("id", F.explode("sh").alias("g"))
+    posts = sh.select("id", F.explode_outer("sh").alias("g"))
     inter = (
         posts.alias("a")
         .join(posts.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")))
@@ -1761,7 +1768,7 @@ def ngram_jaccard_pairs_prefix(
     (keyed by id), the prefix posting join, one verify join keyed by id.
     """
     sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
-    posts = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
     ranked = posts.join(freq, "g").withColumn(
         "__r__",
@@ -1895,7 +1902,7 @@ def novelty_scores(
     """
     sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
     posts = sh.select(
-        "id", F.explode(F.array_distinct("sh")).alias("g")
+        "id", F.explode_outer(F.array_distinct("sh")).alias("g")
     ).select("id", F.xxhash64("g").alias("h"))  # 64-bit: birthday-safe where 32-bit murmur is not
     first = posts.groupBy("h").agg(F.min("id").alias("__first__"))
     return (

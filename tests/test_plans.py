@@ -337,3 +337,20 @@ def test_code_pmi_marginals_broadcast_no_basket_self_join(spark, entry_mod):
     plan = plan_of(entry_mod.queries()["code_pmi"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_is_one_corpus_pass_broadcast_only(spark, entry_mod):
+    # round-4 rewrite: the corpus shingle pipeline must be evaluated ONCE
+    # (one Arrow UDF stage for the corpus side, one for the broadcast
+    # benchmark side) and the benchmark join must be a broadcast hash
+    # join — a regression back to semi-join + separate size scan would
+    # show a third Python stage / a sort-merge join.
+    import re
+
+    plan = plan_of(entry_mod.queries()["decontaminate"](spark, SF))
+    # formatted output lists each node once in the tree and once in the
+    # details section — count detail headers "(n) ArrowEvalPython"
+    n_python_stages = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n_python_stages == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
