@@ -1800,6 +1800,77 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """``containment_pairs`` with a ONE-SIDED prefix filter — identical
+    output, asymptotically smaller join. This (not minhash seeding) is
+    the honest scale path for containment: symmetric minhash-LSH
+    recalls high-JACCARD pairs and systematically misses the
+    excerpt-in-big-doc case (tiny Jaccard, containment ≈ 1) that the
+    measure exists for.
+
+    Theorem (PPJoin overlap bound, Xiao et al. 2008, specialized):
+    containment(A in B) ≥ t means |A∩B| ≥ ⌈t·|A|⌉. Under any global
+    total order of shingles, if B contains none of A's first
+    |A| − ⌈t·|A|⌉ + 1 elements, every shared element sits in A's
+    remaining ⌈t·|A|⌉ − 1 positions — too few. So candidate pairs are
+    prefix(A) ⋈ FULL postings(B): only the A side is pruned (the
+    directed measure is one-sided, B must stay fully indexed), ordered
+    by ascending global frequency so prefixes hold the RAREST shingles
+    and the frequent-posting blowup never probes. Candidates verify
+    exactly via native array_intersect on the full (already-distinct)
+    shingle arrays.
+
+    Shuffle ledger: one frequency agg, one per-doc rank window, the
+    prefix×full posting join, one verify join keyed by id — the same
+    shape as ``ngram_jaccard_pairs_prefix`` with an asymmetric probe.
+    """
+    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh").filter(
+        F.size("sh") >= min_shingles
+    )
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
+    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
+    ranked = posts.join(freq, "g").withColumn(
+        "__r__",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("__f__"), F.asc("g"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "g")
+    cands = (
+        prefix.alias("a")
+        .join(
+            posts.select("id", "g").alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa__"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb__"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__sa__", "__sb__"))
+                / F.size("__sa__")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str,

@@ -750,3 +750,46 @@ def test_shingle_udf_matches_expression_form(spark):
         .collect()
     }
     assert udf_out == expr_out
+
+
+def test_containment_prefix_equals_baseline(spark):
+    # one-sided prefix filter (PPJoin overlap bound): identical DIRECTED
+    # output to the quadratic baseline at several thresholds, including
+    # the excerpt case the measure exists for
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        shingle_table,
+    )
+
+    big = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(20, 33))  # fully inside big
+    rows = [
+        (1, big),
+        (2, excerpt),
+        (3, big + " extra tail words here beyond the original body"),
+        (4, "completely different content about other topics entirely now"),
+        (5, " ".join(f"w{i}" for i in range(30)) + " plus unrelated suffix terms"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.5, 0.8, 0.95):
+        base = sorted(
+            map(tuple, containment_pairs(df, "text", "doc_id", threshold=t).collect())
+        )
+        pref = sorted(
+            map(tuple, containment_pairs_prefix(df, "text", "doc_id", threshold=t).collect())
+        )
+        assert pref == base, (t, base, pref)
+    # the excerpt is contained in both big docs at t=0.95
+    got = {(a, b) for a, b, _ in
+           containment_pairs_prefix(df, "text", "doc_id", threshold=0.95).collect()}
+    assert (2, 1) in got and (2, 3) in got
+    # prefix side indexes strictly fewer postings than the full table
+    sh = shingle_table(df, "text", "doc_id", 3, out_col="sh")
+    full_posts = sh.select(F.explode_outer("sh")).count()
+    n_prefix = sh.select(
+        (F.size("sh") - F.ceil(F.lit(0.8) * F.size("sh")) + 1).alias("p")
+    ).agg(F.sum("p")).first()[0]
+    assert n_prefix < 0.4 * full_posts
