@@ -317,3 +317,57 @@ def test_blocklist_hits_token_exact_and_phrases(spark):
         for r in blocklist_hits(df, "text", "doc_id", ["ass", "bad phrase"]).collect()
     }
     assert out == {2: 2, 3: 2}
+
+
+def test_language_id_udf_matches_expression_form(spark):
+    # vectorized argmax must be bit-identical to the greatest-of-structs
+    # expression form, incl. the tie rule (max hits, then lexicographically
+    # greatest lang) and the tokenizer quirk that non-ASCII stopword
+    # entries are unreachable
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.text import (
+        _langid_best_expr,
+        language_id,
+    )
+
+    rows = [
+        (1, "the cat and the dog of the house was in it for fun"),
+        (2, "le chat et le chien de la maison est dans les champs"),
+        (3, "der Hund und die Katze ist von den Bergen im Wald"),
+        (4, "el gato y el perro de la casa es por los campos"),
+        (5, "xyzzy plugh quux"),                      # no hits -> und
+        (6, "de la"),                                  # fr/es tie words
+        (7, ""),
+        (8, None),
+        (9, "für für für"),                            # unreachable stopword
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: (r["lang_pred"], r["stopword_hits"])
+           for r in language_id(df, "text", "id").collect()}
+    best = _langid_best_expr("text")
+    ref = {r["id"]: (r["lang_pred"], r["stopword_hits"])
+           for r in df.select(
+               "id",
+               F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+               best["s"].alias("stopword_hits"),
+           ).collect()}
+    assert got == ref
+    assert got[1][0] == "en" and got[5] == ("und", 0) and got[9] == ("und", 0)
+
+
+def test_language_id_single_python_stage(spark):
+    # the struct-returning UDF is referenced three times in the select;
+    # Spark must extract it into ONE ArrowEvalPython stage
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from meds_polars_functions_spark.operators.text import language_id
+
+    df = spark.createDataFrame([(1, "the of and")], "id int, text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        language_id(df, "text", "id").explain("formatted")
+    n = len(re.findall(r"^\(\d+\) ArrowEvalPython", buf.getvalue(), re.M))
+    assert n == 1, buf.getvalue()
