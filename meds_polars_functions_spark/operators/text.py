@@ -37,6 +37,39 @@ def bpe_ish_token_count(text_col: str) -> F.Column:
     return F.size(pieces)
 
 
+def _stopword_hits_udf(lang: str = "en"):
+    """Arrow-batched stopword-occurrence counter (duplicates counted),
+    same tokenizer as ``_WORDS`` — replaces the interpreted per-word ×
+    per-stopword array scan in ``quality_stats`` (measured ~40% of the
+    projection at sf0.1). Null text scores -1, mirroring the expression
+    form's size(filter(null)) under non-ANSI sessions."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[^a-z0-9']+")
+    stops = frozenset(STOPWORDS[lang])
+
+    def hits(texts):
+        return pd.Series(
+            [
+                -1
+                if t is None
+                else sum(
+                    1
+                    for w in token_re.split(t.lower())
+                    if w and w in stops
+                )
+                for t in texts
+            ],
+            dtype="int64",
+        )
+
+    hits.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(hits)
+
+
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality metrics: lengths, word stats, punctuation /
     digit / uppercase ratios, stopword ratio — the standard cheap quality
@@ -45,7 +78,6 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = _WORDS(t)
     n_chars = F.length(t)
     n_words = F.size(words)
-    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -70,8 +102,7 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.when(n_chars > 0, n_chars)
         ).alias("upper_ratio"),
         (
-            F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
-            / F.when(n_words > 0, n_words)
+            _stopword_hits_udf("en")(t) / F.when(n_words > 0, n_words)
         ).alias("stopword_ratio"),
     )
 

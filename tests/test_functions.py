@@ -371,3 +371,39 @@ def test_language_id_single_python_stage(spark):
         language_id(df, "text", "id").explain("formatted")
     n = len(re.findall(r"^\(\d+\) ArrowEvalPython", buf.getvalue(), re.M))
     assert n == 1, buf.getvalue()
+
+
+def test_stopword_hits_udf_matches_expression_form(spark):
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.text import (
+        STOPWORDS,
+        _WORDS,
+        _stopword_hits_udf,
+    )
+
+    rows = [
+        (1, "the cat and the dog of the house"),   # dup stopwords counted
+        (2, "no matches here whatsoever friends"),
+        (3, "it's the cat's dinner and it is his"),  # apostrophes kept
+        (4, ""),
+        (5, None),
+        (6, "THE The tHe"),                          # lowercasing
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    ref = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id",
+            F.size(
+                F.filter(_WORDS(F.col("text")), lambda w: F.array_contains(en_stop, w))
+            ).alias("h"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", _stopword_hits_udf("en")(F.col("text")).alias("h")).collect()
+    }
+    assert got == ref
+    assert got[1] == 5 and got[5] == -1 and got[6] == 3
