@@ -380,3 +380,43 @@ def test_jnrt_roundtrip_property(col1, data):
         dense = load_jnrt_dense(fp)
     assert dense["v"] == col1
     assert dense["w"] == col2
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2, max_size=8,
+    ),
+    st.sampled_from([0.5, 0.8]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_prefix_equals_baseline_property(spark, texts, t):
+    """One-sided prefix filter is provably exact — check on random tiny
+    'ab'-alphabet corpora, where shingle collisions are maximal."""
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    base = sorted(map(tuple, containment_pairs(df, "text", "doc_id", threshold=t, shingle_n=2).collect()))
+    pref = sorted(map(tuple, containment_pairs_prefix(df, "text", "doc_id", threshold=t, shingle_n=2).collect()))
+    assert pref == base
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xy", min_size=0, max_size=60),
+        min_size=1, max_size=10,
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_dedup_drop_empty_false_preserves_rows_property(spark, texts):
+    """ADVICE-fix contract: drop_empty=False NEVER loses a document,
+    whatever mix of duplicates/empties the corpus holds."""
+    from meds_polars_functions_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    out = span_dedup(df, "text", "doc_id", span_words=3, drop_empty=False)
+    assert out.count() == len(texts)
+    assert {r["doc_id"] for r in out.collect()} == set(range(len(texts)))
