@@ -1564,12 +1564,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: directed shingle-containment pairs
-    |A∩B|/|A| >= 0.5 (the excerpt/quote case Jaccard misses)."""
+    |A∩B|/|A| >= 0.5 (the excerpt/quote case Jaccard misses). Runs the
+    one-sided prefix-filtered path (round 4) — provably identical to
+    containment_pairs (tests pin equality), smaller posting join."""
     _prep(spark)
-    from meds_polars_functions_spark.operators.dedup import containment_pairs
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    out = containment_pairs(docs, "text", "doc_id", threshold=0.5)
+    out = containment_pairs_prefix(docs, "text", "doc_id", threshold=0.5)
     return out.select(
         "id_a", "id_b", F.round("containment", 6).alias("containment")
     )
