@@ -1565,15 +1565,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: directed shingle-containment pairs
     |A∩B|/|A| >= 0.5 (the excerpt/quote case Jaccard misses). Runs the
-    one-sided prefix-filtered path (round 4) — provably identical to
-    containment_pairs (tests pin equality), smaller posting join."""
+    posting-join baseline; `containment_pairs_prefix` (round 4) is the
+    provably-identical scale path — measured SLOWER here (5.0 vs 3.7 s
+    at sf0.1 t=0.5: the rank-window overhead beats the posting savings
+    on this 31-word-vocabulary corpus; its payoff needs real shingle
+    diversity / higher thresholds — honest A/B in SCALE.md)."""
     _prep(spark)
-    from meds_polars_functions_spark.operators.dedup import (
-        containment_pairs_prefix,
-    )
+    from meds_polars_functions_spark.operators.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = containment_pairs_prefix(docs, "text", "doc_id", threshold=0.5)
+    out = containment_pairs(docs, "text", "doc_id", threshold=0.5)
     return out.select(
         "id_a", "id_b", F.round("containment", 6).alias("containment")
     )
