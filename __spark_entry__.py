@@ -2052,12 +2052,17 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = asof_join(
         purchases, clicks, ["user_id"], "ts", "ts", ["event_id"], suffix="_click"
     )
+    # click_id/click_us are DOUBLE on BOTH sides (here and in the oracle):
+    # they are nullable via the left asof join, so whether pandas sees
+    # int64 or float64 would otherwise depend on whether the slice of data
+    # happens to contain an unmatched purchase — a latent driver-hash mine
+    # (round-4 dtype scan). Pinning to double makes the dtype data-independent.
     return res.select(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("purchase_us"),
-        F.col("event_id_click").alias("click_id"),
-        F.unix_micros("ts_click").alias("click_us"),
+        F.col("event_id_click").cast("double").alias("click_id"),
+        F.unix_micros("ts_click").cast("double").alias("click_us"),
     )
 
 
@@ -3238,86 +3243,90 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-4 window (this round) = the 42 round-3 additions (which by
-# construction had zero driver rows — the whole round-3 verification
-# debt) + the 8 stalest r1-only greens (time_parse … top_orders_per_
-# customer, registry order; their last driver row predates the round-2
-# NTZ load-path change). Ever-green coverage ledger: COVERAGE.md.
+# Round-5 window (this round), per VERDICT r4 items 1+3 (the amended
+# rotation written in COVERAGE.md):
+#   slots 1-2  = the two round-4 RED rows, re-proven after the oracle
+#                fix (DuckDB HUGEINT->float64 vs Spark int64 hash skew;
+#                novelty `novel` and chi_square `n` now cast ::BIGINT);
+#   slot  3    = decontaminate (rewritten to one-pass agg in round 4;
+#                its r3 driver row predates the rewrite);
+#   slots 4-20 = the remaining 17 r1-only greens (registry order);
+#   slots 21-49 = the 29 stalest r2-only greens (CORRECTNESS_r02 dict
+#                order, add_age .. fuzzy_name_pairs);
+#   slot 50    = asof_purchase_click (dtype-PINNED this round: nullable
+#                click_id/click_us cast to DOUBLE on both sides so the
+#                pandas dtype no longer depends on the data's null
+#                pattern — an output-type change, so it re-proves here).
+# Dropped to round 6 (next-stalest r2-only greens, CORRECTNESS_r02
+# order): sliding_window_counts, range_join_events, bloom_semi_filter,
+# locf_impute, stream_interval_join, resample_last, topk_pruned,
+# trailing_range_revenue, min_cost_supplier, market_share,
+# nation_profit, important_parts, supplier_cnt, repeated_spans,
+# dominant_suppliers, shipping_priority, forecast_revenue,
+# local_supplier_volume (18 rows — the whole remaining debt).
 #
 # REGISTRY FREEZE (round 4, per VERDICT.md): the registry holds at 165
 # until verification debt < window size — any new query must displace a
 # slot, not grow the backlog. tests/test_registry.py asserts the cap.
-#
-# Round-5 rotation plan (after the round-4 window goes green): the only
-# staleness left is (a) the remaining 17 r1-only greens —
-# hourly_event_counts, mixture_sample, hash_split, code_patients_hll,
-# funnel_conversion, retention_cohort, orders_histogram,
-# json_props_stats, value_percentiles, cube_revenue, pivot_status,
-# sessionize, reorder_rank, event_user_enrich, distinct_twophase,
-# order_restore, embedding_topk_vectorized — which take the first 17
-# slots, and (b) the stalest r2-only greens (CORRECTNESS_r02 dict
-# order: add_age, time_delta_days, datetime_parts, pack_sequences,
-# corpus_curation, text_quality, quality_filter, tfidf_top_terms,
-# language_id, token_count, doc_fingerprint, exact_dup_groups,
-# exact_dedup, ngram_jaccard, minhash_near_dup, dedup_clusters, …)
-# filling the remaining 33. All are locally green via
-# scripts/compare_oracle.py (ORACLE_DRIVER_DEFAULTS=1) in the meantime.
+# Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-4 window: the 42 round-3 additions (never driver-checked)
-    "dedup_clusters_star",
-    "lm_score",
-    "semantic_dedup",
-    "bigram_lm",
-    "dsir_weights",
-    "bpe_pair_counts",
-    "bm25_search",
-    "clf_score",
-    "shuffle_positions",
-    "pq_topk",
-    "winnow_pairs",
-    "cdc_chunks",
-    "logreg_step",
-    "blocklist",
-    "cms_freq",
-    "containment",
-    "incremental_dedup",
-    "bpe_encode",
-    "triangles",
-    "jaccard_prefix",
-    "weighted_sample",
-    "jl_topk",
-    "span_dedup",
-    "label_propagation",
-    "binned_quantiles",
-    "embedding_dim_stats",
-    "standardize_embeddings",
-    "temperature_mixture",
+    # round-4 reds, re-proven after the oracle ::BIGINT casts
     "novelty_score",
-    "winsorize_quantile",
-    "incremental_code_agg",
-    "code_value_trend",
-    "event_transitions",
-    "code_pmi",
-    "welch_ttest",
-    "rolling_features",
-    "target_encode",
-    "corr_matrix",
-    "code_rollup",
-    "drift_metrics",
     "chi_square",
-    "curation_v2",
-    # + the 8 stalest r1-only greens (last driver row predates the
-    # round-2 NTZ load-path change), registry order
-    "time_parse",
-    "typed_coercion",
-    "regex_filter",
-    "integral_values",
-    "fill_to_nans",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_customer",
+    # rewritten in round 4 (one-pass agg); r3 row predates the rewrite
+    "decontaminate",
+    # the remaining 17 r1-only greens, registry order
+    "hourly_event_counts",
+    "mixture_sample",
+    "hash_split",
+    "code_patients_hll",
+    "funnel_conversion",
+    "retention_cohort",
+    "orders_histogram",
+    "json_props_stats",
+    "value_percentiles",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "reorder_rank",
+    "event_user_enrich",
+    "distinct_twophase",
+    "order_restore",
+    "embedding_topk_vectorized",
+    # the 29 stalest r2-only greens, CORRECTNESS_r02 dict order
+    "add_age",
+    "time_delta_days",
+    "datetime_parts",
+    "pack_sequences",
+    "corpus_curation",
+    "text_quality",
+    "quality_filter",
+    "tfidf_top_terms",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_near_dup",
+    "dedup_clusters",
+    "simhash_buckets",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "lsh_topk",
+    "ivf_topk",
+    "scrub_pii",
+    "chunk_documents",
+    "unigram_entropy",
+    "near_dedup",
+    "class_balanced",
+    "fuzzy_name_pairs",
+    # dtype-pinned this round (click_id/click_us -> DOUBLE both sides)
+    "asof_purchase_click",
 ]
 
 
@@ -4210,7 +4219,10 @@ m AS (
     count(DISTINCT a) OVER () AS ka,
     count(DISTINCT b) OVER () AS kb
   FROM cells)
-SELECT n, (ka - 1) * (kb - 1) AS dof,
+-- n::BIGINT: sum(o) OVER () is HUGEINT -> pandas float64, vs Spark's
+-- int64 window sum; the driver value hash distinguishes 1 from 1.0
+-- (round-4 red row). dof is BIGINT*BIGINT (no HUGEINT promotion) - fine.
+SELECT n::BIGINT AS n, (ka - 1) * (kb - 1) AS dof,
   round(sum((o - e) * (o - e) / e) + (n - sum(e)), 6) AS chi2,
   round(CASE WHEN (ka - 1) * (kb - 1) > 0
         THEN sqrt((sum((o - e) * (o - e) / e) + (n - sum(e)))
@@ -4528,6 +4540,9 @@ SELECT patient_id, code, "time", event_id FROM (
 """,
         "union_by_name": f"""
 WITH {_MEDS_CTE}
+-- event_id is nullable-BIGINT on both engines and STRUCTURALLY null (the
+-- first UNION branch is a NULL literal), so both sides reach pandas as
+-- float64 for any data; tests/test_oracle_dtype_parity.py asserts it.
 SELECT patient_id, code, round(CAST(CAST(numeric_value AS FLOAT) AS DOUBLE), 6) AS v,
        NULL::BIGINT AS event_id FROM meds
 UNION ALL
@@ -5143,7 +5158,10 @@ sh AS (
 posts AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
 first AS (SELECT g, min(doc_id) AS first_id FROM posts GROUP BY 1)
 SELECT p.doc_id, count(*) AS n_shingles,
-  sum(CASE WHEN p.doc_id = f.first_id THEN 1 ELSE 0 END) AS novel,
+  -- ::BIGINT: DuckDB sum(int) is HUGEINT -> pandas float64 (1.0), while
+  -- Spark's non-null sum is int64 (1); the driver value hash distinguishes
+  -- them (round-4 red row). count(*) is already BIGINT.
+  sum(CASE WHEN p.doc_id = f.first_id THEN 1 ELSE 0 END)::BIGINT AS novel,
   round(sum(CASE WHEN p.doc_id = f.first_id THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
 FROM posts p JOIN first f ON p.g = f.g
 GROUP BY 1
@@ -5764,7 +5782,9 @@ c AS (
       row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
     FROM events WHERE event_type = 'click') WHERE rn = 1)
 SELECT p.event_id, p.user_id, p.us AS purchase_us,
-  c.event_id AS click_id, c.us AS click_us
+  -- ::DOUBLE on BOTH sides (see q_asof_purchase_click): nullable join
+  -- outputs must not let the pandas dtype depend on the data's null pattern.
+  c.event_id::DOUBLE AS click_id, c.us::DOUBLE AS click_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
 """,
         "range_join_events": """
@@ -6112,6 +6132,10 @@ versioned AS (
 intervals AS (
   SELECT o_custkey, ver, o_orderpriority, min(o_orderdate) AS valid_from
   FROM versioned GROUP BY o_custkey, ver, o_orderpriority)
+-- to_us is nullable-BIGINT on both engines and STRUCTURALLY null (the
+-- last interval of every customer has lead()=NULL), so both sides reach
+-- pandas as float64 for any data; tests/test_oracle_dtype_parity.py
+-- asserts the structural-null property so a change can't flip the dtype.
 SELECT o_custkey, o_orderpriority, epoch_us(valid_from) AS from_us,
        epoch_us(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver))
          AS to_us

@@ -149,6 +149,18 @@ def apply_merges(symtab: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     interpreted higher-order expression)."""
     if not pairs:
         return symtab
+    # The in-repo tokenizer can never emit NUL inside a symbol, but this
+    # entry point accepts arbitrary caller-supplied merge lists, where a
+    # symbol containing _SEP (e.g. a='x', b='\x00y' colliding with the
+    # key of pair ('x\x00', 'y')) would alias a different pair's key and
+    # merge the wrong symbols. Reject rather than silently corrupt.
+    # (ADVICE r4.)
+    bad = [(a, b) for a, b in pairs if _SEP in a or _SEP in b]
+    if bad:
+        raise ValueError(
+            f"merge symbols must not contain the reserved separator "
+            f"{_SEP!r}: {bad[:3]}"
+        )
     keys = [a + _SEP + b for a, b in pairs]
     state = F.struct(
         F.array().cast("array<string>").alias("out"),

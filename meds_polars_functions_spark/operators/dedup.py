@@ -1778,7 +1778,13 @@ def ngram_jaccard_pairs_prefix(
     )
     # prefix length |S| - ceil(t|S|) + 1
     prefix = ranked.filter(
-        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        # -1e-9 before ceil: when threshold*n is mathematically an exact
+        # integer m but the double product rounds epsilon ABOVE m, ceil
+        # would yield m+1 and shrink the prefix by one — dropping a pair
+        # whose similarity equals the threshold exactly. A slightly longer
+        # prefix is always safe (superset of candidates); the exact
+        # verify step downstream removes any extras. (ADVICE r4.)
+        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ).select("id", "g")
     cands = (
         prefix.alias("a")
@@ -1843,7 +1849,13 @@ def containment_pairs_prefix(
         ),
     )
     prefix = ranked.filter(
-        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        # -1e-9 before ceil: when threshold*n is mathematically an exact
+        # integer m but the double product rounds epsilon ABOVE m, ceil
+        # would yield m+1 and shrink the prefix by one — dropping a pair
+        # whose similarity equals the threshold exactly. A slightly longer
+        # prefix is always safe (superset of candidates); the exact
+        # verify step downstream removes any extras. (ADVICE r4.)
+        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ).select("id", "g")
     cands = (
         prefix.alias("a")

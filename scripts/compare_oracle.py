@@ -23,7 +23,16 @@ TABLES = [
 
 
 def _norm_val(v):
+    """Mirror the DRIVER's value canonicalizer, which DISTINGUISHES int 1
+    from float 1.0 (the round-4 red-row class: DuckDB HUGEINT aggregates
+    land in pandas as float64 while Spark returns int64 — bit-identical
+    values, different hash). Floats and Decimals are tagged ("f", ...),
+    bools ("b", ...), ints pass untagged — so an int-vs-float dtype skew
+    fails HERE exactly as it fails at the driver. The previous version
+    normalized numerics to equality (Python 1 == 1.0), which is why three
+    local 165/165 sweeps coexisted with two driver reds in round 4."""
     import datetime
+    import decimal
 
     import numpy as np
     import pandas as pd
@@ -38,10 +47,14 @@ def _norm_val(v):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, np.generic):
         v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     return v

@@ -793,3 +793,59 @@ def test_containment_prefix_equals_baseline(spark):
         (F.size("sh") - F.ceil(F.lit(0.8) * F.size("sh")) + 1).alias("p")
     ).agg(F.sum("p")).first()[0]
     assert n_prefix < 0.4 * full_posts
+
+
+def test_prefix_ceil_boundary_threshold_times_n_rounds_up(spark):
+    """ADVICE r4 regression: when threshold*n is mathematically an exact
+    integer m but the double product rounds epsilon ABOVE m (0.28*25 =
+    7.000000000000001), a naive ceil yields m+1, the prefix shrinks by
+    one, and a pair whose similarity EQUALS the threshold is silently
+    dropped — contradicting the documented identical-output guarantee.
+    Both cases are crafted so the shared shingles (global freq 2) rank
+    LAST in the ascending-frequency prefix order and the first shared
+    rank is exactly the one the buggy prefix cuts off: without the
+    -1e-9 epsilon the prefix variants return NO pair at all here.
+    """
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    # --- jaccard at exactly t=0.28: B (9 words -> 7 3-gram shingles) is
+    # a subset of A (27 words -> 25 shingles); j = 7/25 = 0.28 exactly.
+    # A's buggy prefix = 25-ceil(7.000000000000001)+1 = 18 ranks, but the
+    # 7 shared shingles occupy ranks 19-25.
+    b_words = [f"s{i}" for i in range(9)]
+    a_words = b_words + [f"x{i}" for i in range(18)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))], ["doc_id", "text"]
+    )
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.28).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs_prefix(df, "text", "doc_id", threshold=0.28).collect()
+    }
+    assert base == {(1, 2, 0.28)}
+    assert pref == base
+
+    # --- directed containment at exactly t=0.28: A has 25 shingles, 7 of
+    # them shared (run s0..s8 inside a larger B); containment(A->B) =
+    # 7/25 = 0.28 exactly, shared ranks 19-25, buggy prefix keeps 18.
+    a2 = [f"a{i}" for i in range(18)] + [f"s{i}" for i in range(9)]
+    b2 = [f"b{i}" for i in range(10)] + [f"s{i}" for i in range(9)] + [f"c{i}" for i in range(5)]
+    df2 = spark.createDataFrame(
+        [(1, " ".join(a2)), (2, " ".join(b2))], ["doc_id", "text"]
+    )
+    base2 = sorted(
+        map(tuple, containment_pairs(df2, "text", "doc_id", threshold=0.28).collect())
+    )
+    pref2 = sorted(
+        map(tuple, containment_pairs_prefix(df2, "text", "doc_id", threshold=0.28).collect())
+    )
+    assert any(a == 1 and b == 2 and abs(c - 0.28) < 1e-9 for a, b, c in base2), base2
+    assert pref2 == base2

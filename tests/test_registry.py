@@ -18,56 +18,56 @@ import __spark_entry__ as entry
 # The exact round-4 window. Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "dedup_clusters_star",
-    "lm_score",
-    "semantic_dedup",
-    "bigram_lm",
-    "dsir_weights",
-    "bpe_pair_counts",
-    "bm25_search",
-    "clf_score",
-    "shuffle_positions",
-    "pq_topk",
-    "winnow_pairs",
-    "cdc_chunks",
-    "logreg_step",
-    "blocklist",
-    "cms_freq",
-    "containment",
-    "incremental_dedup",
-    "bpe_encode",
-    "triangles",
-    "jaccard_prefix",
-    "weighted_sample",
-    "jl_topk",
-    "span_dedup",
-    "label_propagation",
-    "binned_quantiles",
-    "embedding_dim_stats",
-    "standardize_embeddings",
-    "temperature_mixture",
     "novelty_score",
-    "winsorize_quantile",
-    "incremental_code_agg",
-    "code_value_trend",
-    "event_transitions",
-    "code_pmi",
-    "welch_ttest",
-    "rolling_features",
-    "target_encode",
-    "corr_matrix",
-    "code_rollup",
-    "drift_metrics",
     "chi_square",
-    "curation_v2",
-    "time_parse",
-    "typed_coercion",
-    "regex_filter",
-    "integral_values",
-    "fill_to_nans",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_customer",
+    "decontaminate",
+    "hourly_event_counts",
+    "mixture_sample",
+    "hash_split",
+    "code_patients_hll",
+    "funnel_conversion",
+    "retention_cohort",
+    "orders_histogram",
+    "json_props_stats",
+    "value_percentiles",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "reorder_rank",
+    "event_user_enrich",
+    "distinct_twophase",
+    "order_restore",
+    "embedding_topk_vectorized",
+    "add_age",
+    "time_delta_days",
+    "datetime_parts",
+    "pack_sequences",
+    "corpus_curation",
+    "text_quality",
+    "quality_filter",
+    "tfidf_top_terms",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_near_dup",
+    "dedup_clusters",
+    "simhash_buckets",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "lsh_topk",
+    "ivf_topk",
+    "scrub_pii",
+    "chunk_documents",
+    "unigram_entropy",
+    "near_dedup",
+    "class_balanced",
+    "fuzzy_name_pairs",
+    "asof_purchase_click",
 ]
 
 
