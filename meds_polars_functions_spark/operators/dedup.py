@@ -1883,6 +1883,89 @@ def containment_pairs_prefix(
     )
 
 
+def containment_pairs_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """The SCALE path for directed containment (VERDICT r4 item 5):
+    minhash-LSH candidate generation -> exact containment verify, i.e.
+    ``minhash_dedup_pairs``'s candidate machinery composed with
+    ``containment_pairs``'s measure. Output: DIRECTED pairs
+    ``(id_a, id_b, containment)`` with ``|A ∩ B| / |A| >= threshold``,
+    both directions of every candidate pair considered.
+
+    Where the exact ``containment_pairs`` posting join is quadratic in
+    bucket co-occurrence (142 s at sf0.1×16 — SCALE.md), this runs ONE
+    corpus pass: the signature UDF emits struct<bands, sh> under a
+    repartition("id") so the banding branch and both verify sides read
+    the same shuffle files (ReusedExchange, same plan shape as
+    minhash_dedup_pairs), and only (~KB/doc) hashed signatures cross the
+    wire — never text, never a full posting table.
+
+    Semantics note (documented, not hidden): candidate RECALL is
+    governed by LSH on JACCARD, so an extreme excerpt pair (tiny doc
+    fully contained in a huge one, jaccard << threshold) can be missed;
+    this composition is the scale path when high containment comes with
+    non-negligible jaccard (similar-size near-dups, partial overlaps).
+    For the asymmetric excerpt case use ``containment_pairs_prefix``
+    (one-sided PPJoin) or the exact baseline. Verification containment
+    is computed over the HASHED shingle sets (same 2^-31-collision
+    argument as minhash_dedup_pairs' verify jaccard), with native
+    array_intersect/size codegen — no Python in the verify.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    udf = _band_hash_udf(
+        shingle_n, num_hashes, bands, seed, frozenset(), with_shingles=True,
+        portable=portable,
+    ).asNondeterministic()
+    sigs = (
+        _spread(df, None)
+        .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
+        .repartition("id")
+    )
+    banded = sigs.select(
+        "id", F.posexplode(F.col("s.bands")).alias("band_idx", "band_hash")
+    )
+    cands = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket_size)
+    sh_a = sigs.select(F.col("id").alias("id_a"), F.col("s.sh").alias("__sa__"))
+    sh_b = sigs.select(F.col("id").alias("id_b"), F.col("s.sh").alias("__sb__"))
+    # one joined row per UNDIRECTED candidate; both directed measures
+    # derive from the same intersection size, so the (potentially heavy)
+    # set intersection is computed once per pair, not once per direction
+    joined = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # array_intersect is set-valued; the denominators must be
+            # distinct counts too (an intra-doc hash collision would
+            # otherwise inflate |A| but not |A ∩ B|)
+            F.size(F.array_intersect("__sa__", "__sb__")).alias("__ni__"),
+            F.size(F.array_distinct("__sa__")).alias("__na__"),
+            F.size(F.array_distinct("__sb__")).alias("__nb__"),
+        )
+    )
+    ab = joined.select(
+        "id_a", "id_b", (F.col("__ni__") / F.col("__na__")).alias("containment")
+    )
+    ba = joined.select(
+        F.col("id_b").alias("id_a"),
+        F.col("id_a").alias("id_b"),
+        (F.col("__ni__") / F.col("__nb__")).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str,
