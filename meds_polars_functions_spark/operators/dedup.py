@@ -1940,7 +1940,11 @@ def containment_pairs_minhash(
     sh_b = sigs.select(F.col("id").alias("id_b"), F.col("s.sh").alias("__sb__"))
     # one joined row per UNDIRECTED candidate; both directed measures
     # derive from the same intersection size, so the (potentially heavy)
-    # set intersection is computed once per pair, not once per direction
+    # set intersection is computed once per pair, not once per direction.
+    # The two directions are emitted MAP-SIDE from that single row via a
+    # 2-element explode_outer — a union of two selects over `joined`
+    # would instead duplicate the verify joins (measured: 5 ReusedExchange
+    # nodes = joins executed twice; the plan test pins 2).
     joined = (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -1955,15 +1959,23 @@ def containment_pairs_minhash(
             F.size(F.array_distinct("__sb__")).alias("__nb__"),
         )
     )
-    ab = joined.select(
-        "id_a", "id_b", (F.col("__ni__") / F.col("__na__")).alias("containment")
+    both = F.array(
+        F.struct(
+            F.col("id_a").alias("id_a"),
+            F.col("id_b").alias("id_b"),
+            (F.col("__ni__") / F.col("__na__")).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            (F.col("__ni__") / F.col("__nb__")).alias("containment"),
+        ),
     )
-    ba = joined.select(
-        F.col("id_b").alias("id_a"),
-        F.col("id_a").alias("id_b"),
-        (F.col("__ni__") / F.col("__nb__")).alias("containment"),
+    return (
+        joined.select(F.explode_outer(both).alias("__p__"))
+        .select("__p__.*")
+        .filter(F.col("containment") >= threshold)
     )
-    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
 def span_dedup(

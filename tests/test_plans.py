@@ -354,3 +354,26 @@ def test_decontaminate_is_one_corpus_pass_broadcast_only(spark, entry_mod):
     assert n_python_stages == 2, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_containment_minhash_reuses_signature_exchange(spark, entry_mod):
+    """containment_pairs_minhash inherits minhash_dedup_pairs' one-pass
+    plan shape: banding branch + both verify join sides must read the
+    same signature shuffle (two ReusedExchange nodes in the final
+    adaptive plan) — the whole point of the composed scale path is that
+    it does NOT re-run the signature UDF or re-shuffle text per branch."""
+    from meds_polars_functions_spark.operators.dedup import containment_pairs_minhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for portable in (False, True):
+        out = containment_pairs_minhash(
+            docs, "text", "doc_id", threshold=0.5, portable=portable
+        )
+        out.collect()
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("+- == Initial Plan ==")[0]
+        assert final.count("ReusedExchange") == 2, f"portable={portable}"
+        # same executed-plan signature as the proven minhash_dedup_pairs
+        # shape (the map-side explode_outer direction emission adds no
+        # extra exchange and no extra Arrow stage)
+        assert final.count("ArrowEvalPython") == 2, f"portable={portable}"
