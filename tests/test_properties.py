@@ -420,3 +420,75 @@ def test_span_dedup_drop_empty_false_preserves_rows_property(spark, texts):
     out = span_dedup(df, "text", "doc_id", span_words=3, drop_empty=False)
     assert out.count() == len(texts)
     assert {r["doc_id"] for r in out.collect()} == set(range(len(texts)))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2, max_size=8,
+    ),
+    st.sampled_from([0.5, 0.8]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_minhash_sound_and_candidate_complete_property(spark, texts, t):
+    """The composed scale path's two-sided contract on random tiny
+    'ab'-alphabet corpora (maximal shingle collisions):
+
+    SOUND — every emitted (id_a, id_b, containment) is a true directed
+    containment pair: a subset of the exact baseline's output, with the
+    value agreeing to 1e-9 (the hashed-shingle-set measure equals the
+    string-shingle measure absent 2^-31 collisions, which the tiny
+    alphabet cannot produce in 64-bit... but CAN in crc32 space — so
+    compare against the baseline recomputed over the same hashed sets).
+
+    CANDIDATE-COMPLETE — restricted to pairs sharing >= 1 LSH band
+    (recomputed independently from the same signature table), the
+    composed output loses nothing the exact measure keeps.
+    """
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_minhash,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 9)
+        for r in containment_pairs_minhash(
+            df, "text", "doc_id", threshold=t, shingle_n=2
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 9)
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=t, shingle_n=2
+        ).collect()
+    }
+    # sound: nothing beyond the exact baseline, values identical.
+    # (string-shingle and crc32-hashed-shingle containment agree unless
+    # crc32 collides inside this tiny corpus — vanishingly unlikely and
+    # hypothesis would surface it as a flaky example)
+    for pair, c in got.items():
+        assert pair in exact, (pair, c, exact)
+        assert abs(c - exact[pair]) < 1e-9, (pair, c, exact[pair])
+    # candidate-complete: an exact pair missing from the composed output
+    # must be explained by LSH (no shared band), never by the verify step
+    from meds_polars_functions_spark.operators.dedup import (
+        _band_hash_udf,
+        _bucket_pairs,
+        _spread,
+    )
+
+    udf = _band_hash_udf(2, 64, 16, 42, frozenset(), with_shingles=False).asNondeterministic()
+    banded = (
+        _spread(df, None)
+        .select(F.col("doc_id").alias("id"), udf(F.col("text")).alias("bands"))
+        .select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    )
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in _bucket_pairs(banded, ["band_idx", "band_hash"]).collect()
+    }
+    cands |= {(b, a) for a, b in cands}
+    for pair in exact:
+        if pair in cands:
+            assert pair in got, (pair, exact[pair])
