@@ -3232,6 +3232,115 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STAGED queries — implemented + locally oracle-proven (tests/
+# test_staged_queries.py) but NOT registered: the registry is FROZEN at
+# 165 until the round-6 rotation clears the remaining driver-grade debt
+# (VERDICT r4 item 4). These register 1-for-1 or after the freeze lifts.
+# ---------------------------------------------------------------------------
+
+
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED. Interpolated Kneser-Ney bigram LM score (d=0.75): mean
+    token log-prob under the corpus's own KN-smoothed bigram model —
+    continuation-probability smoothing, the KenLM-family upgrade over
+    the stupid-backoff scorer (operators/text.py kneser_ney_lm_score)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kneser_ney_lm_score(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("lm_score", 6).alias("lm_score")
+    )
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (rows-only when registered: iterative algorithm — the
+    distributed float-sum order in the centroid update cannot be made
+    bit-identical to a sequential SQL replay; the numpy-parity proof
+    lives in tests/test_similarity.py). Fully distributed Lloyd k-means
+    (k=4, 3 iterations, seeded hash init) over the embeddings table,
+    reporting final cell populations."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents, _hist = kmeans_train_distributed(
+        emb, "v", k=4, n_iters=3, seed=42, id_col="vec_id"
+    )
+    return (
+        ivf_assign(emb, "v", cents, out_col="cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Implemented-but-unregistered queries (registry freeze, VERDICT r4
+    item 4). tests/test_staged_queries.py holds them to the same strict
+    comparator the round-window sweep uses."""
+    return {
+        "kneser_ney_lm": q_kneser_ney_lm,
+        "kmeans_cells": q_kmeans_cells,
+    }
+
+
+#: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
+#: bigram groupBy; c(v), N1+(v,.), N1+(.,w), N1+(.,.) all fold from it.
+#: Float-op order matches the Spark expression left-to-right; round(6)
+#: like the bigram_lm oracle. kmeans_cells has NO oracle by design (see
+#: its docstring).
+_STAGED_ORACLE_SQL: dict[str, str] = {
+    "kneser_ney_lm": """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS ws
+  FROM documents WHERE len(list_filter(string_split_regex(lower(text),
+    '[^a-z0-9'']+'), x -> x <> '')) >= 1),
+firsts AS (SELECT doc_id, ws[1] AS w FROM d),
+bis AS (
+  SELECT doc_id,
+    unnest(list_transform(range(2, len(ws) + 1), i -> ws[i-1] || ' ' || ws[i]))
+      AS pr
+  FROM d WHERE len(ws) >= 2),
+bsp AS (SELECT doc_id, string_split(pr, ' ')[1] AS v,
+               string_split(pr, ' ')[2] AS w FROM bis),
+big AS (SELECT v, w, count(*)::BIGINT AS cb FROM bsp GROUP BY v, w),
+ctx AS (SELECT v, sum(cb)::BIGINT AS cv, count(*)::BIGINT AS n1v
+        FROM big GROUP BY v),
+cont AS (SELECT w, count(*)::BIGINT AS n1w FROM big GROUP BY w),
+tt AS (SELECT count(*)::BIGINT AS T FROM big),
+scored AS (
+  SELECT f.doc_id,
+         ln(coalesce(c.n1w, 1)::DOUBLE / tt.T) AS logp
+  FROM firsts f LEFT JOIN cont c USING (w) CROSS JOIN tt
+  UNION ALL
+  SELECT b.doc_id,
+         ln(greatest(g.cb - 0.75, 0.0) / x.cv
+            + 0.75 * x.n1v / x.cv * (coalesce(c.n1w, 1)::DOUBLE / tt.T))
+  FROM bsp b
+  JOIN big g ON g.v = b.v AND g.w = b.w
+  JOIN ctx x ON x.v = b.v
+  LEFT JOIN cont c ON c.w = b.w
+  CROSS JOIN tt)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+}
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    return dict(_STAGED_ORACLE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Query registry + correctness-window ordering
 #
 # The driver's correctness gate records rows for only the FIRST ~50 entries

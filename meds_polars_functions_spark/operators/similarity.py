@@ -315,6 +315,78 @@ def _cell_distances(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return F.array(*ds)
 
 
+def kmeans_train_distributed(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    n_iters: int = 5,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> tuple[list[list[float]], list[float]]:
+    """Fully distributed Lloyd k-means over an embedding column — the
+    FULL corpus participates in every assignment and centroid update
+    (contrast ``train_ivf_centroids``, which trains driver-side on a
+    seeded sample; that is the right tool for an IVF coarse quantizer,
+    this is the right tool when the clustering itself is the product,
+    e.g. SemDeDup-style cluster curation where sampling would starve
+    small clusters).
+
+    Returns ``(centroids, inertia_history)`` where ``inertia_history[i]``
+    is the total within-cluster squared distance measured under the
+    centroids used for iteration ``i``'s assignment (so a non-increasing
+    sequence — the classic Lloyd monotonicity, property-tested).
+
+    Init: the k rows with the smallest ``xxhash64(id, seed)`` — a
+    deterministic, order-independent uniform draw computed as a
+    distributed top-k (no driver-side sample collection).
+
+    Scale shape (the MLlib recipe, expressed in DataFrame ops):
+    per iteration, ONE corpus pass — squared distances to all k
+    centroids are literal-folded map-side (``_cell_distances``), the
+    argmin picks the cell, and ``posexplode`` + ``groupBy(cell, pos)``
+    reduces to k×d partial-aggregated rows; only those (plus one inertia
+    scalar folded into the same pass at pos 0) ever cross the wire or
+    reach the driver. Empty cells keep their previous centroid. k×d must
+    be driver-small (it is the model), the corpus never is."""
+    base = df.select(F.col(vec_col).alias("__v__"), *( [F.col(id_col).alias("__id__")] if id_col else [] ))
+    hcol = F.xxhash64(F.col("__id__") if id_col else F.col("__v__"), F.lit(seed))
+    init_rows = base.orderBy(hcol.alias("__h__")).limit(k).collect()
+    cents = [[float(x) for x in r["__v__"]] for r in init_rows]
+    history: list[float] = []
+    for _ in range(n_iters):
+        ds = _cell_distances("__v__", cents)
+        a = base.select(
+            "__v__",
+            (F.array_position(ds, F.array_min(ds)) - 1).alias("cell"),
+            F.array_min(ds).alias("mind"),
+        )
+        rows = (
+            a.select("cell", "mind", F.posexplode("__v__"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("col").alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+                # inertia folded into the same pass: each vector counted
+                # once, at its first position
+                F.sum(F.when(F.col("pos") == 0, F.col("mind"))).alias("sm"),
+            )
+            .collect()
+        )  # k*d rows — the model, bounded regardless of corpus size
+        history.append(float(sum(r["sm"] or 0.0 for r in rows)))
+        sums: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["sx"])
+            counts[int(r["cell"])] = int(r["n"])
+        cents = [
+            [sums[c][p] / counts[c] for p in range(len(cents[c]))]
+            if c in counts
+            else cents[c]  # empty cell: keep previous centroid
+            for c in range(len(cents))
+        ]
+    return cents, history
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str,

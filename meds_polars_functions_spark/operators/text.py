@@ -465,6 +465,100 @@ def bigram_lm_score(
     )
 
 
+def kneser_ney_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney
+    1995; Chen & Goodman 1999 empirical study): each document's mean
+    per-token log-probability under the corpus's own KN-smoothed bigram
+    distribution — the model family behind the KenLM perplexity gate in
+    CCNet-style curation, one smoothing-quality step above the
+    stupid-backoff scorer (``bigram_lm_score``).
+
+        P(w|v)   = max(c(v,w) - d, 0)/c(v) + d * N1+(v,·)/c(v) * Pcont(w)
+        Pcont(w) = N1+(·,w) / N1+(·,·)
+        P(w_1)   = Pcont(w_1)            (continuation prob for the
+                                          document-initial token)
+
+    where N1+(v,·) = distinct continuations of context v, N1+(·,w) =
+    distinct contexts word w follows, N1+(·,·) = total distinct bigram
+    types. Continuation probability — "how many contexts does w
+    follow" rather than "how often does w occur" — is what makes KN
+    beat count-based backoff: a word frequent only inside one fixed
+    phrase gets a low unigram weight.
+
+    Scale shape: ONE corpus-sized aggregation — the bigram count table
+    ``groupBy(v, w)`` (vocabulary-bounded, zipfian). Every other
+    statistic folds from that table, never from the corpus: c(v) and
+    N1+(v,·) are a groupBy on its v column, N1+(·,w) a groupBy on its w
+    column, N1+(·,·) a one-row fold of the continuation table. The
+    scoring pass re-joins the token-pair stream to those derived tables
+    on (v, w), v, w. Because the corpus scores ITSELF, every scored pair
+    exists in the count table, so c(v,w) ≥ 1 and c(v) ≥ 1 — no unseen-
+    context branch is reachable (the left joins + coalesce floors are
+    kept for robustness and documented oracle parity). Zero-token
+    documents are absent from the output."""
+    n1 = F.size("ws") - 1
+    pairs_arr = F.concat(
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("v"),
+                F.element_at("ws", 1).alias("w"),
+            )
+        ),
+        F.arrays_zip(F.slice("ws", 1, n1).alias("v"), F.slice("ws", 2, n1).alias("w")),
+    )
+    stream = (
+        df.select(F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws"))
+        .filter(F.size("ws") >= 1)
+        .select("id", F.explode(pairs_arr).alias("pr"))
+        .select("id", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
+    )
+    # the one corpus-sized aggregation; localCheckpoint because it feeds
+    # three derived tables on two different keys plus the scoring join —
+    # without materialization each consumer re-scans the corpus (same
+    # reasoning as bigram_lm_score's uni table)
+    big = (
+        stream.filter(F.col("v").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = big.groupBy("v").agg(
+        F.sum("cb").alias("cv"), F.count(F.lit(1)).alias("n1v")
+    )
+    cont = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    types = cont.agg(F.sum("n1w").alias("T"))  # N1+(·,·), one row
+    d = F.lit(float(discount))
+    pcont = F.coalesce(F.col("n1w"), F.lit(1)) / F.col("T")  # OOV floor 1/T
+    scored = (
+        stream.join(big, ["v", "w"], "left")
+        .join(ctx, "v", "left")  # null v (first token) never matches
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "id",
+            F.when(F.col("v").isNull(), F.log(pcont))
+            .otherwise(
+                F.log(
+                    F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - d, F.lit(0.0))
+                    / F.col("cv")
+                    + d * F.col("n1v") / F.col("cv") * pcont
+                )
+            )
+            .alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("logp").alias("lm_score"))
+        .select(F.col("id").alias(id_col), "n_tokens", "lm_score")
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,

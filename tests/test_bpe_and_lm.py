@@ -535,3 +535,98 @@ def test_top_pairs_merged_string_conflict_rule(spark):
     for a, b, _ in batch:
         assert a not in used and b not in used and (a + b) not in used
         used.update((a, b, a + b))
+
+
+# --- interpolated Kneser-Ney bigram LM ------------------------------------
+
+
+def _ref_kneser_ney(rows, d=0.75):
+    big = Counter()
+    docs = {}
+    for i, t in rows:
+        ws = _ref_tokenize(t)
+        if ws:
+            docs[i] = ws
+        for v, w in zip(ws, ws[1:]):
+            big[(v, w)] += 1
+    cv, n1v, n1w = Counter(), Counter(), Counter()
+    for (v, w), c in big.items():
+        cv[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    T = len(big)
+
+    def pcont(w):
+        return max(n1w.get(w, 0), 1) / T  # OOV-as-continuation floor 1/T
+
+    out = {}
+    for i, ws in docs.items():
+        lps = [math.log(pcont(ws[0]))]
+        for v, w in zip(ws, ws[1:]):
+            p = max(big[(v, w)] - d, 0.0) / cv[v] + d * n1v[v] / cv[v] * pcont(w)
+            lps.append(math.log(p))
+        out[i] = (len(lps), sum(lps) / len(lps))
+    return out
+
+
+def test_kneser_ney_matches_reference(spark):
+    from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
+
+    # "zzz" exercises the continuation floor: a word only ever document-
+    # initial, never a continuation, so N1+(.,w) has no row for it
+    rows = [(i, t) for i, t in enumerate(CORPUS + ["zzz", ""])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_score"])
+        for r in kneser_ney_lm_score(df, "text", "doc_id").collect()
+    }
+    ref = _ref_kneser_ney(rows)
+    assert set(got) == set(ref)  # empty doc absent from both
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-9)
+
+
+def test_kneser_ney_distribution_sums_to_one_per_context(spark):
+    # the interpolated-KN invariant the smoothing exists for: for every
+    # seen context v, sum over the continuation vocabulary of P(w|v) = 1
+    rows = [(i, t) for i, t in enumerate(CORPUS)]
+    big = Counter()
+    for _, t in rows:
+        ws = _ref_tokenize(t)
+        for v, w in zip(ws, ws[1:]):
+            big[(v, w)] += 1
+    cv, n1v, n1w = Counter(), Counter(), Counter()
+    for (v, w), c in big.items():
+        cv[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    T, d = len(big), 0.75
+    vocab = list(n1w)
+    for v in cv:
+        s = sum(
+            max(big.get((v, w), 0) - d, 0.0) / cv[v]
+            + d * n1v[v] / cv[v] * (n1w[w] / T)
+            for w in vocab
+        )
+        assert s == pytest.approx(1.0, rel=1e-12)
+
+
+def test_kneser_ney_penalizes_phrase_locked_words_vs_stupid_backoff(spark):
+    from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
+
+    # "francisco" occurs often but only ever after "san" (the canonical
+    # KN motivating example): its continuation probability is one type
+    # out of T, so a doc using it in a NOVEL context scores lower than a
+    # doc using an equally-frequent but context-diverse word there.
+    rows = [(i, t) for i, t in enumerate(
+        ["san francisco"] * 8
+        + ["the cat", "a cat", "my cat", "one cat", "that cat", "his cat"]
+    )]
+    probe = [(900, "the francisco"), (901, "the cat")]
+    df = spark.createDataFrame(rows + probe, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in kneser_ney_lm_score(df, "text", "doc_id").collect()
+    }
+    assert got[900] < got[901]

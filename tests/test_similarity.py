@@ -324,3 +324,103 @@ def test_standardize_embeddings_zero_variance_dim_passes_centered(spark):
     z = standardize_embeddings(df, "embedding", stats, out_col="z")
     for r in z.collect():
         assert r["z"][1] == 0.0  # constant dim: centered, not divided
+
+
+# --- distributed Lloyd k-means --------------------------------------------
+
+
+def _lloyd_ref(X, cents, n_iters):
+    """Local Lloyd with a GIVEN init — mirrors kmeans_train_distributed's
+    per-iteration math (assign under current centroids, inertia measured
+    under those same centroids, empty cells keep their centroid)."""
+    import numpy as np
+
+    cents = np.array(cents, dtype=float)
+    hist = []
+    for _ in range(n_iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        hist.append(float(d.min(1).sum()))
+        for c in range(len(cents)):
+            m = X[a == c]
+            if len(m):
+                cents[c] = m.mean(0)
+    return cents, hist
+
+
+def _kmeans_toy(spark, n_per=20, dim=4, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    X = np.vstack(
+        [rng.normal(0.0, 0.05, (n_per, dim)) + off for off in (0.0, 5.0, -5.0)]
+    )
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return X, df
+
+
+def test_kmeans_distributed_matches_local_lloyd_given_same_init(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import (
+        kmeans_train_distributed,
+    )
+
+    X, df = _kmeans_toy(spark)
+    k, iters, seed = 3, 4, 42
+    cents, hist = kmeans_train_distributed(
+        df, "embedding", k=k, n_iters=iters, seed=seed, id_col="vec_id"
+    )
+    # replicate the operator's deterministic init (smallest xxhash64(id, seed))
+    init_ids = [
+        r["vec_id"]
+        for r in df.select("vec_id")
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)))
+        .limit(k)
+        .collect()
+    ]
+    ref_c, ref_h = _lloyd_ref(X, [X[i].tolist() for i in init_ids], iters)
+    assert np.allclose(np.array(cents), ref_c, rtol=1e-9, atol=1e-12)
+    assert hist == pytest.approx(ref_h, rel=1e-9)
+
+
+def test_kmeans_distributed_inertia_non_increasing_and_recovers_blobs(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train_distributed,
+    )
+
+    X, df = _kmeans_toy(spark, n_per=30)
+    cents, hist = kmeans_train_distributed(
+        df, "embedding", k=3, n_iters=6, seed=7, id_col="vec_id"
+    )
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))  # Lloyd monotone
+    # final centroids separate the three blobs: every blob maps to one
+    # distinct cell
+    assigned = ivf_assign(df, "embedding", cents, out_col="cell").collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r["vec_id"] // 30, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+
+
+def test_kmeans_distributed_empty_cell_keeps_previous_centroid(spark):
+    from meds_polars_functions_spark.operators.similarity import (
+        kmeans_train_distributed,
+    )
+
+    # k=3 over 2 distinct points: one centroid can never win a point and
+    # must survive the update untouched rather than divide by zero
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0] if i % 2 else [10.0, 10.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, hist = kmeans_train_distributed(
+        df, "embedding", k=3, n_iters=3, seed=1, id_col="vec_id"
+    )
+    assert len(cents) == 3
+    assert all(all(map(lambda v: v == v, c)) for c in cents)  # no NaNs
