@@ -470,6 +470,7 @@ def kneser_ney_lm_score(
     text_col: str,
     id_col: str,
     discount: float = 0.75,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney
     1995; Chen & Goodman 1999 empirical study): each document's mean
@@ -497,10 +498,20 @@ def kneser_ney_lm_score(
     column, N1+(·,·) a one-row fold of the continuation table. The
     scoring pass re-joins the token-pair stream to those derived tables
     on (v, w), v, w. Because the corpus scores ITSELF, every scored pair
-    exists in the count table, so c(v,w) ≥ 1 and c(v) ≥ 1 — no unseen-
-    context branch is reachable (the left joins + coalesce floors are
-    kept for robustness and documented oracle parity). Zero-token
-    documents are absent from the output."""
+    exists in the count table, so c(v,w) ≥ 1 and c(v) ≥ 1 — without
+    ``top_k`` no unseen-context branch is reachable (the left joins +
+    coalesce floors are kept for robustness and documented oracle
+    parity). Zero-token documents are absent from the output.
+
+    With ``top_k``, the bigram table is pruned to its top-k rows
+    (deterministic count-desc/key-asc order) BEFORE the derived tables
+    fold from it — a self-consistent truncated model — and all three
+    model tables become broadcastable at any corpus size, making the
+    scoring pass shuffle-free on the count side (the 100 TB shape,
+    mirroring ``bigram_lm_score``/``unigram_lm_score``). Truncation
+    makes the unseen-context branch reachable: a pair whose context was
+    pruned scores as pure continuation probability, never a null that
+    ``avg()`` would silently drop."""
     n1 = F.size("ws") - 1
     pairs_arr = F.concat(
         F.array(
@@ -527,11 +538,15 @@ def kneser_ney_lm_score(
         .agg(F.count(F.lit(1)).alias("cb"))
         .localCheckpoint(eager=False)
     )
+    if top_k is not None:
+        big = F.broadcast(big.orderBy(F.desc("cb"), F.asc("v"), F.asc("w")).limit(top_k))
     ctx = big.groupBy("v").agg(
         F.sum("cb").alias("cv"), F.count(F.lit(1)).alias("n1v")
     )
     cont = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
     types = cont.agg(F.sum("n1w").alias("T"))  # N1+(·,·), one row
+    if top_k is not None:
+        ctx, cont = F.broadcast(ctx), F.broadcast(cont)
     d = F.lit(float(discount))
     pcont = F.coalesce(F.col("n1w"), F.lit(1)) / F.col("T")  # OOV floor 1/T
     scored = (
@@ -541,7 +556,9 @@ def kneser_ney_lm_score(
         .crossJoin(F.broadcast(types))
         .select(
             "id",
-            F.when(F.col("v").isNull(), F.log(pcont))
+            # first token OR pruned context (top_k mode): pure
+            # continuation probability — never a null logp
+            F.when(F.col("v").isNull() | F.col("cv").isNull(), F.log(pcont))
             .otherwise(
                 F.log(
                     F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - d, F.lit(0.0))

@@ -630,3 +630,16 @@ def test_kneser_ney_penalizes_phrase_locked_words_vs_stupid_backoff(spark):
         for r in kneser_ney_lm_score(df, "text", "doc_id").collect()
     }
     assert got[900] < got[901]
+
+
+def test_kneser_ney_top_k_floors_pruned_and_scores_all_docs(spark):
+    from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
+
+    rows = [(i, t) for i, t in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = kneser_ney_lm_score(df, "text", "doc_id", top_k=3).collect()
+    assert len(out) == len(CORPUS)  # pruning drops probabilities, not docs
+    ref = _ref_kneser_ney(rows)
+    for r in out:
+        assert r["n_tokens"] == ref[r["doc_id"]][0]
+        assert r["lm_score"] is not None and math.isfinite(r["lm_score"])

@@ -377,3 +377,15 @@ def test_containment_minhash_reuses_signature_exchange(spark, entry_mod):
         # shape (the map-side explode_outer direction emission adds no
         # extra exchange and no extra Arrow stage)
         assert final.count("ArrowEvalPython") == 2, f"portable={portable}"
+
+
+def test_kneser_ney_topk_mode_is_broadcast_only(spark):
+    """With top_k set, the pruned bigram table and both derived model
+    tables broadcast — the scoring pass must contain no sort-merge join
+    (the 100 TB shape, same contract as bigram_lm's top_k mode)."""
+    from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(kneser_ney_lm_score(docs, "text", "doc_id", top_k=500))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
