@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -492,3 +493,87 @@ def test_containment_minhash_sound_and_candidate_complete_property(spark, texts,
     for pair in exact:
         if pair in cands:
             assert pair in got, (pair, exact[pair])
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12),
+        min_size=1, max_size=10,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kneser_ney_matches_python_reference_property(spark, word_lists):
+    """KN scoring equals the sequential-Python reference on random tiny-
+    vocabulary corpora (maximal bigram-table collisions: repeated words,
+    single-word docs exercising the continuation floor, empty docs).
+    Degenerate corpora with NO bigram anywhere are skipped — the model
+    is undefined there (N1+(.,.) = 0) by documented contract."""
+    import math as _math
+    from collections import Counter as _Counter
+
+    from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
+
+    texts = [" ".join(ws) for ws in word_lists]
+    if not any(len(ws) >= 2 for ws in word_lists):
+        return  # no bigram: T = 0, model undefined by contract
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_score"])
+        for r in kneser_ney_lm_score(df, "text", "doc_id").collect()
+    }
+    # sequential reference (mirrors tests/test_bpe_and_lm._ref_kneser_ney)
+    big, docs = _Counter(), {}
+    for i, ws in enumerate(word_lists):
+        if ws:
+            docs[i] = ws
+        for v, w in zip(ws, ws[1:]):
+            big[(v, w)] += 1
+    cv, n1v, n1w = _Counter(), _Counter(), _Counter()
+    for (v, w), c in big.items():
+        cv[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    T, d = len(big), 0.75
+    ref = {}
+    for i, ws in docs.items():
+        lps = [_math.log(max(n1w.get(ws[0], 0), 1) / T)]
+        for v, w in zip(ws, ws[1:]):
+            pc = max(n1w.get(w, 0), 1) / T
+            lps.append(_math.log(max(big[(v, w)] - d, 0.0) / cv[v] + d * n1v[v] / cv[v] * pc))
+        ref[i] = (len(lps), sum(lps) / len(lps))
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        assert got[k][1] == pytest.approx(ref[k][1], rel=1e-9)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_distributed_lloyd_monotone_property(spark, points, k):
+    """Lloyd monotonicity holds on ANY point set (duplicates, collinear,
+    fewer distinct points than k): the inertia history never increases,
+    and every iteration's assignment covers every input row."""
+    from meds_polars_functions_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train_distributed,
+    )
+
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(points)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cents, hist = kmeans_train_distributed(
+        df, "v", k=k, n_iters=3, seed=5, id_col="vec_id"
+    )
+    assert len(cents) == min(k, len(points))  # init is a top-k over rows
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+    out = ivf_assign(df, "v", cents, out_col="cell")
+    assert out.count() == len(points)
