@@ -1785,10 +1785,23 @@ def ngram_jaccard_pairs_prefix(
         # prefix is always safe (superset of candidates); the exact
         # verify step downstream removes any extras. (ADVICE r4.)
         F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    ).select("id", "g")
+    ).select("id", "n", "g")
+    # AllPairs LENGTH filter, also a theorem: J(A,B) >= t implies
+    # |A∩B| >= t*|A∪B| >= t*max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
+    # min >= t*max — sets whose sizes differ by more than 1/t can never
+    # qualify. Evaluated inside the posting join (sizes ride with the
+    # prefix rows), so mismatched-length candidates are cut BEFORE the
+    # distinct + verify exchanges. 1e-9 slack = never over-prunes; the
+    # exact verify removes any extras.
     cands = (
         prefix.alias("a")
-        .join(prefix.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9)),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
