@@ -1869,12 +1869,18 @@ def containment_pairs_prefix(
         # prefix is always safe (superset of candidates); the exact
         # verify step downstream removes any extras. (ADVICE r4.)
         F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    ).select("id", "g")
+    ).select("id", "n", "g")
+    # ONE-SIDED length filter, also a theorem: containment(A in B) >= t
+    # means |A∩B| >= t*|A| and |A∩B| <= |B|, so |B| >= t*|A|. No upper
+    # bound on |B| — the excerpt-in-big-doc case is the measure's point.
+    # 1e-9 slack never over-prunes; exact verify removes extras.
     cands = (
         prefix.alias("a")
         .join(
-            posts.select("id", "g").alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+            posts.select("id", "n", "g").alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
