@@ -532,10 +532,21 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
     sizes = sh.select("id", F.size("sh").alias("n"))
-    posts = sh.select("id", F.explode_outer("sh").alias("g"))
+    # sizes ride with the postings (one long per row) for the length
+    # filter: J(A,B) >= t bounds the size ratio (min >= t*max, a
+    # theorem), so mismatched-length pairs are cut BEFORE the pair-count
+    # exchange. 1e-9 slack never over-prunes; the jaccard >= t filter
+    # stays the exact gate.
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     inter = (
         posts.alias("a")
-        .join(posts.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .join(
+            posts.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9)),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -1655,11 +1666,22 @@ def containment_pairs(
     sh = sh.filter(F.size("sh") >= min_shingles)
     sizes = sh.select("id", F.size("sh").alias("n"))
     # shingle arrays are already distinct (_ngrams_from_words), so the
-    # posting table needs no extra dedup exchange
-    posts = sh.select("id", F.explode_outer("sh").alias("g"))
+    # posting table needs no extra dedup exchange. Sizes ride with the
+    # postings (one long per row) to power the length filter below.
+    posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     inter = (
         posts.alias("a")
-        .join(posts.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")))
+        .join(
+            posts.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") != F.col("b.id"))
+            # one-sided LENGTH filter, a theorem: containment(A in B) >= t
+            # needs |A∩B| >= t*|A| and |A∩B| <= |B|, so |B| >= t*|A| —
+            # short-B directed pairs are cut BEFORE the pair-count
+            # exchange. 1e-9 slack never over-prunes; the final
+            # containment >= t filter stays the exact gate.
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
