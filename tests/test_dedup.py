@@ -913,3 +913,32 @@ SELECT id_b AS id_a, id_a AS id_b, ni::DOUBLE / nb AS containment FROM c
     }
     assert rows[(2, 1)] == 1.0
     assert rows[(1, 2)] == round(26 / 28, 6)
+
+
+def test_length_filter_keeps_exact_threshold_boundary_pair(spark):
+    """The length filters prune on size ratio (a theorem) — this pins the
+    boundary case they must NOT prune: |A|=4, |B|=2, t=0.5 puts the pair
+    exactly at min == t*max AND jaccard == t (and containment(A in B)
+    == t with B the superset direction at 1.0). A float-epsilon slip in
+    the filter arithmetic would drop it."""
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2")], "doc_id long, text string"
+    )
+    # shingle_n=1 -> shingle sets are exactly the word sets
+    base = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5, shingle_n=1).collect()
+    pref = ngram_jaccard_pairs_prefix(df, "text", "doc_id", threshold=0.5, shingle_n=1).collect()
+    assert len(base) == 1 and abs(base[0]["jaccard"] - 0.5) < 1e-12
+    assert sorted(map(tuple, pref)) == sorted(map(tuple, base))
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", threshold=0.5, shingle_n=1).collect()
+    }
+    # A-in-B direction sits exactly at t; B-in-A is full containment
+    assert abs(cont[(1, 2)] - 0.5) < 1e-12
+    assert cont[(2, 1)] == 1.0
