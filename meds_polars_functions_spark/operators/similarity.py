@@ -354,11 +354,24 @@ def kmeans_train_distributed(
     cents = [[float(x) for x in r["__v__"]] for r in init_rows]
     history: list[float] = []
     for _ in range(n_iters):
+        # argmin via ONE array_min over (distance, index) structs — the
+        # lexicographic struct min picks the smallest distance with the
+        # first index on ties (numpy-argmin semantics). Single-reference
+        # by CONSTRUCTION: the k×dim distance array appears once in the
+        # plan, in its own projection, so per-row evaluation count does
+        # not depend on the engine's subexpression elimination (the
+        # array_position(ds, array_min(ds)) form referenced ds three
+        # times; measured equal on this Spark build — the rewrite is
+        # insurance against interpreted-HOF re-evaluation, not a win).
         ds = _cell_distances("__v__", cents)
-        a = base.select(
+        cand = F.transform(
+            ds,
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        a = base.select(F.array_min(cand).alias("__best__"), "__v__").select(
+            F.col("__best__.i").cast("long").alias("cell"),
+            F.col("__best__.d").alias("mind"),
             "__v__",
-            (F.array_position(ds, F.array_min(ds)) - 1).alias("cell"),
-            F.array_min(ds).alias("mind"),
         )
         rows = (
             a.select("cell", "mind", F.posexplode("__v__"))
