@@ -315,6 +315,94 @@ def _cell_distances(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return F.array(*ds)
 
 
+def kmeans_parallel_init(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int = 42,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str | None = None,
+) -> list[list[float]]:
+    """k-means‖ initialization (Bahmani et al. 2012, "Scalable
+    k-means++"): the distributed replacement for k-means++'s inherently
+    sequential D²-sampling. Each of ``rounds`` passes oversamples
+    ~``oversample`` (default 2k) points with probability proportional to
+    their squared distance from the current candidate set, then the
+    ≈ rounds·oversample candidates are weighted by how many corpus
+    points they own and reduced to k centers by a driver-side weighted
+    Lloyd — the paper's exact recipe, and what real spread-out inits
+    need when a uniform draw can land multiple seeds in one dense blob.
+
+    Deterministic by construction: the Bernoulli draw for row x in
+    round r is ``uniform01(xxhash64(id, seed, r)) < ℓ·d²(x,C)/φ`` — a
+    pure function of (data, seed), no Spark-side RNG. Each round is ONE
+    corpus pass (distances literal-folded map-side against the current
+    candidate list, φ from the same pass's one-row agg); only the ≈ℓ
+    sampled vectors and the |C|-row weight table ever reach the driver.
+    |C| stays driver-small (≈ 1 + rounds·2k); the corpus never moves.
+
+    Plan-size caveat: distances are literal-folded, so the per-round
+    expression grows with |C| — right for the k ≤ a-few-hundred regime
+    this targets (SemDeDup cells, IVF coarse quantizers trained
+    full-corpus); far beyond that, broadcast the candidates as a table
+    instead."""
+    import numpy as np
+
+    ell = oversample if oversample is not None else 2 * k
+    base = df.select(
+        F.col(vec_col).alias("__v__"),
+        (F.col(id_col) if id_col else F.col(vec_col)).alias("__id__"),
+    )
+    first = base.orderBy(F.xxhash64("__id__", F.lit(seed)).alias("__h__")).limit(1).collect()
+    cands = [[float(x) for x in first[0]["__v__"]]]
+    for r in range(rounds):
+        ds = _cell_distances("__v__", cands)
+        with_d = base.select("__v__", "__id__", F.array_min(ds).alias("__d2__"))
+        phi = with_d.agg(F.sum("__d2__")).collect()[0][0]  # one scalar
+        if not phi:  # all points already in C (duplicates): nothing to add
+            break
+        # uniform01 from the top 53 bits of xxhash64 — deterministic
+        u = (F.shiftrightunsigned(F.xxhash64("__id__", F.lit(seed), F.lit(r)), 11)
+             / F.lit(float(1 << 53)))
+        picked = with_d.filter(
+            u < F.lit(float(ell)) * F.col("__d2__") / F.lit(float(phi))
+        ).select("__v__").collect()
+        cands.extend([float(x) for x in row["__v__"]] for row in picked)
+    # weight candidates by ownership (one corpus pass), then reduce to k
+    # centers with a driver-side weighted Lloyd on the tiny candidate set
+    ds = _cell_distances("__v__", cands)
+    cand_struct = F.transform(ds, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    owns = (
+        base.select(F.array_min(cand_struct)["i"].alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = np.zeros(len(cands))
+    for row in owns:
+        weights[int(row["cell"])] = float(row["w"])
+    X = np.array(cands, dtype=float)
+    rng = np.random.default_rng(seed)
+    # weighted k-means++ seeding + weighted Lloyd over the candidates
+    idx = [int(rng.choice(len(X), p=weights / weights.sum()))]
+    for _ in range(min(k, len(X)) - 1):
+        d2 = ((X[:, None, :] - X[idx][None, :, :]) ** 2).sum(-1).min(1)
+        p = weights * d2
+        if p.sum() == 0:
+            break
+        idx.append(int(rng.choice(len(X), p=p / p.sum())))
+    cents = X[idx].copy()
+    for _ in range(10):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(len(cents)):
+            m = weights[a == c]
+            if m.sum() > 0:
+                cents[c] = (X[a == c] * m[:, None]).sum(0) / m.sum()
+    return cents.tolist()
+
+
 def kmeans_train_distributed(
     df: DataFrame,
     vec_col: str,
@@ -322,6 +410,7 @@ def kmeans_train_distributed(
     n_iters: int = 5,
     seed: int = 42,
     id_col: str | None = None,
+    init: str | list[list[float]] = "hash",
 ) -> tuple[list[list[float]], list[float]]:
     """Fully distributed Lloyd k-means over an embedding column — the
     FULL corpus participates in every assignment and centroid update
@@ -336,9 +425,12 @@ def kmeans_train_distributed(
     centroids used for iteration ``i``'s assignment (so a non-increasing
     sequence — the classic Lloyd monotonicity, property-tested).
 
-    Init: the k rows with the smallest ``xxhash64(id, seed)`` — a
-    deterministic, order-independent uniform draw computed as a
-    distributed top-k (no driver-side sample collection).
+    Init (``init``): ``"hash"`` (default) takes the k rows with the
+    smallest ``xxhash64(id, seed)`` — a deterministic, order-independent
+    uniform draw computed as a distributed top-k; ``"parallel"`` runs
+    ``kmeans_parallel_init`` (k-means‖ D²-oversampling — better spread,
+    ``rounds + 2`` extra corpus passes); an explicit list of vectors is
+    used as-is (k is then taken from its length).
 
     Scale shape (the MLlib recipe, expressed in DataFrame ops):
     per iteration, ONE corpus pass — squared distances to all k
@@ -349,9 +441,14 @@ def kmeans_train_distributed(
     reach the driver. Empty cells keep their previous centroid. k×d must
     be driver-small (it is the model), the corpus never is."""
     base = df.select(F.col(vec_col).alias("__v__"), *( [F.col(id_col).alias("__id__")] if id_col else [] ))
-    hcol = F.xxhash64(F.col("__id__") if id_col else F.col("__v__"), F.lit(seed))
-    init_rows = base.orderBy(hcol.alias("__h__")).limit(k).collect()
-    cents = [[float(x) for x in r["__v__"]] for r in init_rows]
+    if isinstance(init, list):
+        cents = [[float(x) for x in c] for c in init]
+    elif init == "parallel":
+        cents = kmeans_parallel_init(df, vec_col, k, seed=seed, id_col=id_col)
+    else:
+        hcol = F.xxhash64(F.col("__id__") if id_col else F.col("__v__"), F.lit(seed))
+        init_rows = base.orderBy(hcol.alias("__h__")).limit(k).collect()
+        cents = [[float(x) for x in r["__v__"]] for r in init_rows]
     history: list[float] = []
     for _ in range(n_iters):
         # argmin via ONE array_min over (distance, index) structs — the

@@ -424,3 +424,52 @@ def test_kmeans_distributed_empty_cell_keeps_previous_centroid(spark):
     )
     assert len(cents) == 3
     assert all(all(map(lambda v: v == v, c)) for c in cents)  # no NaNs
+
+
+def test_kmeans_parallel_init_deterministic_and_separates_blobs(spark):
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_parallel_init,
+        kmeans_train_distributed,
+    )
+
+    X, df = _kmeans_toy(spark, n_per=30)
+    c1 = kmeans_parallel_init(df, "embedding", k=3, seed=11, id_col="vec_id")
+    c2 = kmeans_parallel_init(df, "embedding", k=3, seed=11, id_col="vec_id")
+    assert c1 == c2  # pure function of (data, seed)
+    assert len(c1) == 3
+    # D^2-oversampling must land one center per far-apart blob
+    assigned = ivf_assign(df, "embedding", c1, out_col="cell").collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r["vec_id"] // 30, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+    # and the trainer accepts init="parallel" and an explicit list
+    cents_p, hist_p = kmeans_train_distributed(
+        df, "embedding", k=3, n_iters=3, seed=11, id_col="vec_id", init="parallel"
+    )
+    assert all(a >= b - 1e-9 for a, b in zip(hist_p, hist_p[1:]))
+    cents_e, _ = kmeans_train_distributed(
+        df, "embedding", k=3, n_iters=1, seed=11, id_col="vec_id", init=c1
+    )
+    assert len(cents_e) == 3
+
+
+def test_kmeans_parallel_init_not_worse_than_hash_init(spark):
+    from meds_polars_functions_spark.operators.similarity import (
+        kmeans_train_distributed,
+    )
+
+    X, df = _kmeans_toy(spark, n_per=30)
+    _, hist_h = kmeans_train_distributed(
+        df, "embedding", k=3, n_iters=4, seed=7, id_col="vec_id", init="hash"
+    )
+    _, hist_p = kmeans_train_distributed(
+        df, "embedding", k=3, n_iters=4, seed=7, id_col="vec_id", init="parallel"
+    )
+    # pinned empirical outcome on this seeded corpus: the spread-out
+    # D^2 init converges at least as low as the uniform hash draw
+    assert hist_p[-1] <= hist_h[-1] + 1e-9
