@@ -4,7 +4,9 @@ Beyond-reference operators: brute-force cosine top-k as the exact
 baseline, plus two scale paths — random-hyperplane LSH bucketing and an
 IVF-style coarse quantizer. Vector math is native (``zip_with`` +
 ``aggregate``), so the inner loop is JVM-side; only centroid *training*
-(a tiny sample) touches the driver.
+touches the driver — either a tiny sample (``train_ivf_centroids``) or
+just the k×d model per iteration (``kmeans_train_distributed``, with
+optional k-means‖ init), never the corpus.
 
 Scale design (1000 executors, 100 TB):
 - brute-force: queries are broadcast (a query set is human-scale); the
