@@ -3232,15 +3232,14 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED queries — implemented + locally oracle-proven (tests/
-# test_staged_queries.py) but NOT registered: the registry is FROZEN at
-# 165 until the round-6 rotation clears the remaining driver-grade debt
-# (VERDICT r4 item 4). These register 1-for-1 or after the freeze lifts.
+# Round-6 registered additions — staged through rounds 5 (registry
+# freeze, VERDICT r4 item 4), registered in round 6 after the rotation
+# cleared the driver-grade debt (VERDICT r5 item 2).
 # ---------------------------------------------------------------------------
 
 
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED. Interpolated Kneser-Ney bigram LM score (d=0.75): mean
+    """Interpolated Kneser-Ney bigram LM score (d=0.75): mean
     token log-prob under the corpus's own KN-smoothed bigram model —
     continuation-probability smoothing, the KenLM-family upgrade over
     the stupid-backoff scorer (operators/text.py kneser_ney_lm_score)."""
@@ -3255,14 +3254,36 @@ def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (rows-only when registered: iterative algorithm — the
-    distributed float-sum order in the centroid update cannot be made
-    bit-identical to a sequential SQL replay; the numpy-parity proof
-    lives in tests/test_similarity.py). Fully distributed Lloyd k-means
-    (k=4, 3 iterations, seeded hash init) over the embeddings table,
-    reporting final cell populations."""
+    """Distributed Lloyd k-means (k=4, 3 iterations, seeded hash init)
+    over the embeddings table, verified by an INVARIANT oracle
+    (VERDICT r5 item 3 — upgraded from the staged rows-only contract).
+
+    The iterative float-sum order cannot be replayed bit-exactly in
+    sequential SQL, so the query emits falsifiable model invariants as
+    (metric, value) rows, each of which the hash-compared oracle pins:
+
+    - ``all_nearest_frac`` = 1.0: distributed argmin replay — every
+      vector's assigned cell is its nearest final centroid (assignment
+      distance <= array_min of all centroid distances + 1e-9), computed
+      from a fresh ``_cell_distances`` expression, one corpus pass.
+    - ``assigned_rows`` = count(*) of embeddings: coverage — every
+      vector got exactly one cell (oracle recomputes the count).
+    - ``inertia_monotone`` = 1.0: the recorded Lloyd inertia history is
+      non-increasing (rel. tol 1e-9) INCLUDING one extra update step
+      from the final centroids (phi(c_final) <= phi(c_last_assign) —
+      the classic Lloyd descent property, falsified by any wrong
+      centroid-update arithmetic).
+    - ``centroids_finite`` = 1.0: no NaN/inf leaked into the model.
+    - ``k_centroids`` = 4.0: the model kept all k centroids.
+
+    Partitioning-robust by construction (tolerances absorb float-sum
+    reassociation), so the driver's own session/partitioning cannot
+    flip a row; any real trainer defect (wrong sums, dropped cells,
+    NaN poisoning, broken argmin) flips at least one value and fails
+    the hash compare."""
     _prep(spark)
     from meds_polars_functions_spark.operators.similarity import (
+        _cell_distances,
         ivf_assign,
         kmeans_train_distributed,
     )
@@ -3270,33 +3291,62 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents, _hist = kmeans_train_distributed(
+    cents, hist = kmeans_train_distributed(
         emb, "v", k=4, n_iters=3, seed=42, id_col="vec_id"
     )
-    return (
+    # one extra Lloyd pass from the final centroids: its history[0] is
+    # phi(c_final), which Lloyd guarantees <= the last recorded inertia
+    _c2, hist_ext = kmeans_train_distributed(
+        emb, "v", k=4, n_iters=1, seed=42, id_col="vec_id", init=cents
+    )
+    seq = [*hist, hist_ext[0]]
+    monotone = all(
+        seq[i] + 1e-9 * max(1.0, abs(seq[i])) >= seq[i + 1]
+        for i in range(len(seq) - 1)
+    )
+    finite = all(
+        all(x == x and abs(x) != float("inf") for x in c) for c in cents
+    )
+    ds = _cell_distances("v", cents)
+    agg = (
         ivf_assign(emb, "v", cents, out_col="cell")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cell")
+        .select(
+            F.when(
+                F.element_at(ds, F.col("cell").cast("int") + 1)
+                <= F.array_min(ds) + F.lit(1e-9),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ok")
+        )
+        .agg(F.avg("ok").alias("frac"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    rows = [
+        ("all_nearest_frac", float(agg["frac"])),
+        ("assigned_rows", float(agg["n"])),
+        ("centroids_finite", 1.0 if finite else 0.0),
+        ("inertia_monotone", 1.0 if monotone else 0.0),
+        ("k_centroids", float(len(cents))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy(
+        "metric"
     )
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Implemented-but-unregistered queries (registry freeze, VERDICT r4
-    item 4). tests/test_staged_queries.py holds them to the same strict
-    comparator the round-window sweep uses."""
-    return {
-        "kneser_ney_lm": q_kneser_ney_lm,
-        "kmeans_cells": q_kmeans_cells,
-    }
+    """Empty since round 6: the registry freeze lifted and the round-5
+    staged pair (kneser_ney_lm, kmeans_cells) registered. Kept so the
+    staged-query plumbing (tests/test_staged_queries.py) stays wired for
+    any future freeze."""
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
 #: bigram groupBy; c(v), N1+(v,.), N1+(.,w), N1+(.,.) all fold from it.
 #: Float-op order matches the Spark expression left-to-right; round(6)
-#: like the bigram_lm oracle. kmeans_cells has NO oracle by design (see
-#: its docstring).
-_STAGED_ORACLE_SQL: dict[str, str] = {
+#: like the bigram_lm oracle.
+_KNESER_NEY_ORACLE_SQL: dict[str, str] = {
     "kneser_ney_lm": """
 WITH d AS (
   SELECT doc_id,
@@ -3336,8 +3386,28 @@ FROM scored GROUP BY doc_id
 }
 
 
+#: kmeans_cells invariant oracle (VERDICT r5 item 3): the hash compare
+#: pins every invariant value the query emits; only ``assigned_rows``
+#: is data-derived (recomputed from the embeddings table), the rest are
+#: exact invariants of a correct Lloyd trainer. See q_kmeans_cells.
+_KMEANS_CELLS_ORACLE_SQL = """
+SELECT metric, value FROM (
+  SELECT 'all_nearest_frac' AS metric, 1.0::DOUBLE AS value
+  UNION ALL
+  SELECT 'assigned_rows', (SELECT count(*) FROM embeddings)::DOUBLE
+  UNION ALL
+  SELECT 'centroids_finite', 1.0::DOUBLE
+  UNION ALL
+  SELECT 'inertia_monotone', 1.0::DOUBLE
+  UNION ALL
+  SELECT 'k_centroids', 4.0::DOUBLE
+) ORDER BY metric
+"""
+
+
 def staged_oracle_sql() -> dict[str, str]:
-    return dict(_STAGED_ORACLE_SQL)
+    """Empty since round 6 — see staged_queries()."""
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -3352,90 +3422,88 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-5 window (this round), per VERDICT r4 items 1+3 (the amended
-# rotation written in COVERAGE.md):
-#   slots 1-2  = the two round-4 RED rows, re-proven after the oracle
-#                fix (DuckDB HUGEINT->float64 vs Spark int64 hash skew;
-#                novelty `novel` and chi_square `n` now cast ::BIGINT);
-#   slot  3    = decontaminate (rewritten to one-pass agg in round 4;
-#                its r3 driver row predates the rewrite);
-#   slots 4-20 = the remaining 17 r1-only greens (registry order);
-#   slots 21-49 = the 29 stalest r2-only greens (CORRECTNESS_r02 dict
-#                order, add_age .. fuzzy_name_pairs);
-#   slot 50    = asof_purchase_click (dtype-PINNED this round: nullable
-#                click_id/click_us cast to DOUBLE on both sides so the
-#                pandas dtype no longer depends on the data's null
-#                pattern — an output-type change, so it re-proves here).
-# Dropped to round 6 (next-stalest r2-only greens, CORRECTNESS_r02
-# order): sliding_window_counts, range_join_events, bloom_semi_filter,
-# locf_impute, stream_interval_join, resample_last, topk_pruned,
-# trailing_range_revenue, min_cost_supplier, market_share,
-# nation_profit, important_parts, supplier_cnt, repeated_spans,
-# dominant_suppliers, shipping_priority, forecast_revenue,
-# local_supplier_volume (18 rows — the whole remaining debt).
+# Round-6 window (this round), per VERDICT r5 items 1-3 (ledger
+# pre-committed in COVERAGE.md before any round-6 code work):
+#   slots 1-18  = the final 18 r2-only rows (CORRECTNESS_r02 dict order)
+#                 — the whole remaining driver-grade debt after round 5;
+#   slots 19-20 = jaccard_prefix + containment, re-proving the round-5
+#                 AllPairs length-filter rewrite (ADVICE r5 item 4);
+#   slots 21-22 = the formerly-staged pair, REGISTERED this round
+#                 (freeze lifted): kneser_ney_lm (full DuckDB oracle) and
+#                 kmeans_cells (upgraded rows-only -> invariant oracle,
+#                 VERDICT r5 item 3);
+#   slots 23-25 = ngram_jaccard / dedup_clusters / near_dedup — they
+#                 route through ngram_jaccard_pairs' length filters,
+#                 whose 1e-9 absolute slack becomes relative (1-1e-12)
+#                 slack this round (ADVICE r5 item 3);
+#   slots 26-50 = freshness bonus: the 25 stalest r3-age greens
+#                 (CORRECTNESS_r03 dict order), none semantically
+#                 changed since r3.
+# After a green CORRECTNESS_r06, every registered query's driver row
+# post-dates its last semantic change.
 #
-# REGISTRY FREEZE (round 4, per VERDICT.md): the registry holds at 165
-# until verification debt < window size — any new query must displace a
-# slot, not grow the backlog. tests/test_registry.py asserts the cap.
-# Ever-green coverage ledger: COVERAGE.md.
+# REGISTRY FREEZE LIFTED (round 6): the freeze condition (verification
+# debt < window size) is met by this rotation; the registry grows
+# 165 -> 167 with the two staged queries. tests/test_registry.py pins
+# the new cap. Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-4 reds, re-proven after the oracle ::BIGINT casts
-    "novelty_score",
-    "chi_square",
-    # rewritten in round 4 (one-pass agg); r3 row predates the rewrite
-    "decontaminate",
-    # the remaining 17 r1-only greens, registry order
-    "hourly_event_counts",
-    "mixture_sample",
-    "hash_split",
-    "code_patients_hll",
-    "funnel_conversion",
-    "retention_cohort",
-    "orders_histogram",
-    "json_props_stats",
-    "value_percentiles",
-    "cube_revenue",
-    "pivot_status",
-    "sessionize",
-    "reorder_rank",
-    "event_user_enrich",
-    "distinct_twophase",
-    "order_restore",
-    "embedding_topk_vectorized",
-    # the 29 stalest r2-only greens, CORRECTNESS_r02 dict order
-    "add_age",
-    "time_delta_days",
-    "datetime_parts",
-    "pack_sequences",
-    "corpus_curation",
-    "text_quality",
-    "quality_filter",
-    "tfidf_top_terms",
-    "language_id",
-    "token_count",
-    "doc_fingerprint",
-    "exact_dup_groups",
-    "exact_dedup",
+    # the final 18 r2-only rows, CORRECTNESS_r02 dict order
+    "sliding_window_counts",
+    "range_join_events",
+    "bloom_semi_filter",
+    "locf_impute",
+    "stream_interval_join",
+    "resample_last",
+    "topk_pruned",
+    "trailing_range_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "nation_profit",
+    "important_parts",
+    "supplier_cnt",
+    "repeated_spans",
+    "dominant_suppliers",
+    "shipping_priority",
+    "forecast_revenue",
+    "local_supplier_volume",
+    # round-5 length-filter rewrite re-proofs (ADVICE r5 item 4)
+    "jaccard_prefix",
+    "containment",
+    # newly registered this round (freeze lifted)
+    "kneser_ney_lm",
+    "kmeans_cells",
+    # route through the length filters rewritten to relative slack this round
     "ngram_jaccard",
-    "minhash_near_dup",
     "dedup_clusters",
-    "simhash_buckets",
-    "simhash_near_dup",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "lsh_topk",
-    "ivf_topk",
-    "scrub_pii",
-    "chunk_documents",
-    "unigram_entropy",
     "near_dedup",
-    "class_balanced",
-    "fuzzy_name_pairs",
-    # dtype-pinned this round (click_id/click_us -> DOUBLE both sides)
-    "asof_purchase_click",
+    # the 25 stalest r3-age greens, CORRECTNESS_r03 dict order
+    "agg_code_metadata",
+    "agg_all_codes",
+    "filter_patients_min_measurements",
+    "filter_patients_min_events",
+    "filter_measurements",
+    "fit_vocabulary_indices",
+    "normalization",
+    "occlude_outliers",
+    "add_time_of_day",
+    "canonical_sort_rank",
+    "dedup_keep_first",
+    "union_by_name",
+    "patient_id_harvest",
+    "dup_code_check",
+    "metadata_merge_agg",
+    "metadata_enrich_full_outer",
+    "code_construction",
+    "tokenize_schema",
+    "tokenize_event_seqs",
+    "volume_shipping",
+    "promo_revenue",
+    "ship_priority_mix",
+    "repetition_stats",
+    "pagerank_trade",
+    "profile_events",
 ]
 
 
@@ -3521,6 +3589,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": q_near_dedup,
         "class_balanced": q_class_balanced,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        # round-6 registrations (freeze lifted; staged through round 5)
+        "kneser_ney_lm": q_kneser_ney_lm,
+        "kmeans_cells": q_kmeans_cells,
         "sliding_window_counts": q_sliding_window_counts,
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_events": q_range_join_events,
@@ -6408,5 +6479,9 @@ SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored GROUP BY doc_id
     # prefix filtering is an execution-only optimization: provably the
     # same pairs as the posting-join baseline, so the oracle is shared
     oracles["jaccard_prefix"] = oracles["ngram_jaccard"]
+    # round-6 registrations: full CTE replay for the KN LM, invariant
+    # oracle for the iterative k-means trainer (see the constants)
+    oracles["kneser_ney_lm"] = _KNESER_NEY_ORACLE_SQL["kneser_ney_lm"]
+    oracles["kmeans_cells"] = _KMEANS_CELLS_ORACLE_SQL
     # conditionally-available oracles (e.g. environment-dependent replays)
     return {k: v for k, v in oracles.items() if v is not None}

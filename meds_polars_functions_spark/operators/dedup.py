@@ -31,6 +31,24 @@ _MERSENNE_P = (1 << 31) - 1
 # ---------------------------------------------------------------------------
 
 
+def _t_times_n(threshold: float, n) -> "F.Column":
+    """``threshold * n`` with RELATIVE ``(1 - 1e-12)`` slack, for the
+    never-over-prune side of length/prefix filters (ADVICE r5 item 3).
+
+    The double product's rounding error grows like ``t*n*2^-52`` — an
+    ABSOLUTE epsilon (the previous ``- 1e-9``) stops covering it around
+    ``n ~ 1e7`` shingles at high thresholds, where the exact-threshold
+    boundary guarantee could fail again. A relative ``1e-12`` slack is
+    ~4500x the worst-case relative rounding error at any magnitude, yet
+    small enough that for every exact integer ``m = t*n`` with
+    ``m < ~1e11`` the slackened product still lands strictly inside
+    ``(m-1, m]`` — so ``ceil`` recovers exactly ``m`` and comparisons
+    never drop a boundary pair. Loosening only ever ADMITS extra
+    candidates; the exact downstream verify removes them.
+    Regression-tested at n=1e9 in tests/test_dedup.py."""
+    return F.lit(threshold) * n * F.lit(1.0 - 1e-12)
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep one row (the min id) per exact content value.
 
@@ -535,7 +553,7 @@ def ngram_jaccard_pairs(
     # sizes ride with the postings (one long per row) for the length
     # filter: J(A,B) >= t bounds the size ratio (min >= t*max, a
     # theorem), so mismatched-length pairs are cut BEFORE the pair-count
-    # exchange. 1e-9 slack never over-prunes; the jaccard >= t filter
+    # exchange. Relative slack (_t_times_n) never over-prunes; the jaccard >= t filter
     # stays the exact gate.
     posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     inter = (
@@ -544,8 +562,8 @@ def ngram_jaccard_pairs(
             posts.alias("b"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
-            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9)),
+            & (F.col("b.n") >= _t_times_n(threshold, F.col("a.n")))
+            & (F.col("a.n") >= _t_times_n(threshold, F.col("b.n"))),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -1678,9 +1696,9 @@ def containment_pairs(
             # one-sided LENGTH filter, a theorem: containment(A in B) >= t
             # needs |A∩B| >= t*|A| and |A∩B| <= |B|, so |B| >= t*|A| —
             # short-B directed pairs are cut BEFORE the pair-count
-            # exchange. 1e-9 slack never over-prunes; the final
+            # exchange. Relative slack (_t_times_n) never over-prunes; the final
             # containment >= t filter stays the exact gate.
-            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
+            & (F.col("b.n") >= _t_times_n(threshold, F.col("a.n"))),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -1800,20 +1818,21 @@ def ngram_jaccard_pairs_prefix(
     )
     # prefix length |S| - ceil(t|S|) + 1
     prefix = ranked.filter(
-        # -1e-9 before ceil: when threshold*n is mathematically an exact
-        # integer m but the double product rounds epsilon ABOVE m, ceil
-        # would yield m+1 and shrink the prefix by one — dropping a pair
-        # whose similarity equals the threshold exactly. A slightly longer
+        # relative slack before ceil: when threshold*n is mathematically
+        # an exact integer m but the double product rounds epsilon ABOVE
+        # m, ceil would yield m+1 and shrink the prefix by one — dropping
+        # a pair whose similarity equals the threshold exactly. A longer
         # prefix is always safe (superset of candidates); the exact
-        # verify step downstream removes any extras. (ADVICE r4.)
-        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+        # verify downstream removes extras. (ADVICE r4; slack made
+        # relative so it scales with n — ADVICE r5 item 3.)
+        F.col("__r__") <= F.col("n") - F.ceil(_t_times_n(threshold, F.col("n"))) + 1
     ).select("id", "n", "g")
     # AllPairs LENGTH filter, also a theorem: J(A,B) >= t implies
     # |A∩B| >= t*|A∪B| >= t*max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
     # min >= t*max — sets whose sizes differ by more than 1/t can never
     # qualify. Evaluated inside the posting join (sizes ride with the
     # prefix rows), so mismatched-length candidates are cut BEFORE the
-    # distinct + verify exchanges. 1e-9 slack = never over-prunes; the
+    # distinct + verify exchanges. Relative slack = never over-prunes; the
     # exact verify removes any extras.
     cands = (
         prefix.alias("a")
@@ -1821,8 +1840,8 @@ def ngram_jaccard_pairs_prefix(
             prefix.alias("b"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
-            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9)),
+            & (F.col("b.n") >= _t_times_n(threshold, F.col("a.n")))
+            & (F.col("a.n") >= _t_times_n(threshold, F.col("b.n"))),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -1884,25 +1903,26 @@ def containment_pairs_prefix(
         ),
     )
     prefix = ranked.filter(
-        # -1e-9 before ceil: when threshold*n is mathematically an exact
-        # integer m but the double product rounds epsilon ABOVE m, ceil
-        # would yield m+1 and shrink the prefix by one — dropping a pair
-        # whose similarity equals the threshold exactly. A slightly longer
+        # relative slack before ceil: when threshold*n is mathematically
+        # an exact integer m but the double product rounds epsilon ABOVE
+        # m, ceil would yield m+1 and shrink the prefix by one — dropping
+        # a pair whose similarity equals the threshold exactly. A longer
         # prefix is always safe (superset of candidates); the exact
-        # verify step downstream removes any extras. (ADVICE r4.)
-        F.col("__r__") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+        # verify downstream removes extras. (ADVICE r4; slack made
+        # relative so it scales with n — ADVICE r5 item 3.)
+        F.col("__r__") <= F.col("n") - F.ceil(_t_times_n(threshold, F.col("n"))) + 1
     ).select("id", "n", "g")
     # ONE-SIDED length filter, also a theorem: containment(A in B) >= t
     # means |A∩B| >= t*|A| and |A∩B| <= |B|, so |B| >= t*|A|. No upper
     # bound on |B| — the excerpt-in-big-doc case is the measure's point.
-    # 1e-9 slack never over-prunes; exact verify removes extras.
+    # Relative slack never over-prunes; exact verify removes extras.
     cands = (
         prefix.alias("a")
         .join(
             posts.select("id", "n", "g").alias("b"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") != F.col("b.id"))
-            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9)),
+            & (F.col("b.n") >= _t_times_n(threshold, F.col("a.n"))),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -73,6 +73,33 @@ def brute_force_topk_expression(
     )
 
 
+#: Driver-side query-matrix cap (VERDICT r5 item 7): the matmul top-k
+#: paths collect the QUERY side into the UDF closure — correct for the
+#: human-scale query sets they target, a silent driver OOM if a user
+#: hands a corpus-sized table. 100k rows x 1k dims x 8B = ~0.8 GB,
+#: already past where the broadcast-join scoring path (brute_force_topk)
+#: is the right tool, so fail fast with the redirect instead.
+MAX_COLLECTED_QUERY_ROWS = 100_000
+
+
+def _collect_query_rows(queries: DataFrame, query_id: str, query_vec: str):
+    """Bounded collect of the query side; raises instead of OOMing the
+    driver when the query table exceeds MAX_COLLECTED_QUERY_ROWS."""
+    rows = (
+        queries.select(query_id, query_vec)
+        .limit(MAX_COLLECTED_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_COLLECTED_QUERY_ROWS:
+        raise ValueError(
+            f"query table exceeds MAX_COLLECTED_QUERY_ROWS="
+            f"{MAX_COLLECTED_QUERY_ROWS}; the collected-query matmul path "
+            "is for human-scale query sets — use brute_force_topk "
+            "(broadcast-join scoring) or batch the queries"
+        )
+    return rows
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,7 +123,7 @@ def brute_force_topk_vectorized(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = _collect_query_rows(queries, query_id, query_vec)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -338,11 +365,23 @@ def kmeans_parallel_init(
 
     Deterministic by construction: the Bernoulli draw for row x in
     round r is ``uniform01(xxhash64(id, seed, r)) < ℓ·d²(x,C)/φ`` — a
-    pure function of (data, seed), no Spark-side RNG. Each round is ONE
+    pure function of (data, seed), no Spark-side RNG — and the sampled
+    candidates are SORTED before joining the list, so the driver-side
+    reduction no longer sees collect()'s partition order (ADVICE r5
+    item 1). Remaining caveat: the per-round normalizer phi is a
+    distributed float sum, so a pathological exactly-at-threshold draw
+    could in principle flip under re-partitioning — tolerance-free
+    determinism holds for (data, seed, partitioning), and in practice
+    (tested) across repartitions too. Each round is ONE
     corpus pass (distances literal-folded map-side against the current
     candidate list, φ from the same pass's one-row agg); only the ≈ℓ
     sampled vectors and the |C|-row weight table ever reach the driver.
     |C| stays driver-small (≈ 1 + rounds·2k); the corpus never moves.
+
+    Edge contract: an empty input raises ``ValueError``; if the corpus
+    has fewer than ``k`` distinct vectors the weighted reduction can
+    return FEWER than k centers (duplicates collapse — there is nothing
+    else to seed from).
 
     Plan-size caveat: distances are literal-folded, so the per-round
     expression grows with |C| — right for the k ≤ a-few-hundred regime
@@ -357,6 +396,8 @@ def kmeans_parallel_init(
         (F.col(id_col) if id_col else F.col(vec_col)).alias("__id__"),
     )
     first = base.orderBy(F.xxhash64("__id__", F.lit(seed)).alias("__h__")).limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty input DataFrame")
     cands = [[float(x) for x in first[0]["__v__"]]]
     for r in range(rounds):
         ds = _cell_distances("__v__", cands)
@@ -370,7 +411,16 @@ def kmeans_parallel_init(
         picked = with_d.filter(
             u < F.lit(float(ell)) * F.col("__d2__") / F.lit(float(phi))
         ).select("__v__").collect()
-        cands.extend([float(x) for x in row["__v__"]] for row in picked)
+        # SORT the sampled candidates before extending: collect() order
+        # follows partition order, so without this the candidate list —
+        # and therefore the driver-side weighted k-means++ rng draws —
+        # would depend on the input's partitioning, not just (data,
+        # seed). Sorting by vector contents restores the documented
+        # pure-function-of-(data, seed) contract (ADVICE r5 item 1);
+        # tests pin repartition-invariance.
+        cands.extend(
+            sorted([float(x) for x in row["__v__"]] for row in picked)
+        )
     # weight candidates by ownership (one corpus pass), then reduce to k
     # centers with a driver-side weighted Lloyd on the tiny candidate set
     ds = _cell_distances("__v__", cands)
@@ -427,6 +477,11 @@ def kmeans_train_distributed(
     centroids used for iteration ``i``'s assignment (so a non-increasing
     sequence — the classic Lloyd monotonicity, property-tested).
 
+    Edge contract: an empty corpus raises ``ValueError``. A corpus with
+    fewer than ``k`` rows ("hash" init) or fewer than ``k`` distinct
+    vectors ("parallel" init) trains with FEWER than k centroids — the
+    returned list's length is the effective k.
+
     Init (``init``): ``"hash"`` (default) takes the k rows with the
     smallest ``xxhash64(id, seed)`` — a deterministic, order-independent
     uniform draw computed as a distributed top-k; ``"parallel"`` runs
@@ -451,6 +506,8 @@ def kmeans_train_distributed(
         hcol = F.xxhash64(F.col("__id__") if id_col else F.col("__v__"), F.lit(seed))
         init_rows = base.orderBy(hcol.alias("__h__")).limit(k).collect()
         cents = [[float(x) for x in r["__v__"]] for r in init_rows]
+    if not cents:
+        raise ValueError("kmeans_train_distributed: empty input DataFrame")
     history: list[float] = []
     for _ in range(n_iters):
         # argmin via ONE array_min over (distance, index) structs — the
@@ -680,7 +737,7 @@ def _pq_adc_scan_fused(
     m = len(codebooks)
     sub = len(codebooks[0][0])
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = _collect_query_rows(queries, query_id, query_vec)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     # luts[q, j, c] = ||q_sub_j - centroid_{j,c}||², sequential fold

@@ -942,3 +942,33 @@ def test_length_filter_keeps_exact_threshold_boundary_pair(spark):
     # A-in-B direction sits exactly at t; B-in-A is full containment
     assert abs(cont[(1, 2)] - 0.5) < 1e-12
     assert cont[(2, 1)] == 1.0
+
+
+def test_relative_slack_covers_large_n_boundary(spark):
+    """ADVICE r5 item 3: the absolute -1e-9 epsilon stops covering the
+    double product's rounding error once t*n grows past ~1e7. Concrete
+    failure (found by exact-Fraction search): t=0.07, n=3e8 — t*n is
+    exactly 21,000,000 in decimal arithmetic, but the double product is
+    21000000.0000000037 (error 3.7e-9 > 1e-9), so the OLD expression
+    ceil(t*n - 1e-9) = 21,000,001 shrank the prefix by one rank — the
+    boundary-pair drop the round-5 fix was supposed to exclude, back at
+    large n. The relative-slack form _t_times_n recovers exactly m at
+    every magnitude (and stays exact at small n: t=0.28, n=25, the
+    round-5 boundary case)."""
+    from meds_polars_functions_spark.operators.dedup import _t_times_n
+
+    # per-row thresholds: evaluate each case with its own literal t
+    cases = [
+        (300_000_000, 0.07, 21_000_000, True),   # old absolute form FAILS
+        (3_000_000_000, 0.07, 210_000_000, True),
+        (25, 0.28, 7, False),                     # round-5 small-n boundary
+        (10_000_000, 0.7, 7_000_000, False),
+    ]
+    for n, t, expect_m, old_fails in cases:
+        one = spark.createDataFrame([(n,)], "n long")
+        got = one.select(F.ceil(_t_times_n(t, F.col("n"))).alias("m")).collect()[0]["m"]
+        assert got == expect_m, (n, t, got, expect_m)
+        old = one.select(
+            F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)).alias("m")
+        ).collect()[0]["m"]
+        assert old == expect_m + (1 if old_fails else 0), (n, t, old)

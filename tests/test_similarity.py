@@ -473,3 +473,74 @@ def test_kmeans_parallel_init_not_worse_than_hash_init(spark):
     # pinned empirical outcome on this seeded corpus: the spread-out
     # D^2 init converges at least as low as the uniform hash draw
     assert hist_p[-1] <= hist_h[-1] + 1e-9
+
+
+def test_kmeans_parallel_init_partitioning_invariant(spark):
+    """ADVICE r5 item 1: the sampled-candidate sort makes the init a pure
+    function of (data, seed) — re-partitioning the input must not change
+    the centers (collect() order previously leaked partition order into
+    the driver-side rng draws)."""
+    from meds_polars_functions_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    c1 = kmeans_parallel_init(emb, "v", k=4, seed=7, id_col="vec_id")
+    c2 = kmeans_parallel_init(
+        emb.repartition(17, "vec_id"), "v", k=4, seed=7, id_col="vec_id"
+    )
+    c3 = kmeans_parallel_init(
+        emb.coalesce(1), "v", k=4, seed=7, id_col="vec_id"
+    )
+    assert c1 == c2 == c3
+
+
+def test_kmeans_empty_input_raises(spark):
+    """ADVICE r5 item 2: empty inputs fail fast with a clear error
+    instead of IndexError / silently-empty models."""
+    import pytest
+
+    from meds_polars_functions_spark.operators.similarity import (
+        kmeans_parallel_init,
+        kmeans_train_distributed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_parallel_init(empty, "v", k=3, id_col="vec_id")
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_train_distributed(empty, "v", k=3, id_col="vec_id")
+
+
+def test_kmeans_fewer_rows_than_k_returns_fewer_centroids(spark):
+    from meds_polars_functions_spark.operators.similarity import (
+        kmeans_train_distributed,
+    )
+
+    two = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, v array<double>"
+    )
+    cents, hist = kmeans_train_distributed(two, "v", k=5, n_iters=2, id_col="vec_id")
+    assert 1 <= len(cents) <= 2  # documented fewer-than-k contract
+    assert len(hist) == 2
+
+
+def test_collected_query_guard_raises_past_cap(spark, monkeypatch):
+    """VERDICT r5 item 7: the matmul top-k paths must fail fast (with a
+    redirect to the broadcast path) instead of collecting a corpus-sized
+    query table onto the driver."""
+    import pytest
+
+    from meds_polars_functions_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    monkeypatch.setattr(sim, "MAX_COLLECTED_QUERY_ROWS", 10)
+    with pytest.raises(ValueError, match="MAX_COLLECTED_QUERY_ROWS"):
+        sim.brute_force_topk_vectorized(emb, qs, k=2)
+    # under the cap still works end-to-end
+    out = sim.brute_force_topk_vectorized(emb, qs.limit(3), k=2).collect()
+    assert len(out) == 6

@@ -1,12 +1,13 @@
-"""Oracle-grade local proof for STAGED queries — implemented operators
-whose queries()/oracle_sql() registration waits on the round-6 registry
-rotation (the registry is FROZEN at 165 until the driver-grade debt is
-cleared; VERDICT r4 item 4, COVERAGE.md rotation plan).
+"""Oracle-grade local proof for the round-6 registrations (formerly the
+round-5 STAGED pair) plus the staging plumbing.
 
-Holds every staged query to the SAME strict comparator the round-window
-sweep uses (scripts/compare_oracle._normalize — int 1 != float 1.0, the
-round-4 red-row class), plus the dtype-parity scan, so registration later
-is a rename, not a re-verification.
+The registry freeze lifted in round 6 (COVERAGE.md round-6 ledger):
+kneser_ney_lm and kmeans_cells are now registered with window slots, and
+kmeans_cells was upgraded from the rows-only contract to an INVARIANT
+oracle (VERDICT r5 item 3). These tests hold both to the same strict
+comparator the round-window sweep uses (scripts/compare_oracle._normalize
+— int 1 != float 1.0, the round-4 red-row class), plus the dtype-parity
+scan, ahead of the driver run.
 """
 
 from __future__ import annotations
@@ -37,15 +38,22 @@ def con():
     return c
 
 
-def test_staged_names_not_registered():
-    # the freeze: staging must not leak into the frozen 165-query registry
-    registered = set(entry.queries())
-    assert not registered & set(entry.staged_queries())
+def test_staging_area_empty_and_registered():
+    # round 6: the freeze lifted; the staged pair must be registered and
+    # the staging area empty (no orphaned staged entries)
+    assert entry.staged_queries() == {}
+    assert entry.staged_oracle_sql() == {}
+    registered = entry.queries()
+    oracles = entry.oracle_sql()
+    for name in ("kneser_ney_lm", "kmeans_cells"):
+        assert name in registered
+        assert name in oracles
+        assert name in entry.CORRECTNESS_WINDOW
 
 
-def test_kneser_ney_lm_matches_oracle_strict(spark, con):
-    sdf = entry.staged_queries()["kneser_ney_lm"](spark, SF_DIR).toPandas()
-    odf = con.execute(entry.staged_oracle_sql()["kneser_ney_lm"]).fetchdf()
+def _strict_compare(spark, con, name):
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entry.oracle_sql()[name]).fetchdf()
     scols, srows = _normalize(sdf)
     ocols, orows = _normalize(odf)
     assert scols == ocols
@@ -57,16 +65,56 @@ def test_kneser_ney_lm_matches_oracle_strict(spark, con):
     ]
 
 
-def test_kmeans_cells_rows_only_contract(spark):
-    # iterative algorithm — registered as rows-only (no SQL oracle can
-    # replay the distributed float-sum order); assert the weaker contract
-    # the driver will check: stable schema, deterministic rows, full
-    # coverage of the input
-    out1 = entry.staged_queries()["kmeans_cells"](spark, SF_DIR)
-    rows1 = out1.collect()
-    rows2 = entry.staged_queries()["kmeans_cells"](spark, SF_DIR).collect()
-    assert [f.name for f in out1.schema.fields] == ["cell", "n"]
-    assert rows1 == rows2  # seeded init + deterministic argmin
-    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
-    assert sum(r["n"] for r in rows1) == n_vecs
-    assert 1 <= len(rows1) <= 4
+def test_kneser_ney_lm_matches_oracle_strict(spark, con):
+    _strict_compare(spark, con, "kneser_ney_lm")
+
+
+def test_kmeans_cells_invariant_oracle_strict(spark, con):
+    # the invariant oracle (VERDICT r5 item 3): argmin replay, coverage,
+    # Lloyd monotonicity (incl. one extra update step), finite centroids
+    # — all hash-compared against pinned values + the recomputed count
+    _strict_compare(spark, con, "kmeans_cells")
+
+
+def test_kmeans_cells_deterministic_rows(spark):
+    rows1 = entry.queries()["kmeans_cells"](spark, SF_DIR).collect()
+    rows2 = entry.queries()["kmeans_cells"](spark, SF_DIR).collect()
+    assert rows1 == rows2  # seeded init + tolerance-guarded invariants
+
+
+def test_kmeans_cells_oracle_is_falsifiable(spark):
+    # the invariant computation must be able to fail: a corrupted model
+    # (NaN centroid) flips centroids_finite, and a deliberately wrong
+    # assignment flips all_nearest_frac below 1.0
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.similarity import (
+        _cell_distances,
+        kmeans_train_distributed,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents, _ = kmeans_train_distributed(
+        emb, "v", k=4, n_iters=3, seed=42, id_col="vec_id"
+    )
+    bad = [c[:] for c in cents]
+    bad[0][0] = float("nan")
+    assert not all(all(x == x for x in c) for c in bad)
+    # wrong assignment: force everything into cell 0 and replay the check
+    ds = _cell_distances("v", cents)
+    frac = (
+        emb.select(
+            F.when(
+                F.element_at(ds, F.lit(1)) <= F.array_min(ds) + F.lit(1e-9),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert frac < 1.0
