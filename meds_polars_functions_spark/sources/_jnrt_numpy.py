@@ -50,14 +50,42 @@ _DTYPES = {
 }
 _NP_TO_TAG = {np.dtype(v): k for k, v in _DTYPES.items()}
 
+#: Serializer tensor order, transcribed from the PUBLIC safetensors
+#: serializer (huggingface/safetensors tensor.rs ``serialize``): tensors
+#: are sorted by DESCENDING dtype (enum order — wider/aligned types
+#: first) then ASCENDING name, and the JSON header is padded with
+#: spaces to an 8-byte boundary so the data section is aligned. Both
+#: rules reproduced here so the vendored writer's bytes match what the
+#: reference stack (nested_ragged_tensors -> safetensors.numpy) emits;
+#: readers are offset-driven, so any deviation would cost only
+#: bit-identity, never loadability.
+_TAG_RANK = {
+    t: i
+    for i, t in enumerate(
+        ["U64", "I64", "F64", "F32", "U32", "I32", "F16", "U16", "I16",
+         "I8", "U8", "BOOL"]
+    )
+}
+
 
 def save_safetensors(tensors: dict[str, np.ndarray], path: str) -> None:
     """Spec-conformant safetensors writer: contiguous little-endian
-    buffers, offsets in insertion order."""
+    buffers, serializer tensor ordering (descending dtype, then name),
+    space-padded 8-byte-aligned header."""
     header: dict[str, dict] = {}
     bufs: list[bytes] = []
     off = 0
-    for name, arr in tensors.items():
+
+    def _tag(a: np.ndarray) -> str:
+        tag = _NP_TO_TAG.get(np.dtype(a.dtype.str.lstrip("=<>|")))
+        if tag is None:
+            raise TypeError(f"unsupported dtype for safetensors: {a.dtype}")
+        return tag
+
+    ordered = sorted(
+        tensors.items(), key=lambda kv: (_TAG_RANK[_tag(np.ascontiguousarray(kv[1]))], kv[0])
+    )
+    for name, arr in ordered:
         a = np.ascontiguousarray(arr)
         if a.dtype.byteorder == ">":
             a = a.astype(a.dtype.newbyteorder("<"))
@@ -73,6 +101,7 @@ def save_safetensors(tensors: dict[str, np.ndarray], path: str) -> None:
         bufs.append(b)
         off += len(b)
     hjson = json.dumps(header, separators=(",", ":")).encode("utf-8")
+    hjson += b" " * ((8 - len(hjson) % 8) % 8)  # spec: 8-byte-aligned data
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(hjson)))
         f.write(hjson)
