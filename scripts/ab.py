@@ -38,6 +38,9 @@ DEFAULT_QUERIES = [
     "hourly_event_counts", "sessionize", "text_quality", "language_id",
     "doc_fingerprint", "minhash_near_dup", "embedding_topk",
     "embedding_topk_vectorized", "asof_purchase_click", "decontaminate",
+    # round-6 additions (VERDICT r5 item 5): the solo movers that were
+    # never in the interleaved set, + one iterative representative
+    "curation_v2", "temperature_mixture", "dsir_weights", "pagerank_trade",
 ]
 
 
