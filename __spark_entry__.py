@@ -3422,88 +3422,78 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-6 window (this round), per VERDICT r5 items 1-3 (ledger
-# pre-committed in COVERAGE.md before any round-6 code work):
-#   slots 1-18  = the final 18 r2-only rows (CORRECTNESS_r02 dict order)
-#                 — the whole remaining driver-grade debt after round 5;
-#   slots 19-20 = jaccard_prefix + containment, re-proving the round-5
-#                 AllPairs length-filter rewrite (ADVICE r5 item 4);
-#   slots 21-22 = the formerly-staged pair, REGISTERED this round
-#                 (freeze lifted): kneser_ney_lm (full DuckDB oracle) and
-#                 kmeans_cells (upgraded rows-only -> invariant oracle,
-#                 VERDICT r5 item 3);
-#   slots 23-25 = ngram_jaccard / dedup_clusters / near_dedup — they
-#                 route through ngram_jaccard_pairs' length filters,
-#                 whose 1e-9 absolute slack becomes relative (1-1e-12)
-#                 slack this round (ADVICE r5 item 3);
-#   slots 26-50 = freshness bonus: the 25 stalest r3-age greens
-#                 (CORRECTNESS_r03 dict order), none semantically
-#                 changed since r3.
-# After a green CORRECTNESS_r06, every registered query's driver row
-# post-dates its last semantic change.
-#
-# REGISTRY FREEZE LIFTED (round 6): the freeze condition (verification
-# debt < window size) is met by this rotation; the registry grows
-# 165 -> 167 with the two staged queries. tests/test_registry.py pins
-# the new cap. Ever-green coverage ledger: COVERAGE.md.
+# Round-7 window (this round), per VERDICT r6 items 2-4 (ledger
+# pre-committed in COVERAGE.md before any round-7 code work):
+#   slots 1-2   = pq_topk + embedding_topk_vectorized — the round-6
+#                 collect-guard pair whose driver rows predate the guard
+#                 (VERDICT r6 item 3);
+#   slots 3-4   = ivf_topk + kmeans_cells — round-7 changes touch their
+#                 code paths (train_ivf_centroids sample cap, VERDICT r6
+#                 item 2; q_kmeans_cells assignment-only inertia +
+#                 kmeans empty-init diagnostic, ADVICE r7 items 1-2);
+#   slots 5-28  = ALL 24 remaining r3-age greens (CORRECTNESS_r03 dict
+#                 order) — after this window no r3-age rows remain;
+#   slots 29-50 = the 22 stalest r4-age greens (CORRECTNESS_r04 dict
+#                 order; pq_topk excluded as slot 1; semantic_dedup kept
+#                 here since the train_ivf_centroids cap touches it too).
+# Registry unchanged at 167. Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # the final 18 r2-only rows, CORRECTNESS_r02 dict order
-    "sliding_window_counts",
-    "range_join_events",
-    "bloom_semi_filter",
-    "locf_impute",
-    "stream_interval_join",
-    "resample_last",
-    "topk_pruned",
-    "trailing_range_revenue",
-    "min_cost_supplier",
-    "market_share",
-    "nation_profit",
-    "important_parts",
-    "supplier_cnt",
-    "repeated_spans",
-    "dominant_suppliers",
-    "shipping_priority",
-    "forecast_revenue",
-    "local_supplier_volume",
-    # round-5 length-filter rewrite re-proofs (ADVICE r5 item 4)
-    "jaccard_prefix",
-    "containment",
-    # newly registered this round (freeze lifted)
-    "kneser_ney_lm",
+    # round-6 collect-guard pair (VERDICT r6 item 3)
+    "pq_topk",
+    "embedding_topk_vectorized",
+    # touched by planned round-7 changes (mid-round re-proof rule)
+    "ivf_topk",
     "kmeans_cells",
-    # route through the length filters rewritten to relative slack this round
-    "ngram_jaccard",
-    "dedup_clusters",
-    "near_dedup",
-    # the 25 stalest r3-age greens, CORRECTNESS_r03 dict order
-    "agg_code_metadata",
-    "agg_all_codes",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "patient_id_harvest",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "repetition_stats",
-    "pagerank_trade",
-    "profile_events",
+    # ALL 24 remaining r3-age greens, CORRECTNESS_r03 dict order
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "repeat_buyers_setop",
+    "patient_split_filter",
+    # the 22 stalest r4-age greens, CORRECTNESS_r04 dict order
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
+    "cms_freq",
+    "incremental_dedup",
+    "bpe_encode",
+    "triangles",
+    "weighted_sample",
+    "time_parse",
+    "jl_topk",
+    "typed_coercion",
+    "span_dedup",
 ]
 
 

@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-6 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-7 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "sliding_window_counts",
-    "range_join_events",
-    "bloom_semi_filter",
-    "locf_impute",
-    "stream_interval_join",
-    "resample_last",
-    "topk_pruned",
-    "trailing_range_revenue",
-    "min_cost_supplier",
-    "market_share",
-    "nation_profit",
-    "important_parts",
-    "supplier_cnt",
-    "repeated_spans",
-    "dominant_suppliers",
-    "shipping_priority",
-    "forecast_revenue",
-    "local_supplier_volume",
-    "jaccard_prefix",
-    "containment",
-    "kneser_ney_lm",
+    "pq_topk",
+    "embedding_topk_vectorized",
+    "ivf_topk",
     "kmeans_cells",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "near_dedup",
-    "agg_code_metadata",
-    "agg_all_codes",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "patient_id_harvest",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "repetition_stats",
-    "pagerank_trade",
-    "profile_events",
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "repeat_buyers_setop",
+    "patient_split_filter",
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
+    "cms_freq",
+    "incremental_dedup",
+    "bpe_encode",
+    "triangles",
+    "weighted_sample",
+    "time_parse",
+    "jl_topk",
+    "typed_coercion",
+    "span_dedup",
 ]
 
 
