@@ -3294,33 +3294,43 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, hist = kmeans_train_distributed(
         emb, "v", k=4, n_iters=3, seed=42, id_col="vec_id"
     )
-    # one extra Lloyd pass from the final centroids: its history[0] is
-    # phi(c_final), which Lloyd guarantees <= the last recorded inertia
-    _c2, hist_ext = kmeans_train_distributed(
-        emb, "v", k=4, n_iters=1, seed=42, id_col="vec_id", init=cents
-    )
-    seq = [*hist, hist_ext[0]]
-    monotone = all(
-        seq[i] + 1e-9 * max(1.0, abs(seq[i])) >= seq[i + 1]
-        for i in range(len(seq) - 1)
-    )
     finite = all(
         all(x == x and abs(x) != float("inf") for x in c) for c in cents
     )
-    ds = _cell_distances("v", cents)
+    # phi(c_final) = sum of min squared distance to the FINAL centroids —
+    # folded into the SAME single corpus pass as the argmin replay below
+    # (ADVICE r7 item 2: the previous form ran a whole extra Lloyd
+    # iteration — init collect + assignment + kxd update — to read one
+    # scalar off its history). The distance array is projected ONCE
+    # (__ds__) so the interpreted HOF is not re-evaluated per reference.
+    assigned = ivf_assign(emb, "v", cents, out_col="cell").select(
+        "cell", _cell_distances("v", cents).alias("__ds__")
+    )
     agg = (
-        ivf_assign(emb, "v", cents, out_col="cell")
-        .select(
+        assigned.select(
             F.when(
-                F.element_at(ds, F.col("cell").cast("int") + 1)
-                <= F.array_min(ds) + F.lit(1e-9),
+                F.element_at(F.col("__ds__"), F.col("cell").cast("int") + 1)
+                <= F.array_min("__ds__") + F.lit(1e-9),
                 F.lit(1.0),
             )
             .otherwise(F.lit(0.0))
-            .alias("ok")
+            .alias("ok"),
+            F.array_min("__ds__").alias("mind"),
         )
-        .agg(F.avg("ok").alias("frac"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.avg("ok").alias("frac"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mind").alias("phi"),
+        )
         .collect()[0]
+    )
+    # Lloyd descent including one extra update step: phi(c_final) <=
+    # phi(c_last_assign) = hist[-1]; same invariant the extra-iteration
+    # form pinned, now from the assignment-only aggregation.
+    seq = [*hist, float(agg["phi"])]
+    monotone = all(
+        seq[i] + 1e-9 * max(1.0, abs(seq[i])) >= seq[i + 1]
+        for i in range(len(seq) - 1)
     )
     rows = [
         ("all_nearest_frac", float(agg["frac"])),
