@@ -59,6 +59,16 @@ _NP_TO_TAG = {np.dtype(v): k for k, v in _DTYPES.items()}
 #: reference stack (nested_ragged_tensors -> safetensors.numpy) emits;
 #: readers are offset-driven, so any deviation would cost only
 #: bit-identity, never loadability.
+#: NOTE (ADVICE r7 item 4): the public enum also has BF16 and the F8
+#: variants, which numpy cannot express — their slots sit BETWEEN I32
+#: and F16 in the descending order below. They are omitted here because
+#: _NP_TO_TAG can never produce them (unsupported dtypes raise TypeError
+#: first); if dtype support ever grows, insert them at that enum
+#: position, not at the end. The transcription of the ordering rule is
+#: unverified against the real Rust serializer in this environment —
+#: tests/test_jnrt_golden.py pins spec-derived bytes, and the
+#: library-present parity test is authoritative wherever the package is
+#: installable.
 _TAG_RANK = {
     t: i
     for i, t in enumerate(

@@ -53,6 +53,11 @@ from meds_polars_functions_spark.operators.dedup import (
 from meds_polars_functions_spark.session import get_spark
 
 SEED = 20260815
+#: Bump when diverse_docs() changes shape: the /tmp scratch parquet is
+#: keyed by (GEN_VERSION, SEED, n_docs, vocab, n_templates) so an edit to
+#: the generator or the seed can never silently reuse a stale corpus
+#: (ADVICE r7 item 3).
+GEN_VERSION = 2
 
 
 def diverse_docs(spark, n_docs: int, vocab: int, n_templates: int = 0,
@@ -98,7 +103,10 @@ def main() -> None:
     n_templates = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     spark = get_spark("ab_prefix_diverse")
-    scratch = f"/tmp/spark_graft_diverse_{n_docs}_{vocab}_{n_templates}"
+    scratch = (
+        f"/tmp/spark_graft_diverse_v{GEN_VERSION}_s{SEED}"
+        f"_{n_docs}_{vocab}_{n_templates}"
+    )
     if not os.path.exists(scratch):
         diverse_docs(spark, n_docs, vocab, n_templates).write.mode("overwrite").parquet(scratch)
     docs = spark.read.parquet(scratch)
