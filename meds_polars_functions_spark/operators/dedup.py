@@ -1944,6 +1944,128 @@ def containment_pairs_prefix(
     )
 
 
+def shingle_expansion_diagnostic(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> dict:
+    """Pair-expansion diagnostic for the exact threshold-join family —
+    ONE shingle pass + one two-level agg, three scalars to the driver.
+
+    ``postings`` = Σf (total posting rows), ``sum_p2`` = Σf² over
+    per-shingle frequencies f. The baseline posting self-join generates
+    ~Σf²/2 candidate rows while any formulation must carry the Σf
+    posting rows, so ``expansion_ratio`` = Σf²/Σf is the per-posting
+    pair amplification: near-uniform corpora sit at 2-5× (the posting
+    join is near-linear — the prefix path's extra rank window cannot
+    pay for itself), boilerplate-heavy corpora at 30×+ (a few
+    shared-header shingles go quadratic — exactly what rarest-first
+    prefix filtering provably never joins). Measured crossover table:
+    SCALE.md "Round 7: prefix-filter crossover"."""
+    posts = shingle_table(df, text_col, id_col, shingle_n, out_col="sh").select(
+        F.explode_outer("sh").alias("g")
+    )
+    row = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum("f").alias("postings"),
+            F.sum(F.col("f") * F.col("f")).alias("sum_p2"),
+        )
+        .collect()[0]
+    )
+    postings = int(row["postings"] or 0)
+    sum_p2 = int(row["sum_p2"] or 0)
+    return {
+        "postings": postings,
+        "sum_p2": sum_p2,
+        "expansion_ratio": (sum_p2 / postings) if postings else 0.0,
+    }
+
+
+#: Jaccard expansion-ratio cutover, calibrated on four measured corpora
+#: (SCALE.md "Round 7: prefix-filter crossover table"): baseline wins at
+#: ratio 1.9 (diverse, prefix +14..34%) and 10.7 (bench corpus, prefix
+#: +130% at t=0.5); prefix is neutral at 74 and wins 31-43% at 295.
+#: Geometric midpoint of the bracketing measurements sqrt(10.7*74) ~ 28.
+AUTO_PREFIX_EXPANSION_CUTOVER = 28.0
+
+#: Containment dispatch constants (see containment_pairs_auto): the
+#: threshold regime boundary and its ratio cutover. Calibrated 8/8 on
+#: the measured table; the ratio separates diverse (1.9) from bench
+#: (10.7) and boilerplate (74/295) corpora.
+CONTAINMENT_T_SPLIT = 0.65
+CONTAINMENT_RATIO_CUTOVER = 5.0
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    cutover: float = AUTO_PREFIX_EXPANSION_CUTOVER,
+    diagnostic: dict | None = None,
+) -> DataFrame:
+    """Exact Jaccard threshold join that PICKS ITS OWN PLAN: measures
+    the corpus' pair-expansion ratio (``shingle_expansion_diagnostic``,
+    one cheap agg) and dispatches to the posting-join baseline below the
+    cutover or the AllPairs prefix path above it. Output is identical
+    either way (theorem-equal operators); only wall-clock changes.
+    Pass ``diagnostic`` to reuse an already-computed dict (e.g. when
+    running several thresholds over one corpus)."""
+    d = diagnostic or shingle_expansion_diagnostic(df, text_col, id_col, shingle_n)
+    if d["expansion_ratio"] >= cutover:
+        return ngram_jaccard_pairs_prefix(df, text_col, id_col, threshold, shingle_n)
+    return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
+
+
+def containment_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    min_shingles: int = 1,
+    cutover: float = CONTAINMENT_RATIO_CUTOVER,
+    t_split: float = CONTAINMENT_T_SPLIT,
+    diagnostic: dict | None = None,
+) -> DataFrame:
+    """Directed-containment threshold join that picks its own plan.
+
+    Containment's regimes differ from Jaccard's because its baseline has
+    only a weak ONE-sided length filter and emits both directions. The
+    dispatch, mechanism per quadrant (all four measured — SCALE.md
+    round-7 table, 8/8 cells):
+
+    - t >= ``t_split``, ratio >= ``cutover`` -> PREFIX: heavy shared
+      shingles make the posting join quadratic on spurious pairs; the
+      rarest-first prefix provably never joins them (boilerplate
+      corpora: -53..-55%).
+    - t >= t_split, ratio < cutover -> BASELINE: the posting join is
+      near-linear and the strong high-t length filter already prunes;
+      the prefix rank window is pure overhead (diverse: +12%).
+    - t < t_split, ratio < cutover -> PREFIX: the low-t length filter
+      cuts almost nothing and the directed join doubles pairs, while a
+      long rare tail makes prefix postings tiny (diverse: -65%).
+    - t < t_split, ratio >= cutover -> BASELINE: heavy shingles at low
+      t mean the expansion is largely GENUINE output (shared blocks ARE
+      containment) or the vocabulary is so small that "rare" prefixes
+      don't exist — pruning can't pay (bench +30%, boilerplate +9..38%).
+    """
+    d = diagnostic or shingle_expansion_diagnostic(df, text_col, id_col, shingle_n)
+    heavy = d["expansion_ratio"] >= cutover
+    use_prefix = heavy if threshold >= t_split else not heavy
+    if use_prefix:
+        return containment_pairs_prefix(
+            df, text_col, id_col, threshold, shingle_n, min_shingles
+        )
+    return containment_pairs(
+        df, text_col, id_col, threshold, shingle_n, min_shingles
+    )
+
+
 def containment_pairs_minhash(
     df: DataFrame,
     text_col: str,

@@ -972,3 +972,66 @@ def test_relative_slack_covers_large_n_boundary(spark):
             F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)).alias("m")
         ).collect()[0]["m"]
         assert old == expect_m + (1 if old_fails else 0), (n, t, old)
+
+
+def test_shingle_expansion_diagnostic_hand_computed(spark):
+    """Σf / Σf² verified against a hand-built posting table: 3 docs,
+    1-gram shingles, known frequencies."""
+    from meds_polars_functions_spark.operators.dedup import (
+        shingle_expansion_diagnostic,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),   # shingles {a,b,c}
+            (2, "a b d"),   # {a,b,d}
+            (3, "a e f"),   # {a,e,f}
+        ],
+        "doc_id long, text string",
+    )
+    d = shingle_expansion_diagnostic(df, "text", "doc_id", shingle_n=1)
+    # f: a=3, b=2, c=1, d=1, e=1, f=1 -> Σf=9, Σf²=9+4+1+1+1+1=17
+    assert d["postings"] == 9
+    assert d["sum_p2"] == 17
+    assert abs(d["expansion_ratio"] - 17 / 9) < 1e-12
+
+
+def test_auto_dispatch_identical_to_both_variants(spark):
+    """The auto dispatchers are output-identical to whichever branch
+    they pick — both branches forced via the cutover knob, plus the
+    diagnostic-reuse argument."""
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs_auto,
+        ngram_jaccard_pairs_auto,
+        shingle_expansion_diagnostic,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    diag = shingle_expansion_diagnostic(docs, "text", "doc_id")
+    assert diag["expansion_ratio"] > 1.0  # any real corpus
+    ref_j = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs_auto(
+            docs, "text", "doc_id", threshold=0.5, cutover=float("inf"), diagnostic=diag
+        ).collect()  # forced baseline
+    }
+    forced_prefix = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs_auto(
+            docs, "text", "doc_id", threshold=0.5, cutover=0.0, diagnostic=diag
+        ).collect()  # forced prefix
+    }
+    assert ref_j == forced_prefix
+    ref_c = {
+        (r["id_a"], r["id_b"], round(r["containment"], 9))
+        for r in containment_pairs_auto(
+            docs, "text", "doc_id", threshold=0.8, cutover=float("inf"), diagnostic=diag
+        ).collect()
+    }
+    forced_c = {
+        (r["id_a"], r["id_b"], round(r["containment"], 9))
+        for r in containment_pairs_auto(
+            docs, "text", "doc_id", threshold=0.8, cutover=0.0, diagnostic=diag
+        ).collect()
+    }
+    assert ref_c == forced_c
