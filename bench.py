@@ -142,6 +142,13 @@ def main() -> None:
                 "tracked": tracked,
                 "forced": forced,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Solo-number provenance (VERDICT r6 item 1): wall-clock
+                # on this shared box swings +-40% round-to-round on
+                # bit-identical code (SCALE.md METHOD; r6's +74% was
+                # host load — the interleaved A/B showed -1.5%). Compare
+                # rounds ONLY via scripts/ab.py interleaved tables in
+                # SCALE.md, not via this solo number.
+                "note": "solo wall-clock; host-load sensitive - see SCALE.md METHOD + per-round interleaved A/B",
             }
         )
     )
