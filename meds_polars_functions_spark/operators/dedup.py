@@ -1993,8 +1993,10 @@ AUTO_PREFIX_EXPANSION_CUTOVER = 28.0
 
 #: Containment dispatch constants (see containment_pairs_auto): the
 #: threshold regime boundary and its ratio cutover. Calibrated 8/8 on
-#: the measured table; the ratio separates diverse (1.9) from bench
-#: (10.7) and boilerplate (74/295) corpora.
+#: the clean measured table (SCALE.md round-7; an earlier −65% diverse
+#: low-t cell was concurrent-load contamination, re-measured +8.2%);
+#: the ratio separates diverse (1.9, baseline at every t) from bench
+#: (10.7) and boilerplate (74/295) corpora, where prefix wins at high t.
 CONTAINMENT_T_SPLIT = 0.65
 CONTAINMENT_RATIO_CUTOVER = 5.0
 
@@ -2032,31 +2034,28 @@ def containment_pairs_auto(
     t_split: float = CONTAINMENT_T_SPLIT,
     diagnostic: dict | None = None,
 ) -> DataFrame:
-    """Directed-containment threshold join that picks its own plan.
+    """Directed-containment threshold join that picks its own plan:
+    PREFIX only when BOTH the threshold is high (>= ``t_split``) and the
+    corpus is expansion-heavy (ratio >= ``cutover``); BASELINE otherwise.
+    Calibrated 8/8 on the clean measured cells (SCALE.md round-7 table):
 
-    Containment's regimes differ from Jaccard's because its baseline has
-    only a weak ONE-sided length filter and emits both directions. The
-    dispatch, mechanism per quadrant (all four measured — SCALE.md
-    round-7 table, 8/8 cells):
-
-    - t >= ``t_split``, ratio >= ``cutover`` -> PREFIX: heavy shared
-      shingles make the posting join quadratic on spurious pairs; the
-      rarest-first prefix provably never joins them (boilerplate
-      corpora: -53..-55%).
-    - t >= t_split, ratio < cutover -> BASELINE: the posting join is
-      near-linear and the strong high-t length filter already prunes;
-      the prefix rank window is pure overhead (diverse: +12%).
-    - t < t_split, ratio < cutover -> PREFIX: the low-t length filter
-      cuts almost nothing and the directed join doubles pairs, while a
-      long rare tail makes prefix postings tiny (diverse: -65%).
-    - t < t_split, ratio >= cutover -> BASELINE: heavy shingles at low
-      t mean the expansion is largely GENUINE output (shared blocks ARE
-      containment) or the vocabulary is so small that "rare" prefixes
-      don't exist — pruning can't pay (bench +30%, boilerplate +9..38%).
+    - High t, heavy corpus -> PREFIX: heavy shared shingles make the
+      posting join quadratic on SPURIOUS pairs (a 30-word boilerplate
+      block rarely reaches t=0.8 of a whole doc), the high-t prefix is
+      short, and rarest-first indexing provably never joins the heavy
+      shingles (boilerplate corpora: -53..-55%).
+    - High t, light corpus -> BASELINE: the posting join is near-linear
+      and the strong high-t one-sided length filter already prunes; the
+      prefix freq-agg + rank window is pure overhead (diverse: +15%).
+    - Low t (any ratio) -> BASELINE: the prefix |A|-ceil(t|A|)+1 is
+      about half of every doc — the posting reduction mostly vanishes
+      while the window cost stays (diverse +8%, bench +30%); on heavy
+      corpora the low-t expansion is additionally GENUINE output
+      (shared blocks ARE containment at low t) that no candidate
+      pruning can avoid emitting (boilerplate +9..38%).
     """
     d = diagnostic or shingle_expansion_diagnostic(df, text_col, id_col, shingle_n)
-    heavy = d["expansion_ratio"] >= cutover
-    use_prefix = heavy if threshold >= t_split else not heavy
+    use_prefix = threshold >= t_split and d["expansion_ratio"] >= cutover
     if use_prefix:
         return containment_pairs_prefix(
             df, text_col, id_col, threshold, shingle_n, min_shingles
