@@ -11,17 +11,31 @@ enforced by eyeball. This script makes the check a grep, not a memory:
 
 1. `git diff --name-only <ledger-rev>..HEAD` -> changed .py files.
 2. Parse __spark_entry__.py: for each registered query (the `_registry()`
-   dict literal), collect every `meds_polars_functions_spark.*` module its
-   q_-function imports (ast walk over the function body).
-3. A changed package module maps to every query that imports it; a change
-   to __spark_entry__.py itself maps to the queries whose function source
-   segment changed (line-range intersection with the unified diff hunks).
-4. FAIL (exit 1) listing any affected query outside CORRECTNESS_WINDOW.
+   dict literal), collect the NAMES its q_-function imports from each
+   `meds_polars_functions_spark.*` module (ast walk over the function body).
+3. For each changed package module, compute the DIRTY top-level names:
+   a name is dirty if its definition span intersects a diff hunk, or —
+   fixpoint — if its body references a dirty module-level name (so a
+   rewritten private helper like `_t_times_n` dirties every operator
+   that calls it, while a freshly-ADDED function dirties nothing that
+   existed before). Whole-module imports (`import pkg.mod`) and changed
+   top-level code outside any definition fall back to all-names-dirty.
+4. A query is affected iff it imports a dirty name; a change to
+   __spark_entry__.py itself maps to the queries whose function source
+   segment changed (line-range intersection with the diff hunks).
+5. FAIL (exit 1) listing any affected query outside CORRECTNESS_WINDOW.
 
-Conservative by design: module-level granularity over-approximates (a
-touched module flags all its importers, even for comment-only edits) —
-over-flagging costs a window slot or an explicit ledger note; under-flagging
-costs a stale driver row, which is the regression class this kills.
+Granularity is function-level but still conservative: comment-only edits
+inside a function dirty it (over-flagging costs a window slot or an
+explicit ledger note; under-flagging costs a stale driver row, which is
+the regression class this kills).
+
+Known limitation: the reference closure is INTRA-module. A changed
+function in module Y dirties Y's own callers, but not a function in
+module X that calls into Y — the check sees only what the entry file
+imports. Cross-module operator calls are rare in this package (queries
+import the functions they exercise directly); when making one, flag the
+affected queries in the ledger by hand.
 """
 
 from __future__ import annotations
@@ -41,21 +55,113 @@ def sh(*args: str) -> str:
     ).stdout
 
 
-def query_module_imports(tree: ast.Module) -> dict[str, set[str]]:
-    """q_-function name -> set of package module paths it imports."""
-    out: dict[str, set[str]] = {}
+#: Sentinel meaning "imports the module wholesale" — any dirty name hits.
+ALL = "*"
+
+
+def query_module_imports(tree: ast.Module) -> dict[str, dict[str, set[str]]]:
+    """q_-function name -> {module path -> imported names (or {ALL})}."""
+    out: dict[str, dict[str, set[str]]] = {}
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and node.name.startswith("q_"):
-            mods: set[str] = set()
+            mods: dict[str, set[str]] = {}
             for sub in ast.walk(node):
                 if isinstance(sub, ast.ImportFrom) and sub.module and sub.module.startswith(PKG):
-                    mods.add(sub.module.replace(".", "/") + ".py")
+                    key = sub.module.replace(".", "/") + ".py"
+                    mods.setdefault(key, set()).update(
+                        a.name for a in sub.names
+                    )
                 elif isinstance(sub, ast.Import):
                     for a in sub.names:
                         if a.name.startswith(PKG):
-                            mods.add(a.name.replace(".", "/") + ".py")
+                            key = a.name.replace(".", "/") + ".py"
+                            mods.setdefault(key, set()).add(ALL)
             out[node.name] = mods
     return out
+
+
+def diff_hunks(ledger_rev: str, head: str, path: str) -> list[tuple[int, int]]:
+    """New-side line ranges touched since the ledger rev (unified=0)."""
+    diff = sh("git", "diff", "--unified=0", f"{ledger_rev}..{head}", "--", path)
+    hunks: list[tuple[int, int]] = []
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, re.M):
+        start = int(m.group(1))
+        n = int(m.group(2) or "1")
+        # pure deletions (n == 0) still perturb the surrounding def:
+        # keep a 1-line anchor at the deletion point
+        hunks.append((start, start + max(n, 1) - 1))
+    return hunks
+
+
+def dirty_names(module_path: str, head: str, ledger_rev: str) -> set[str]:
+    """Top-level names of ``module_path`` whose behavior may have changed
+    since the ledger rev: definition span intersects a diff hunk, or —
+    transitively — the definition references a dirty module-level name.
+    Returns {ALL} when top-level code outside any definition changed
+    (conservative fallback) or the module cannot be parsed."""
+    hunks = diff_hunks(ledger_rev, head, module_path)
+    if not hunks:
+        return set()
+    try:
+        src = sh("git", "show", f"{head}:{module_path}")
+        tree = ast.parse(src)
+    except Exception:
+        return {ALL}
+    src_lines = src.splitlines()
+
+    spans: dict[str, tuple[int, int]] = {}
+    refs: dict[str, set[str]] = {}
+    covered: list[tuple[int, int]] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            names = [t.id for t in targets if isinstance(t, ast.Name)]
+        else:
+            continue
+        lo = min(node.lineno, *(d.lineno for d in getattr(node, "decorator_list", []) or [node]))
+        hi = node.end_lineno or node.lineno
+        covered.append((lo, hi))
+        body_refs = {
+            s.id for s in ast.walk(node) if isinstance(s, ast.Name)
+        }
+        for nm in names:
+            spans[nm] = (lo, hi)
+            refs[nm] = body_refs
+    # changed lines not covered by any definition => ALL, except inert
+    # lines: imports, module docstrings / bare string constants, comments
+    # and blanks (comments are invisible to the AST, so without this the
+    # `#:`-style doc comments above new constants would dirty the world).
+    inert_lines: set[int] = set()
+    for node in tree.body:
+        is_docstring = isinstance(node, ast.Expr) and isinstance(
+            node.value, ast.Constant
+        ) and isinstance(node.value.value, str)
+        if isinstance(node, (ast.Import, ast.ImportFrom)) or is_docstring:
+            inert_lines.update(range(node.lineno, (node.end_lineno or node.lineno) + 1))
+    for a, b in hunks:
+        for line in range(a, b + 1):
+            if line in inert_lines:
+                continue
+            stripped = src_lines[line - 1].strip() if line <= len(src_lines) else ""
+            if not stripped or stripped.startswith("#"):
+                continue
+            if not any(lo <= line <= hi for lo, hi in covered):
+                return {ALL}
+
+    dirty = {
+        nm for nm, (lo, hi) in spans.items()
+        if any(not (b < lo or a > hi) for a, b in hunks)
+    }
+    while True:  # fixpoint: callers of dirty names are dirty
+        grew = {
+            nm for nm in spans
+            if nm not in dirty and refs[nm] & dirty
+        }
+        if not grew:
+            return dirty
+        dirty |= grew
 
 
 def registry_map(src: str) -> dict[str, str]:
@@ -65,12 +171,7 @@ def registry_map(src: str) -> dict[str, str]:
 
 def changed_entry_functions(ledger_rev: str, head: str, tree: ast.Module) -> set[str]:
     """q_-functions whose source lines intersect the entry-file diff hunks."""
-    diff = sh("git", "diff", "--unified=0", f"{ledger_rev}..{head}", "--", "__spark_entry__.py")
-    hunks: list[tuple[int, int]] = []
-    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, re.M):
-        start = int(m.group(1))
-        n = int(m.group(2) or "1")
-        hunks.append((start, start + max(n, 1) - 1))
+    hunks = diff_hunks(ledger_rev, head, "__spark_entry__.py")
     hit: set[str] = set()
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and node.name.startswith("q_"):
@@ -97,12 +198,22 @@ def main() -> int:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry  # noqa: E402  (window list of HEAD worktree)
 
+    dirty_by_mod = {m: dirty_names(m, head, ledger_rev) for m in sorted(changed_pkg)}
+
     affected: dict[str, str] = {}
     for qname, fname in reg.items():
-        mods = imports.get(fname, set())
-        hit = sorted(mods & changed_pkg)
-        if hit:
-            affected[qname] = f"imports changed module(s): {', '.join(hit)}"
+        mods = imports.get(fname, {})
+        hits: list[str] = []
+        for m, names in mods.items():
+            dirty = dirty_by_mod.get(m, set())
+            if not dirty:
+                continue
+            if ALL in dirty or ALL in names:
+                hits.append(f"{m} (module-level change)")
+            elif names & dirty:
+                hits.append(f"{m}:{','.join(sorted(names & dirty))}")
+        if hits:
+            affected[qname] = f"imports dirty name(s): {'; '.join(hits)}"
     for fname in changed_entry_functions(ledger_rev, head, tree):
         for qname, f2 in reg.items():
             if f2 == fname:
@@ -113,7 +224,11 @@ def main() -> int:
 
     print(f"changed package modules since {ledger_rev}: {len(changed_pkg)}")
     for f in sorted(changed_pkg):
-        print(f"  {f}")
+        d = dirty_by_mod.get(f, set())
+        label = "ALL names (module-level change)" if ALL in d else (
+            f"{len(d)} dirty name(s): {', '.join(sorted(d)[:12])}" if d else "no dirty names (insertion-only)"
+        )
+        print(f"  {f} — {label}")
     print(f"affected registered queries: {len(affected)} "
           f"({sum(1 for q in affected if q in window)} in window)")
     for q in sorted(affected):

@@ -131,3 +131,27 @@ def test_registry_pinned_at_167():
     # and land with a window slot (or a fresh ledger entry), never by
     # silently extending the backlog past the 50-row window.
     assert len(entry.queries()) == 167
+
+
+def test_ledger_check_function_level_granularity():
+    """scripts/ledger_check.py resolves change impact at the NAME level:
+    the round-7 diff (new auto-dispatch functions in dedup.py + the
+    training-collect rewrites in similarity.py) must dirty exactly the
+    rewritten trainers and the new names — not every importer of the
+    modules — and every affected registered query must sit in the
+    round-7 window (the check's PASS on the real repo history is itself
+    the regression test for the r6 collect-guard miss class)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "scripts/ledger_check.py", "d8509c0"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ledger check PASS" in r.stdout
+    # the rewritten trainers are dirty...
+    assert "train_ivf_centroids" in r.stdout
+    # ...but untouched operators of the same modules are not flagged
+    assert "exact_dedup" not in r.stdout
+    assert "brute_force_topk" not in r.stdout
