@@ -144,8 +144,11 @@ def test_ledger_check_function_level_granularity():
     import subprocess
     import sys as _sys
 
+    # BOTH ends pinned to round-7 revs (ledger commit -> last round-7
+    # operator change) so future rounds' diffs cannot flip this test;
+    # each round runs the live check against its own ledger rev.
     r = subprocess.run(
-        [_sys.executable, "scripts/ledger_check.py", "d8509c0"],
+        [_sys.executable, "scripts/ledger_check.py", "d8509c0", "1c8dad1"],
         cwd="/root/repo", capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stdout + r.stderr
