@@ -454,9 +454,15 @@ def kmeans_parallel_init(
         # integral digits: ~1e14 rows of d² ~ 1e12 before overflow,
         # where Spark returns null and we fall back to the float sum
         # (the documented partitioning caveat then applies).
-        phi_dec = with_d.agg(
-            F.sum(F.col("__d2__").cast("decimal(38,12)"))
-        ).collect()[0][0]
+        try:
+            phi_dec = with_d.agg(
+                F.sum(F.col("__d2__").cast("decimal(38,12)"))
+            ).collect()[0][0]
+        except Exception:
+            # ANSI sessions THROW on decimal overflow (non-ANSI returns
+            # null); either way fall back to the float sum — a broken
+            # frame re-raises its real error from the fallback agg.
+            phi_dec = None
         phi = (
             float(phi_dec)
             if phi_dec is not None
