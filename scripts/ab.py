@@ -41,6 +41,11 @@ DEFAULT_QUERIES = [
     # round-6 additions (VERDICT r5 item 5): the solo movers that were
     # never in the interleaved set, + one iterative representative
     "curation_v2", "temperature_mixture", "dsir_weights", "pagerank_trade",
+    # round-7 additions: the similarity training paths touched this
+    # round, + semantic_dedup as the connected-components canary (the
+    # heaviest registered query never previously tracked: ~10 s at
+    # sf0.1, dominated by iterative CC scheduler overhead in local mode)
+    "kmeans_cells", "pq_topk", "ivf_topk", "semantic_dedup",
 ]
 
 
