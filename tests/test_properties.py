@@ -577,3 +577,53 @@ def test_kmeans_distributed_lloyd_monotone_property(spark, points, k):
     assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
     out = ivf_assign(df, "v", cents, out_col="cell")
     assert out.count() == len(points)
+
+
+@given(
+    st.lists(doc_words, min_size=1, max_size=6),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_paths_equal_baselines_on_random_corpora(spark, docs, t):
+    """Fuzzed theorem-equality for the round-7 auto-dispatch family:
+    on random tiny corpora (empty docs, duplicate docs, single-word
+    docs — the boundary shapes the curated corpora never hit), the
+    prefix-filtered Jaccard/containment joins and both forced branches
+    of the auto dispatchers emit exactly the baseline pair sets."""
+    from meds_polars_functions_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_auto,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        shingle_expansion_diagnostic,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    diag = shingle_expansion_diagnostic(df, "text", "doc_id", shingle_n=2)
+
+    def pairs(frame, score):
+        return {
+            (r["id_a"], r["id_b"], round(r[score], 9)) for r in frame.collect()
+        }
+
+    base_j = pairs(ngram_jaccard_pairs(df, "text", "doc_id", t, 2), "jaccard")
+    for cut in (0.0, float("inf")):
+        got = pairs(
+            ngram_jaccard_pairs_auto(
+                df, "text", "doc_id", t, 2, cutover=cut, diagnostic=diag
+            ),
+            "jaccard",
+        )
+        assert got == base_j, (t, cut)
+    base_c = pairs(containment_pairs(df, "text", "doc_id", t, 2), "containment")
+    for cut in (0.0, float("inf")):
+        got = pairs(
+            containment_pairs_auto(
+                df, "text", "doc_id", t, 2, cutover=cut, t_split=0.0,
+                diagnostic=diag,
+            ),
+            "containment",
+        )
+        assert got == base_c, (t, cut)
