@@ -24,6 +24,10 @@ enforced by eyeball. This script makes the check a grep, not a memory:
    __spark_entry__.py itself maps to the queries whose function source
    segment changed (line-range intersection with the diff hunks).
 5. FAIL (exit 1) listing any affected query outside CORRECTNESS_WINDOW.
+   Both the window and the registry map are parsed (ast) from the HEAD-REV
+   entry source, never imported from the live worktree — so an explicit
+   old head-rev validates the historical diff against that rev's own
+   window, and the rev-pinned regression test survives window rotation.
 
 Granularity is function-level but still conservative: comment-only edits
 inside a function dirty it (over-flagging costs a window slot or an
@@ -164,9 +168,48 @@ def dirty_names(module_path: str, head: str, ledger_rev: str) -> set[str]:
         dirty |= grew
 
 
-def registry_map(src: str) -> dict[str, str]:
-    """registered query name -> q_-function name (from the _registry literal)."""
-    return dict(re.findall(r'^\s+"([a-z0-9_]+)": (q_[a-z0-9_]+),', src, re.M))
+def registry_map(tree: ast.Module) -> dict[str, str]:
+    """registered query name -> q_-function name, from the ``_registry``
+    dict literal via ast (NOT a line regex: a reformat — wrapped entry,
+    missing trailing comma — must fail loudly, never silently drop queries
+    from the impact map; ADVICE r8 item 3). Every key must be a string
+    constant and every value a bare ``q_*`` name, or this raises."""
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == "_registry":
+            returns = [s for s in ast.walk(node) if isinstance(s, ast.Return)]
+            if len(returns) != 1 or not isinstance(returns[0].value, ast.Dict):
+                raise SystemExit("ledger_check: _registry() is not a single dict-literal return")
+            out: dict[str, str] = {}
+            for k, v in zip(returns[0].value.keys, returns[0].value.values):
+                if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
+                    raise SystemExit(f"ledger_check: non-constant registry key at line {k.lineno}")
+                if not (isinstance(v, ast.Name) and v.id.startswith("q_")):
+                    raise SystemExit(f"ledger_check: registry value for {k.value!r} is not a q_* name")
+                out[k.value] = v.id
+            if len(out) != len(returns[0].value.keys):
+                raise SystemExit("ledger_check: duplicate keys in _registry dict literal")
+            return out
+    raise SystemExit("ledger_check: no _registry() function found in entry file")
+
+
+def window_list(tree: ast.Module) -> list[str]:
+    """CORRECTNESS_WINDOW parsed from the HEAD-REV entry source — NOT the
+    live worktree module. With an explicit old head-rev the tool must
+    validate that historical diff against that rev's own window, or the
+    rev-pinned regression test flips whenever the window rotates
+    (ADVICE r8 item 1)."""
+    for node in tree.body:
+        target = None
+        if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            target = node.target.id
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(node.targets[0], ast.Name):
+            target = node.targets[0].id
+        if target == "CORRECTNESS_WINDOW":
+            value = ast.literal_eval(node.value)
+            if not (isinstance(value, list) and all(isinstance(x, str) for x in value)):
+                raise SystemExit("ledger_check: CORRECTNESS_WINDOW is not a list[str] literal")
+            return value
+    raise SystemExit("ledger_check: no CORRECTNESS_WINDOW assignment in entry file")
 
 
 def changed_entry_functions(ledger_rev: str, head: str, tree: ast.Module) -> set[str]:
@@ -193,10 +236,7 @@ def main() -> int:
     entry_src = sh("git", "show", f"{head}:__spark_entry__.py")
     tree = ast.parse(entry_src)
     imports = query_module_imports(tree)
-    reg = registry_map(entry_src)
-
-    sys.path.insert(0, REPO)
-    import __spark_entry__ as entry  # noqa: E402  (window list of HEAD worktree)
+    reg = registry_map(tree)
 
     dirty_by_mod = {m: dirty_names(m, head, ledger_rev) for m in sorted(changed_pkg)}
 
@@ -219,7 +259,7 @@ def main() -> int:
             if f2 == fname:
                 affected.setdefault(qname, "query function body changed in __spark_entry__.py")
 
-    window = set(entry.CORRECTNESS_WINDOW)
+    window = set(window_list(tree))
     out_of_window = {q: why for q, why in affected.items() if q not in window}
 
     print(f"changed package modules since {ledger_rev}: {len(changed_pkg)}")

@@ -146,7 +146,9 @@ def test_ledger_check_function_level_granularity():
 
     # BOTH ends pinned to round-7 revs (ledger commit -> last round-7
     # operator change) so future rounds' diffs cannot flip this test;
-    # each round runs the live check against its own ledger rev.
+    # each round runs the live check against its own ledger rev. The
+    # check resolves CORRECTNESS_WINDOW from the head REV's source (not
+    # the worktree module), so window rotation cannot flip it either.
     r = subprocess.run(
         [_sys.executable, "scripts/ledger_check.py", "d8509c0", "1c8dad1"],
         cwd="/root/repo", capture_output=True, text=True,
