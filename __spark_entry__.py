@@ -3432,78 +3432,77 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-7 window (this round), per VERDICT r6 items 2-4 (ledger
-# pre-committed in COVERAGE.md before any round-7 code work):
-#   slots 1-2   = pq_topk + embedding_topk_vectorized — the round-6
-#                 collect-guard pair whose driver rows predate the guard
-#                 (VERDICT r6 item 3);
-#   slots 3-4   = ivf_topk + kmeans_cells — round-7 changes touch their
-#                 code paths (train_ivf_centroids sample cap, VERDICT r6
-#                 item 2; q_kmeans_cells assignment-only inertia +
-#                 kmeans empty-init diagnostic, ADVICE r7 items 1-2);
-#   slots 5-28  = ALL 24 remaining r3-age greens (CORRECTNESS_r03 dict
-#                 order) — after this window no r3-age rows remain;
-#   slots 29-50 = the 22 stalest r4-age greens (CORRECTNESS_r04 dict
-#                 order; pq_topk excluded as slot 1; semantic_dedup kept
-#                 here since the train_ivf_centroids cap touches it too).
+# Round-8 window (this round), per VERDICT r7 items 2-3 (ledger
+# pre-committed in COVERAGE.md before any round-8 code work):
+#   slots 1-5   = the queries round-8 changes touch (mid-round re-proof
+#                 rule): patient_split_filter + patient_id_harvest
+#                 (harvest_patient_ids row cap, VERDICT r7 item 2),
+#                 kmeans_cells (k-means‖ phi cast-null counting, ADVICE
+#                 r8 item 2), pq_topk (train_pq_codebooks default-change
+#                 docstring, ADVICE r8 item 4 — docstring edits dirty
+#                 conservatively), containment (containment_pairs low-t
+#                 output-size docstring, VERDICT r7 item 5);
+#   slots 6-28  = ALL 23 remaining r4-age greens (CORRECTNESS_r04 dict
+#                 order) — after this window no r4-age rows remain;
+#   slots 29-50 = the 22 stalest r5-age greens (CORRECTNESS_r05 dict
+#                 order).
 # Registry unchanged at 167. Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-6 collect-guard pair (VERDICT r6 item 3)
-    "pq_topk",
-    "embedding_topk_vectorized",
-    # touched by planned round-7 changes (mid-round re-proof rule)
-    "ivf_topk",
-    "kmeans_cells",
-    # ALL 24 remaining r3-age greens, CORRECTNESS_r03 dict order
-    "heavy_hitters",
-    "image_features",
-    "audio_features",
-    "late_order_priority",
-    "returned_item_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "brand_predicate_revenue",
-    "dormant_customers",
-    "moving_avg_revenue",
-    "ntile_acctbal",
-    "unpivot_nation_metrics",
-    "only_late_supplier",
-    "user_streaks",
-    "bitmap_distinct_users",
-    "argmax_customer",
-    "group_median",
-    "grouping_sets_revenue",
-    "interpolate_values",
-    "scd2_priority",
-    "snapshot_diff",
-    "repeat_buyers_setop",
+    # touched by planned round-8 changes (mid-round re-proof rule)
     "patient_split_filter",
-    # the 22 stalest r4-age greens, CORRECTNESS_r04 dict order
-    "dedup_clusters_star",
-    "lm_score",
-    "semantic_dedup",
-    "bigram_lm",
-    "dsir_weights",
-    "bpe_pair_counts",
-    "bm25_search",
-    "clf_score",
-    "shuffle_positions",
-    "winnow_pairs",
-    "cdc_chunks",
-    "logreg_step",
-    "blocklist",
-    "cms_freq",
-    "incremental_dedup",
-    "bpe_encode",
-    "triangles",
-    "weighted_sample",
-    "time_parse",
-    "jl_topk",
-    "typed_coercion",
-    "span_dedup",
+    "patient_id_harvest",
+    "kmeans_cells",
+    "pq_topk",
+    "containment",
+    # ALL 23 remaining r4-age greens, CORRECTNESS_r04 dict order
+    "label_propagation",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "standardize_embeddings",
+    "temperature_mixture",
+    "winsorize_quantile",
+    "incremental_code_agg",
+    "code_value_trend",
+    "event_transitions",
+    "code_pmi",
+    "welch_ttest",
+    "rolling_features",
+    "target_encode",
+    "corr_matrix",
+    "code_rollup",
+    "drift_metrics",
+    "curation_v2",
+    "regex_filter",
+    "integral_values",
+    "fill_to_nans",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    # the 22 stalest r5-age greens, CORRECTNESS_r05 dict order
+    "novelty_score",
+    "chi_square",
+    "decontaminate",
+    "hourly_event_counts",
+    "mixture_sample",
+    "hash_split",
+    "code_patients_hll",
+    "funnel_conversion",
+    "retention_cohort",
+    "orders_histogram",
+    "json_props_stats",
+    "value_percentiles",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "reorder_rank",
+    "event_user_enrich",
+    "distinct_twophase",
+    "order_restore",
+    "add_age",
+    "time_delta_days",
+    "datetime_parts",
 ]
 
 

@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-7 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-8 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "pq_topk",
-    "embedding_topk_vectorized",
-    "ivf_topk",
-    "kmeans_cells",
-    "heavy_hitters",
-    "image_features",
-    "audio_features",
-    "late_order_priority",
-    "returned_item_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "brand_predicate_revenue",
-    "dormant_customers",
-    "moving_avg_revenue",
-    "ntile_acctbal",
-    "unpivot_nation_metrics",
-    "only_late_supplier",
-    "user_streaks",
-    "bitmap_distinct_users",
-    "argmax_customer",
-    "group_median",
-    "grouping_sets_revenue",
-    "interpolate_values",
-    "scd2_priority",
-    "snapshot_diff",
-    "repeat_buyers_setop",
     "patient_split_filter",
-    "dedup_clusters_star",
-    "lm_score",
-    "semantic_dedup",
-    "bigram_lm",
-    "dsir_weights",
-    "bpe_pair_counts",
-    "bm25_search",
-    "clf_score",
-    "shuffle_positions",
-    "winnow_pairs",
-    "cdc_chunks",
-    "logreg_step",
-    "blocklist",
-    "cms_freq",
-    "incremental_dedup",
-    "bpe_encode",
-    "triangles",
-    "weighted_sample",
-    "time_parse",
-    "jl_topk",
-    "typed_coercion",
-    "span_dedup",
+    "patient_id_harvest",
+    "kmeans_cells",
+    "pq_topk",
+    "containment",
+    "label_propagation",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "standardize_embeddings",
+    "temperature_mixture",
+    "winsorize_quantile",
+    "incremental_code_agg",
+    "code_value_trend",
+    "event_transitions",
+    "code_pmi",
+    "welch_ttest",
+    "rolling_features",
+    "target_encode",
+    "corr_matrix",
+    "code_rollup",
+    "drift_metrics",
+    "curation_v2",
+    "regex_filter",
+    "integral_values",
+    "fill_to_nans",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "novelty_score",
+    "chi_square",
+    "decontaminate",
+    "hourly_event_counts",
+    "mixture_sample",
+    "hash_split",
+    "code_patients_hll",
+    "funnel_conversion",
+    "retention_cohort",
+    "orders_histogram",
+    "json_props_stats",
+    "value_percentiles",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "reorder_rank",
+    "event_user_enrich",
+    "distinct_twophase",
+    "order_restore",
+    "add_age",
+    "time_delta_days",
+    "datetime_parts",
 ]
 
 
