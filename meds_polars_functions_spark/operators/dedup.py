@@ -1679,7 +1679,18 @@ def containment_pairs(
     containment(A in B) >= threshold, both directions considered, a != b.
     Same posting-join shape as ngram_jaccard_pairs — exact baseline;
     at scale seed candidates from minhash buckets first and verify
-    containment only on candidates."""
+    containment only on candidates.
+
+    .. warning:: Low thresholds on boilerplate-heavy corpora are an
+       OUTPUT-SIZE problem no plan can fix: on a corpus where many
+       documents share template text, most document pairs genuinely
+       satisfy containment >= t at low t, so the result itself is
+       Θ(n²) (SCALE.md round-7 measured 2.56M real pairs from a
+       20k-doc/25-template corpus at t=0.5 — every plan must emit
+       them). Pre-strip boilerplate (span_dedup / repeated_spans) or
+       keep t >= 0.65; the plan choice (baseline vs prefix, see
+       containment_pairs_auto) only changes the cost of finding the
+       pairs, never their number."""
     sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
     sh = sh.filter(F.size("sh") >= min_shingles)
     sizes = sh.select("id", F.size("sh").alias("n"))
@@ -2053,6 +2064,13 @@ def containment_pairs_auto(
       corpora the low-t expansion is additionally GENUINE output
       (shared blocks ARE containment at low t) that no candidate
       pruning can avoid emitting (boilerplate +9..38%).
+
+    .. warning:: The low-t/heavy regime's output is itself Θ(n²) — see
+       the ``containment_pairs`` warning (2.56M real pairs on the
+       20k-doc/25-template corpus at t=0.5). The dispatcher picks the
+       cheapest plan for finding those pairs, but cannot shrink the
+       answer; pre-strip boilerplate or keep t >= 0.65 on template-heavy
+       corpora.
     """
     d = diagnostic or shingle_expansion_diagnostic(df, text_col, id_col, shingle_n)
     use_prefix = threshold >= t_split and d["expansion_ratio"] >= cutover

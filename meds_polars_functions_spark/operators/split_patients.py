@@ -23,12 +23,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Driver-side cap on the harvested distinct-id list. Patient-id
+#: cardinality is metadata-scale on every real EHR (millions, not the
+#: row count), but the repo's guard policy — query collects capped r6,
+#: training collects capped r7 — applies to this collect too: at 1e9
+#: patients a sorted Python int list is multi-GB on the driver. 10M ids
+#: (~0.6 GB as a Python list) is far past any published EHR cohort;
+#: past it, the seeded-permutation split itself is the wrong tool and
+#: the failure redirects to the map-side ``hash_split_expr``.
+MAX_HARVESTED_PATIENT_IDS = 10_000_000
+
+
 def harvest_patient_ids(frames: Sequence[DataFrame], patient_id_col: str = "patient_id") -> list[int]:
     """Distinct non-null patient ids across inputs
-    (reference split_and_shard_patients.py:201-225)."""
+    (reference split_and_shard_patients.py:201-225).
+
+    Bounded collect: raises past ``MAX_HARVESTED_PATIENT_IDS`` with a
+    redirect to ``hash_split_expr`` (the fully-distributed split that
+    needs no driver-side id list) instead of OOMing the driver. Under
+    the cap the collected row set is identical to the uncapped collect
+    (``limit(n+1)`` on fewer than n+1 rows passes everything through),
+    so seeded-NumPy split parity with the reference is bit-preserved
+    for every in-contract call."""
     dfs = [f.select(F.col(patient_id_col).cast("long").alias("patient_id")) for f in frames]
     unioned = reduce(lambda a, b: a.unionByName(b), dfs)
-    rows = unioned.na.drop().distinct().collect()
+    rows = unioned.na.drop().distinct().limit(MAX_HARVESTED_PATIENT_IDS + 1).collect()
+    if len(rows) > MAX_HARVESTED_PATIENT_IDS:
+        raise ValueError(
+            f"distinct patient ids exceed MAX_HARVESTED_PATIENT_IDS="
+            f"{MAX_HARVESTED_PATIENT_IDS}; the seeded-permutation split "
+            "needs every id on the driver and does not scale there — "
+            "use hash_split_expr, a pure map-side split assignment that "
+            "never collects ids"
+        )
     return sorted(r.patient_id for r in rows)
 
 

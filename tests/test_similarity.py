@@ -575,6 +575,33 @@ def test_training_sample_guard_raises_past_cap(spark, monkeypatch):
     assert all(all(x == x for x in c) for c in cents)
 
 
+def test_phi_per_row_cast_overflow_triggers_float_fallback(spark):
+    """ADVICE r8 item 2: a single d² ≥ 1e26 in a non-ANSI session casts
+    to null PER ROW; ``F.sum`` would silently drop it, leaving phi finite
+    but underestimated with no fallback triggered. The one-row agg must
+    count cast-nulls and route to the float sum — and the ANSI throw
+    path must land on the same fallback."""
+    from meds_polars_functions_spark.operators.similarity import _phi_exact_or_float
+
+    # normal frame: exact decimal path, no fallback
+    ok = spark.createDataFrame([(1.5,), (2.25,)], "__d2__ double")
+    assert _phi_exact_or_float(ok) == (3.75, False)
+
+    # one astronomical row among normal rows: pre-fix this summed to 3.75
+    # (the 1e30 row dropped as a cast-null); the fallback must include it
+    mixed = spark.createDataFrame([(1.5,), (2.25,), (1e30,)], "__d2__ double")
+    phi, used_fallback = _phi_exact_or_float(mixed)
+    assert used_fallback is True
+    assert phi > 1e29  # the overflowing row is IN the sum
+
+    # ANSI sessions throw on the same cast; identical fallback result
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert _phi_exact_or_float(mixed) == (phi, True)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def test_kmeans_explicit_empty_init_list_diagnostic(spark):
     """ADVICE r7 item 1: init=[] must say the INIT LIST is the problem,
     not claim the (non-empty) DataFrame is empty."""

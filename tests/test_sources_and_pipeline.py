@@ -268,6 +268,25 @@ def test_write_parquet_partitioned(tmpdir, spark, meds_df):
     assert back.count() == meds_df.count()
 
 
+def test_harvest_patient_ids_guard_raises_past_cap(spark, meds_df, monkeypatch):
+    """VERDICT r7 item 2: the id harvest is the last driver-side collect
+    in the package; it must fail fast with a redirect to hash_split_expr
+    instead of materializing an unbounded sorted id list on the driver —
+    and stay bit-identical to the uncapped collect under the cap (the
+    seeded-NumPy split parity contract)."""
+    import pytest
+
+    from meds_polars_functions_spark.operators import split_patients as sp
+
+    baseline = sp.harvest_patient_ids([meds_df])
+    monkeypatch.setattr(sp, "MAX_HARVESTED_PATIENT_IDS", len(baseline) - 1)
+    with pytest.raises(ValueError, match="hash_split_expr"):
+        sp.harvest_patient_ids([meds_df])
+    # exactly at the cap: the full id set still comes back, unchanged
+    monkeypatch.setattr(sp, "MAX_HARVESTED_PATIENT_IDS", len(baseline))
+    assert sp.harvest_patient_ids([meds_df]) == baseline
+
+
 def test_bucketed_join_has_no_exchange(tmpdir, spark, meds_df):
     """Tables bucketed on the same key/count join WITHOUT any shuffle:
     the ingest-time bucketing replaces the per-query exchange — the
