@@ -6,10 +6,15 @@ SCALE.md METHOD), while interleaving reference and current code inside
 ONE warm Spark session removes the host from the comparison.
 
 Usage:
-    python scripts/ab.py <ref-rev-or-tree> [query ...]
+    python scripts/ab.py <ref-rev-or-tree> [--out PATH] [query ...]
 
     <ref-rev-or-tree>  a git rev (a worktree is created under /tmp) or a
                        path to an existing checkout of the reference code
+    --out PATH         where to write the raw-sample JSON record; default
+                       records/ab_<ref>_vs_<head>.json IN THE REPO
+                       (VERDICT r7 item 4: the per-round samples behind
+                       every SCALE.md median must be auditable after the
+                       fact — the round-7 contamination incident is why)
     [query ...]        registered query names; default = the 19 frozen
                        headline keys from the round-4 experiment
 
@@ -18,6 +23,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Output: one JSON line per (tree, round) with per-query seconds, then a
 per-query median-delta summary — negative delta_pct = current is faster.
+The full record (env, revs, every per-round sample, summary) also lands
+at --out.
 """
 
 import json
@@ -96,8 +103,28 @@ def run_suite(spark, em, names: list[str], label: str) -> dict[str, float]:
 def main() -> None:
     if len(sys.argv) < 2:
         sys.exit(__doc__)
-    ref_tree = resolve_ref_tree(sys.argv[1])
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    ref_tree = resolve_ref_tree(args[0])
+    names = args[1:] or DEFAULT_QUERIES
+
+    head_sha = subprocess.run(
+        ["git", "-C", CUR_TREE, "rev-parse", "--short", "HEAD"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    ref_label = os.path.basename(ref_tree).replace("ab_ref_", "")
+    if out_path is None:
+        out_path = os.path.join(
+            CUR_TREE, "records", f"ab_{ref_label}_vs_{head_sha}.json"
+        )
+    record: dict = {
+        "ref": ref_label, "head": head_sha, "sf_dir": SF_DIR,
+        "n_rounds": N_ROUNDS, "queries": names, "samples": [],
+    }
 
     sys.path.insert(0, CUR_TREE)
     from meds_polars_functions_spark.session import get_spark
@@ -120,9 +147,10 @@ def main() -> None:
     run_suite(spark, load_tree(CUR_TREE, ref_tree), names, "warmup-cur")
 
     ref_runs, cur_runs = [], []
-    for _ in range(N_ROUNDS):
+    for rnd in range(N_ROUNDS):
         ref_runs.append(run_suite(spark, load_tree(ref_tree, CUR_TREE), names, "ref"))
         cur_runs.append(run_suite(spark, load_tree(CUR_TREE, ref_tree), names, "cur"))
+        record["samples"].append({"round": rnd, "ref": ref_runs[-1], "cur": cur_runs[-1]})
 
     summary = {}
     names = [n for n in names if all(n in r for r in ref_runs + cur_runs)]
@@ -133,10 +161,17 @@ def main() -> None:
                          "delta_pct": round(100.0 * (mc - mr) / mr, 1)}
     tr = round(sum(v["ref_med"] for v in summary.values()), 3)
     tc = round(sum(v["cur_med"] for v in summary.values()), 3)
+    record["summary"] = summary
+    record["ref_total_med"], record["cur_total_med"] = tr, tc
+    record["total_delta_pct"] = round(100.0 * (tc - tr) / tr, 1)
     print(json.dumps({"summary": summary, "ref_total_med": tr,
                       "cur_total_med": tc,
-                      "total_delta_pct": round(100.0 * (tc - tr) / tr, 1)}),
+                      "total_delta_pct": record["total_delta_pct"]}),
           flush=True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(f"raw samples -> {out_path}", flush=True)
     spark.stop()
 
 

@@ -136,6 +136,7 @@ def main() -> None:
             assert a == b, (family, t, a, b)
 
     results: dict[tuple, list[float]] = {}
+    samples: list[dict] = []
     # warm both paths, then interleave
     for family in ("containment", "jaccard"):
         for t in (0.5, 0.8):
@@ -147,8 +148,9 @@ def main() -> None:
                 for variant in ("baseline", "prefix"):
                     sec = run(family, variant, t)
                     results.setdefault((family, t, variant), []).append(sec)
-                    print(json.dumps({"round": r, "family": family, "t": t,
-                                      "variant": variant, "sec": sec}), flush=True)
+                    samples.append({"round": r, "family": family, "t": t,
+                                    "variant": variant, "sec": sec})
+                    print(json.dumps(samples[-1]), flush=True)
     summary = {"n_templates": n_templates}
     for (family, t, variant), xs in results.items():
         xs = sorted(xs)
@@ -159,6 +161,18 @@ def main() -> None:
             p = summary[f"{family}_t{t}_prefix_median"]
             summary[f"{family}_t{t}_prefix_vs_baseline_pct"] = round(100 * (p - b) / b, 1)
     print(json.dumps({"n_docs": n_docs, "vocab": vocab, **summary}), flush=True)
+    # raw samples into the repo (VERDICT r7 item 4): medians in SCALE.md
+    # must stay auditable after the fact.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "records"), exist_ok=True)
+    out_path = os.path.join(
+        repo, "records",
+        f"ab_prefix_diverse_{n_docs}d_{vocab}v_{n_templates}tpl.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump({"n_docs": n_docs, "vocab": vocab, "rounds": rounds,
+                   "samples": samples, "summary": summary}, fh, indent=1)
+    print(f"raw samples -> {out_path}", flush=True)
 
 
 if __name__ == "__main__":
