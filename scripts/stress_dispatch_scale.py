@@ -1,0 +1,154 @@
+"""Scale-validation of the auto-dispatch cutover constants (VERDICT r7
+item 1 — the one open design risk).
+
+The round-7 crossover table calibrated `AUTO_PREFIX_EXPANSION_CUTOVER`
+(jaccard, ratio 28) and `CONTAINMENT_T_SPLIT`/`CONTAINMENT_RATIO_CUTOVER`
+(0.65 / 5.0) on 10k-30k-doc corpora. The open question: does the measured
+crossover RATIO move when the corpus grows 16x at FIXED expansion ratio?
+(At fixed ratio both the baseline's ~Sigma f^2/2 candidate rows and the
+prefix path's posting+window rows grow linearly with corpus size, so the
+first-order prediction is scale-invariance; what could move it are
+second-order effects — shuffle spill, the rank window's sort going
+out-of-cache, scheduler overhead amortization.)
+
+Method (SCALE.md METHOD): per corpus, ONE warm Spark session; each
+(family, t) cell runs baseline/prefix interleaved, 1 warm + N recorded
+rounds, noop sink; outputs asserted pair-identical once per cell before
+timing. Corpora come from ab_prefix_diverse.diverse_docs with the
+template count chosen to BRACKET each dispatch boundary:
+
+    jaccard boundary (cutover 28):     ratio ~10 and ~30
+    containment boundary (cutover 5):  ratio ~5 at t = 0.8 (>= t_split)
+
+and the 16x corpora hold n_docs/n_templates constant so the expansion
+ratio is preserved while volume grows 16x.
+
+Usage: python scripts/stress_dispatch_scale.py [--scale 1|16] [--cell NAME ...]
+Cells: j10, j30, c5 (default: all three at the given scale).
+Env: DISPATCH_ROUNDS (recorded rounds, default 2).
+
+Raw samples land in records/dispatch_scale_<cell>_<scale>x.json
+(VERDICT r7 item 4: medians must be auditable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ab_prefix_diverse import GEN_VERSION, SEED, diverse_docs  # noqa: E402
+
+from meds_polars_functions_spark.operators.dedup import (  # noqa: E402
+    containment_pairs,
+    containment_pairs_prefix,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+    shingle_expansion_diagnostic,
+)
+from meds_polars_functions_spark.session import get_spark  # noqa: E402
+
+N_ROUNDS = int(os.environ.get("DISPATCH_ROUNDS", "2"))
+BASE_DOCS = 30_000
+VOCAB = 200_000
+
+#: template counts chosen (diagnostic-probed at 30k docs: ratio fits
+#: 1.9 + 10820/T almost exactly) to land the expansion ratio near each
+#: dispatch boundary; the 16x corpora scale n_templates with n_docs so
+#: per-template frequency — hence the ratio — is preserved.
+CELLS = {
+    "j10": {"n_templates": 1336, "family": "jaccard", "ts": [0.5, 0.8]},
+    "j30": {"n_templates": 385, "family": "jaccard", "ts": [0.5, 0.8]},
+    "c5": {"n_templates": 3490, "family": "containment", "ts": [0.8]},
+}
+
+VARIANTS = {
+    ("containment", "baseline"): containment_pairs,
+    ("containment", "prefix"): containment_pairs_prefix,
+    ("jaccard", "baseline"): ngram_jaccard_pairs,
+    ("jaccard", "prefix"): ngram_jaccard_pairs_prefix,
+}
+
+
+def corpus(spark, n_docs: int, n_templates: int):
+    scratch = (
+        f"/tmp/spark_graft_diverse_v{GEN_VERSION}_s{SEED}"
+        f"_{n_docs}_{VOCAB}_{n_templates}"
+    )
+    if not os.path.exists(scratch):
+        diverse_docs(spark, n_docs, VOCAB, n_templates).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+    return spark.read.parquet(scratch)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    scale = 1
+    if "--scale" in args:
+        i = args.index("--scale")
+        scale = int(args[i + 1])
+        del args[i : i + 2]
+    cells = [a for a in args if a != "--cell"] or list(CELLS)
+
+    spark = get_spark("dispatch_scale")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    for cell in cells:
+        spec = CELLS[cell]
+        n_docs = BASE_DOCS * scale
+        n_templates = spec["n_templates"] * scale
+        docs = corpus(spark, n_docs, n_templates)
+        diag = shingle_expansion_diagnostic(docs, "text", "doc_id")
+        print(json.dumps({"cell": cell, "scale": scale, "n_docs": n_docs,
+                          "n_templates": n_templates, **diag}), flush=True)
+
+        family = spec["family"]
+        record = {"cell": cell, "scale": scale, "n_docs": n_docs,
+                  "n_templates": n_templates, "diagnostic": diag,
+                  "rounds": N_ROUNDS, "samples": [], "summary": {}}
+
+        def run(t: float, variant: str) -> float:
+            fn = VARIANTS[(family, variant)]
+            t0 = time.time()
+            fn(docs, "text", "doc_id", threshold=t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.time() - t0, 3)
+
+        for t in spec["ts"]:
+            a = VARIANTS[(family, "baseline")](docs, "text", "doc_id", threshold=t).count()
+            b = VARIANTS[(family, "prefix")](docs, "text", "doc_id", threshold=t).count()
+            assert a == b, (cell, t, a, b)
+            print(json.dumps({"cell": cell, "t": t, "pairs": a,
+                              "identical": True}), flush=True)
+            for variant in ("baseline", "prefix"):  # warm both plans
+                run(t, variant)
+            results: dict[str, list[float]] = {"baseline": [], "prefix": []}
+            for r in range(N_ROUNDS):
+                for variant in ("baseline", "prefix"):
+                    sec = run(t, variant)
+                    results[variant].append(sec)
+                    record["samples"].append({"round": r, "t": t,
+                                              "variant": variant, "sec": sec})
+                    print(json.dumps(record["samples"][-1]), flush=True)
+            med = {v: sorted(xs)[len(xs) // 2] for v, xs in results.items()}
+            delta = round(100 * (med["prefix"] - med["baseline"]) / med["baseline"], 1)
+            record["summary"][f"t{t}"] = {**med, "prefix_vs_baseline_pct": delta}
+            print(json.dumps({"cell": cell, "scale": scale, "t": t, **med,
+                              "prefix_vs_baseline_pct": delta}), flush=True)
+
+        os.makedirs(os.path.join(REPO, "records"), exist_ok=True)
+        out = os.path.join(REPO, "records", f"dispatch_scale_{cell}_{scale}x.json")
+        with open(out, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"raw samples -> {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
