@@ -1995,12 +1995,31 @@ def shingle_expansion_diagnostic(
     }
 
 
-#: Jaccard expansion-ratio cutover, calibrated on four measured corpora
-#: (SCALE.md "Round 7: prefix-filter crossover table"): baseline wins at
-#: ratio 1.9 (diverse, prefix +14..34%) and 10.7 (bench corpus, prefix
-#: +130% at t=0.5); prefix is neutral at 74 and wins 31-43% at 295.
-#: Geometric midpoint of the bracketing measurements sqrt(10.7*74) ~ 28.
-AUTO_PREFIX_EXPANSION_CUTOVER = 28.0
+#: Jaccard dispatch constants, RE-CALIBRATED round 8 (SCALE.md "Round 8:
+#: dispatch-boundary scale validation"; raw samples records/dispatch_*).
+#: The r7 ratio-only cutover (28, from 10k-30k-doc corpora) turned out to
+#: be volume-blind: at 30k docs baseline wins at ratio 9.9 (+40%) AND
+#: 30.3 (+27%), while at 480k docs prefix wins at ratio 11.8 (−22%),
+#: 17.5 (−58%), and 37.9 (−62..−67%) — the same ratio flips winner with
+#: volume. The physical model says why: the baseline posting join's
+#: extra cost is ~Σf²/2 CANDIDATE ROWS (absolute volume), while the
+#: prefix path's extra cost is the rank window over Σf posting rows plus
+#: near-constant plan overhead — at small Σf² the window overhead
+#: dominates, at large Σf² the candidate volume does. So the dispatch
+#: signal is the diagnostic's ABSOLUTE sum_p2: prefix iff
+#: sum_p2 >= AUTO_PREFIX_SUMP2_CUTOVER (geometric midpoint of the
+#: bracketing cells: baseline-wins max 1.43e8 [j30 1x, +27%],
+#: prefix-wins min 8.96e8 [j10 16x-vs, −22%] -> sqrt ~ 3.6e8; the rule
+#: classifies all 18 measured jaccard cells correctly, counting the one
+#: genuinely neutral cell [boiler 10k/50, 1.18e8, +2.3/−4.1%] as
+#: either-way), guarded by expansion_ratio >= AUTO_PREFIX_MIN_RATIO
+#: to exclude the near-uniform regime (ratio ~2: Σf² ≈ 2Σf crosses any
+#: absolute cutover on a big enough corpus, but then candidates ≈
+#: postings — the posting join is near-linear and the window can never
+#: pay; no measured cell, theory-driven guard, mis-pick there is the
+#: bounded +15..40% prefix overhead, never the 2-3x baseline blowup).
+AUTO_PREFIX_SUMP2_CUTOVER = 3.6e8
+AUTO_PREFIX_MIN_RATIO = 8.0
 
 #: Containment dispatch constants (see containment_pairs_auto): the
 #: threshold regime boundary and its ratio cutover. Calibrated 8/8 on
@@ -2008,6 +2027,15 @@ AUTO_PREFIX_EXPANSION_CUTOVER = 28.0
 #: low-t cell was concurrent-load contamination, re-measured +8.2%);
 #: the ratio separates diverse (1.9, baseline at every t) from bench
 #: (10.7) and boilerplate (74/295) corpora, where prefix wins at high t.
+#: SCALE-VALIDATED round 8 (unlike the jaccard cutover, which moved):
+#: at 16x volume (480k docs, 75.8M postings) the measured boundary
+#: stayed at ratio ~5-6 — baseline wins all 4 rounds at ratio 4.89
+#: (prefix +21.5%), prefix wins at 6.7 and 12.4 (−32..−60%). Containment
+#: is volume-stable because its high-t prefix is SHORT ((1-t)|A|+1 ≈
+#: 20% of each doc at t=0.8): the rank-window overhead scales with the
+#: baseline's savings instead of amortizing against them, so the
+#: crossover is a corpus-shape property. Raw samples:
+#: records/dispatch_scale_c*.json.
 CONTAINMENT_T_SPLIT = 0.65
 CONTAINMENT_RATIO_CUTOVER = 5.0
 
@@ -2018,18 +2046,25 @@ def ngram_jaccard_pairs_auto(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    cutover: float = AUTO_PREFIX_EXPANSION_CUTOVER,
+    sump2_cutover: float = AUTO_PREFIX_SUMP2_CUTOVER,
+    min_ratio: float = AUTO_PREFIX_MIN_RATIO,
     diagnostic: dict | None = None,
 ) -> DataFrame:
     """Exact Jaccard threshold join that PICKS ITS OWN PLAN: measures
-    the corpus' pair-expansion ratio (``shingle_expansion_diagnostic``,
-    one cheap agg) and dispatches to the posting-join baseline below the
-    cutover or the AllPairs prefix path above it. Output is identical
-    either way (theorem-equal operators); only wall-clock changes.
-    Pass ``diagnostic`` to reuse an already-computed dict (e.g. when
-    running several thresholds over one corpus)."""
+    the corpus' pair expansion (``shingle_expansion_diagnostic``, one
+    cheap agg) and dispatches to the AllPairs prefix path when the
+    ABSOLUTE candidate volume Σf² crosses ``sump2_cutover`` (and the
+    expansion ratio clears ``min_ratio`` — the near-uniform guard), the
+    posting-join baseline otherwise. Round-8 re-calibration: the
+    crossover is a volume property, not a ratio property — see the
+    constants' provenance note above and SCALE.md round 8. Output is
+    identical either way (theorem-equal operators); only wall-clock
+    changes. Pass ``diagnostic`` to reuse an already-computed dict
+    (e.g. when running several thresholds over one corpus). Force a
+    branch with ``sump2_cutover=0.0, min_ratio=0.0`` (prefix) or
+    ``sump2_cutover=float("inf")`` (baseline)."""
     d = diagnostic or shingle_expansion_diagnostic(df, text_col, id_col, shingle_n)
-    if d["expansion_ratio"] >= cutover:
+    if d["sum_p2"] >= sump2_cutover and d["expansion_ratio"] >= min_ratio:
         return ngram_jaccard_pairs_prefix(df, text_col, id_col, threshold, shingle_n)
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
 

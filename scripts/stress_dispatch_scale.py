@@ -23,8 +23,13 @@ template count chosen to BRACKET each dispatch boundary:
 and the 16x corpora hold n_docs/n_templates constant so the expansion
 ratio is preserved while volume grows 16x.
 
-Usage: python scripts/stress_dispatch_scale.py [--scale 1|16] [--cell NAME ...]
+Usage: python scripts/stress_dispatch_scale.py [--scale 1|16] [--vocab-scale]
+                                               [--cell NAME ...]
 Cells: j10, j30, c5 (default: all three at the given scale).
+--vocab-scale grows the vocabulary with volume so the expansion ratio
+stays at its 1x value (isolates "same ratio, 16x volume"); without it
+the fixed vocab lets the ratio drift up with n_docs, which conflates
+the two candidate dispatch signals.
 Env: DISPATCH_ROUNDS (recorded rounds, default 2).
 
 Raw samples land in records/dispatch_scale_<cell>_<scale>x.json
@@ -65,6 +70,10 @@ CELLS = {
     "j10": {"n_templates": 1336, "family": "jaccard", "ts": [0.5, 0.8]},
     "j30": {"n_templates": 385, "family": "jaccard", "ts": [0.5, 0.8]},
     "c5": {"n_templates": 3490, "family": "containment", "ts": [0.8]},
+    # the sub-cutover corner: ratio ~4.4 at 16x-vs volume, where the
+    # containment ratio rule (>= 5 -> prefix) picks BASELINE — measures
+    # whether low-ratio/high-volume flips like the jaccard family did
+    "c3": {"n_templates": 8300, "family": "containment", "ts": [0.8]},
 }
 
 VARIANTS = {
@@ -75,13 +84,13 @@ VARIANTS = {
 }
 
 
-def corpus(spark, n_docs: int, n_templates: int):
+def corpus(spark, n_docs: int, n_templates: int, vocab: int = VOCAB):
     scratch = (
         f"/tmp/spark_graft_diverse_v{GEN_VERSION}_s{SEED}"
-        f"_{n_docs}_{VOCAB}_{n_templates}"
+        f"_{n_docs}_{vocab}_{n_templates}"
     )
     if not os.path.exists(scratch):
-        diverse_docs(spark, n_docs, VOCAB, n_templates).write.mode(
+        diverse_docs(spark, n_docs, vocab, n_templates).write.mode(
             "overwrite"
         ).parquet(scratch)
     return spark.read.parquet(scratch)
@@ -94,6 +103,16 @@ def main() -> None:
         i = args.index("--scale")
         scale = int(args[i + 1])
         del args[i : i + 2]
+    # --vocab-scale: scale the vocabulary with volume (Heaps-law-style) so
+    # per-shingle frequencies — hence the expansion ratio — stay at their
+    # 1x values while volume grows. Without it, fixed vocab makes the
+    # ratio itself drift up with n_docs (measured: 9.9 -> 17.5 at 16x),
+    # which is realistic for template frequency but conflates the two
+    # dispatch signals; the vocab-scaled cells isolate "same ratio,
+    # 16x volume".
+    vocab_scaled = "--vocab-scale" in args
+    if vocab_scaled:
+        args.remove("--vocab-scale")
     cells = [a for a in args if a != "--cell"] or list(CELLS)
 
     spark = get_spark("dispatch_scale")
@@ -103,14 +122,17 @@ def main() -> None:
         spec = CELLS[cell]
         n_docs = BASE_DOCS * scale
         n_templates = spec["n_templates"] * scale
-        docs = corpus(spark, n_docs, n_templates)
+        vocab = VOCAB * (scale if vocab_scaled else 1)
+        docs = corpus(spark, n_docs, n_templates, vocab)
         diag = shingle_expansion_diagnostic(docs, "text", "doc_id")
         print(json.dumps({"cell": cell, "scale": scale, "n_docs": n_docs,
-                          "n_templates": n_templates, **diag}), flush=True)
+                          "n_templates": n_templates, "vocab": vocab,
+                          **diag}), flush=True)
 
         family = spec["family"]
         record = {"cell": cell, "scale": scale, "n_docs": n_docs,
-                  "n_templates": n_templates, "diagnostic": diag,
+                  "n_templates": n_templates, "vocab": vocab,
+                  "diagnostic": diag,
                   "rounds": N_ROUNDS, "samples": [], "summary": {}}
 
         def run(t: float, variant: str) -> float:
@@ -144,7 +166,8 @@ def main() -> None:
                               "prefix_vs_baseline_pct": delta}), flush=True)
 
         os.makedirs(os.path.join(REPO, "records"), exist_ok=True)
-        out = os.path.join(REPO, "records", f"dispatch_scale_{cell}_{scale}x.json")
+        suffix = "x_vs" if vocab_scaled else "x"
+        out = os.path.join(REPO, "records", f"dispatch_scale_{cell}_{scale}{suffix}.json")
         with open(out, "w") as fh:
             json.dump(record, fh, indent=1)
         print(f"raw samples -> {out}", flush=True)

@@ -1012,13 +1012,15 @@ def test_auto_dispatch_identical_to_both_variants(spark):
     ref_j = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 9))
         for r in ngram_jaccard_pairs_auto(
-            docs, "text", "doc_id", threshold=0.5, cutover=float("inf"), diagnostic=diag
+            docs, "text", "doc_id", threshold=0.5,
+            sump2_cutover=float("inf"), diagnostic=diag
         ).collect()  # forced baseline
     }
     forced_prefix = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 9))
         for r in ngram_jaccard_pairs_auto(
-            docs, "text", "doc_id", threshold=0.5, cutover=0.0, diagnostic=diag
+            docs, "text", "doc_id", threshold=0.5,
+            sump2_cutover=0.0, min_ratio=0.0, diagnostic=diag
         ).collect()  # forced prefix
     }
     assert ref_j == forced_prefix

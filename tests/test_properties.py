@@ -609,14 +609,17 @@ def test_prefix_paths_equal_baselines_on_random_corpora(spark, docs, t):
         }
 
     base_j = pairs(ngram_jaccard_pairs(df, "text", "doc_id", t, 2), "jaccard")
-    for cut in (0.0, float("inf")):
+    for kw in (
+        {"sump2_cutover": 0.0, "min_ratio": 0.0},  # forced prefix
+        {"sump2_cutover": float("inf")},  # forced baseline
+    ):
         got = pairs(
             ngram_jaccard_pairs_auto(
-                df, "text", "doc_id", t, 2, cutover=cut, diagnostic=diag
+                df, "text", "doc_id", t, 2, diagnostic=diag, **kw
             ),
             "jaccard",
         )
-        assert got == base_j, (t, cut)
+        assert got == base_j, (t, kw)
     base_c = pairs(containment_pairs(df, "text", "doc_id", t, 2), "containment")
     for cut in (0.0, float("inf")):
         got = pairs(
