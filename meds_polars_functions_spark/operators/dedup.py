@@ -2016,8 +2016,12 @@ def shingle_expansion_diagnostic(
 #: to exclude the near-uniform regime (ratio ~2: Σf² ≈ 2Σf crosses any
 #: absolute cutover on a big enough corpus, but then candidates ≈
 #: postings — the posting join is near-linear and the window can never
-#: pay; no measured cell, theory-driven guard, mis-pick there is the
-#: bounded +15..40% prefix overhead, never the 2-3x baseline blowup).
+#: pay). The guard's boundary is MEASURED at its worst case (j5 cell,
+#: ratio 4.89 / Σf² 3.7e8 at 480k docs): the winner is threshold-split
+#: there — baseline +35% better at t=0.8 (all rounds), prefix ~13%
+#: better at t=0.5 (2 of 3 noisy rounds) — so the guard's worst
+#: measured mis-pick is a bounded ~13%, against the 2-3x baseline
+#: blowup it prevents being mis-priced in the ratio~2 regime.
 AUTO_PREFIX_SUMP2_CUTOVER = 3.6e8
 AUTO_PREFIX_MIN_RATIO = 8.0
 

@@ -74,6 +74,11 @@ CELLS = {
     # containment ratio rule (>= 5 -> prefix) picks BASELINE — measures
     # whether low-ratio/high-volume flips like the jaccard family did
     "c3": {"n_templates": 8300, "family": "containment", "ts": [0.8]},
+    # same corpus, jaccard family: at 16x-vs this sits at ratio ~4.9 with
+    # sum_p2 ~3.7e8 — JUST above the volume cutover but under the
+    # min_ratio=8 guard, so the dispatcher picks baseline on the guard
+    # alone. Measures whether the theory-driven guard calls the winner.
+    "j5": {"n_templates": 8300, "family": "jaccard", "ts": [0.5, 0.8]},
 }
 
 VARIANTS = {
