@@ -3344,12 +3344,154 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 8: PQ-ADC shortlist → exact-cosine re-rank, the
+    standard two-stage compressed-ANN pattern (Jegou et al. 2011 §V.A:
+    quantized codes answer "who is close", raw vectors answer "in what
+    order"). Same deterministic codebook replay as q_pq_topk; the ADC
+    scan keeps the 20 best candidates per query (rank by rounded
+    approx_d, vec_id tie), then ONLY those 160 rows are re-scored with
+    exact cosine against the raw corpus vectors (broadcast joins — at
+    100 TB the raw embeddings are touched for |Q|·rerank rows, never
+    scanned). Exercises pq_topk's rerank path (similarity.py:909-985) at
+    oracle grade; registration with a round-9 window slot is the plan —
+    staged now because the round-8 registry is pinned at 167 by the
+    pre-committed ledger."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(
+        emb, queries, books, k=5, tie_round=6, rerank=20
+    ).select("query_id", "vec_id", "rank")
+
+
+def _pq_topk_rerank_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    dim: int = 64,
+    m: int = 8,
+    n_centroids: int = 16,
+    k: int = 5,
+    rerank: int = 20,
+) -> str | None:
+    """DuckDB replay of q_pq_topk_rerank: the _pq_topk_oracle_sql ADC
+    pipeline (same codebook replay, same strict-< encode tie rule, same
+    round-6 approx distance) truncated at rank <= rerank, then exact
+    cosine on the shortlist with the same round-6 tie grid and the
+    (cos DESC, vec_id) rank Spark's re-rank window uses. Cosine mirrors
+    the registered embedding_topk oracle's list_sum form (driver-green
+    at round 9 grid since r3; round 6 here is coarser still)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from meds_polars_functions_spark.operators.similarity import _kmeans_lloyd
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    sub = dim // m
+    books = [
+        _kmeans_lloyd(
+            np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+            n_centroids,
+            seed=42 + j,
+            n_iters=5,
+        )
+        for j in range(m)
+    ]
+
+    def dist(vec: str, c: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {sub + 1}), "
+            f"i -> ({vec}[i] - ({lit})[i]) * ({vec}[i] - ({lit})[i]))), (a, b) -> a + b)"
+        )
+
+    slices = ", ".join(
+        f"list_slice(v, {j * sub + 1}, {(j + 1) * sub}) AS s{j}" for j in range(m)
+    )
+    ds_arrays = ", ".join(
+        "[" + ", ".join(dist(f"s{j}", c) for c in books[j]) + f"] AS ds{j}"
+        for j in range(m)
+    )
+    bests = ", ".join(
+        f"list_reduce(ds{j}, (a, b) -> least(a, b)) AS b{j}" for j in range(m)
+    )
+    cells = ", ".join(
+        "(CASE "
+        + " ".join(f"WHEN ds{j}[{i + 1}] = b{j} THEN {i}" for i in range(n_centroids))
+        + f" END)::INT AS c{j}"
+        for j in range(m)
+    )
+    approx = " + ".join(f"q.ds{j}[c.c{j} + 1]" for j in range(m))
+    ds_cols = ", ".join(f"ds{j}" for j in range(m))
+    c_cols = ", ".join(f"c{j}" for j in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+sv AS (SELECT vec_id, {slices} FROM e),
+d AS (SELECT vec_id, {ds_arrays} FROM sv),
+b AS (SELECT *, {bests} FROM d),
+enc AS (SELECT vec_id, {cells} FROM b),
+q AS (SELECT vec_id AS query_id, {ds_cols} FROM d WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({approx}, 6) AS approx_d
+  FROM (SELECT vec_id, {c_cols} FROM enc) c
+  CROSS JOIN q),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_d ASC, vec_id) AS r
+    FROM scored) WHERE r <= {rerank}),
+qv AS (SELECT vec_id AS query_id, v AS qvec,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+       FROM e WHERE vec_id < 8),
+ex AS (
+  SELECT s.query_id, s.vec_id,
+    round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> qv.qvec[i] * e.v[i]))
+          / (qv.qn * sqrt(list_sum(list_transform(e.v, x -> x * x)))),
+          6) AS cos
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN qv ON qv.query_id = s.query_id),
+reranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM ex)
+SELECT query_id, vec_id, rank::INT AS rank FROM reranked WHERE rank <= {k}
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Empty since round 6: the registry freeze lifted and the round-5
-    staged pair (kneser_ney_lm, kmeans_cells) registered. Kept so the
-    staged-query plumbing (tests/test_staged_queries.py) stays wired for
-    any future freeze."""
-    return {}
+    """Round-8 staging: pq_topk_rerank (the two-stage shortlist→re-rank
+    ANN pattern) is implemented and oracle-proved locally
+    (tests/test_staged_queries.py, strict comparator at sf0.001) but the
+    round-8 registry is pinned at 167 by the pre-committed rotation
+    ledger — registration with a window slot is the round-9 move, as the
+    round-5 staged pair did in round 6."""
+    return {"pq_topk_rerank": q_pq_topk_rerank}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3416,8 +3558,12 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Empty since round 6 — see staged_queries()."""
-    return {}
+    """Oracles for the staged queries, built at sf0.001 (the staged
+    tests' grid — the codebook replay reads the parquet directly, so the
+    sf_dir must match the comparison's). On registration the entry in
+    ``oracle_sql()`` switches to the sf0.01 default, as q_pq_topk's did."""
+    sql = _pq_topk_rerank_oracle_sql(sf_dir="/root/testdata/sf0.001")
+    return {"pq_topk_rerank": sql} if sql else {}
 
 
 # ---------------------------------------------------------------------------

@@ -38,19 +38,21 @@ def con():
     return c
 
 
-def test_staging_area_empty_and_registered():
-    # round 6: the freeze lifted; the staged pair must be registered and
-    # the staging area empty (no orphaned staged entries). Window
-    # membership was a round-6-only requirement (their first driver
-    # rows); from round 7 on they rotate like any registered query —
-    # the per-round window itself is pinned by tests/test_registry.py.
-    assert entry.staged_queries() == {}
-    assert entry.staged_oracle_sql() == {}
+def test_staging_area_contents_and_round6_registrations():
+    # round 6: the freeze lifted; the round-5 staged pair registered.
+    # Round 8 stages pq_topk_rerank (registry pinned at 167 by the
+    # pre-committed rotation ledger; registration is the round-9 move).
+    # Every staged query must come WITH its oracle — a staged entry the
+    # comparator cannot check verifies nothing.
+    staged = entry.staged_queries()
+    assert set(staged) == {"pq_topk_rerank"}
+    assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
     for name in ("kneser_ney_lm", "kmeans_cells"):
         assert name in registered
         assert name in oracles
+    assert not set(staged) & set(registered)  # no double-booking
 
 
 def _strict_compare(spark, con, name):
@@ -65,6 +67,43 @@ def _strict_compare(spark, con, name):
     assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
         str(t) for t in odf[sorted(odf.columns)].dtypes
     ]
+
+
+def _strict_compare_staged(spark, con, name):
+    sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+    assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
+        str(t) for t in odf[sorted(odf.columns)].dtypes
+    ]
+
+
+def test_staged_pq_topk_rerank_matches_oracle_strict(spark, con):
+    """Round-8 staged query: PQ-ADC shortlist (rank <= 20 on the rounded
+    approx distance) -> exact-cosine re-rank -> top-5, vs the full DuckDB
+    replay (same codebook recompute, same tie grids, same rank orders)."""
+    _strict_compare_staged(spark, con, "pq_topk_rerank")
+
+
+def test_staged_rerank_differs_from_plain_adc_somewhere(spark):
+    """The re-rank must be a real second stage, not a no-op: on sf0.001
+    the exact-cosine order inside the 20-candidate shortlist disagrees
+    with the raw ADC order for at least one (query, rank) slot — if it
+    never did, the staged query would silently re-prove pq_topk."""
+    plain = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in entry.queries()["pq_topk"](spark, SF_DIR).collect()
+    }
+    rer = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in entry.staged_queries()["pq_topk_rerank"](spark, SF_DIR).collect()
+    }
+    assert set(plain) == set(rer)  # same (query, rank) grid
+    assert any(plain[key] != rer[key] for key in plain)
 
 
 def test_kneser_ney_lm_matches_oracle_strict(spark, con):
