@@ -971,8 +971,13 @@ def pq_topk(
     c_raw = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
     )
+    # the shortlist is |Q| x rerank rows BY CONSTRUCTION — broadcast it
+    # explicitly so the raw-corpus side always streams (don't leave the
+    # build-side choice to stats: at sf the corpus is the smaller side
+    # and AQE would happily broadcast it, the exact inversion that
+    # cannot hold at 100 TB)
     exact = (
-        cand.select("query_id", "vec_id")
+        F.broadcast(cand.select("query_id", "vec_id"))
         .join(c_raw, "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select(
