@@ -3353,10 +3353,11 @@ def q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_d, vec_id tie), then ONLY those 160 rows are re-scored with
     exact cosine against the raw corpus vectors (broadcast joins — at
     100 TB the raw embeddings are touched for |Q|·rerank rows, never
-    scanned). Exercises pq_topk's rerank path (similarity.py:909-985) at
-    oracle grade; registration with a round-9 window slot is the plan —
-    staged now because the round-8 registry is pinned at 167 by the
-    pre-committed ledger."""
+    scanned). Exercises pq_topk's ``rerank=`` path (the two-stage branch
+    of ``operators.similarity.pq_topk``) at oracle grade. Staged in
+    round 8 behind the pre-committed ledger; REGISTERED round 9 with a
+    window slot and the sf0.01 oracle default (COVERAGE.md round-9
+    ledger), exactly the path the round-5 staged pair took in round 6."""
     _prep(spark)
     from meds_polars_functions_spark.operators.similarity import (
         pq_topk,
@@ -3485,13 +3486,15 @@ SELECT query_id, vec_id, rank::INT AS rank FROM reranked WHERE rank <= {k}
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Round-8 staging: pq_topk_rerank (the two-stage shortlist→re-rank
-    ANN pattern) is implemented and oracle-proved locally
-    (tests/test_staged_queries.py, strict comparator at sf0.001) but the
-    round-8 registry is pinned at 167 by the pre-committed rotation
-    ledger — registration with a window slot is the round-9 move, as the
-    round-5 staged pair did in round 6."""
-    return {"pq_topk_rerank": q_pq_topk_rerank}
+    """Staging area for implemented-but-not-yet-registered queries.
+
+    Currently EMPTY: the round-8 staged query (pq_topk_rerank) was
+    registered in round 9 with window slot 1 and the sf0.01 oracle
+    default (COVERAGE.md round-9 ledger) — the same staged→registered
+    path kneser_ney_lm/kmeans_cells took in round 6. New operators that
+    land mid-round after the rotation ledger is committed go here (with
+    an oracle in staged_oracle_sql) until the next round's ledger."""
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3558,12 +3561,13 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries, built at sf0.001 (the staged
-    tests' grid — the codebook replay reads the parquet directly, so the
-    sf_dir must match the comparison's). On registration the entry in
-    ``oracle_sql()`` switches to the sf0.01 default, as q_pq_topk's did."""
-    sql = _pq_topk_rerank_oracle_sql(sf_dir="/root/testdata/sf0.001")
-    return {"pq_topk_rerank": sql} if sql else {}
+    """Oracles for the staged queries — empty while the staging area is
+    (see staged_queries). A staged entry must always come with its
+    oracle built at the staged tests' grid (sf0.001 — the codebook-style
+    replays read the parquet directly, so the sf_dir must match the
+    comparison's); on registration the ``oracle_sql()`` entry switches
+    to the sf0.01 driver default, as pq_topk_rerank's did in round 9."""
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -3578,77 +3582,72 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-8 window (this round), per VERDICT r7 items 2-3 (ledger
-# pre-committed in COVERAGE.md before any round-8 code work):
-#   slots 1-5   = the queries round-8 changes touch (mid-round re-proof
-#                 rule): patient_split_filter + patient_id_harvest
-#                 (harvest_patient_ids row cap, VERDICT r7 item 2),
-#                 kmeans_cells (k-means‖ phi cast-null counting, ADVICE
-#                 r8 item 2), pq_topk (train_pq_codebooks default-change
-#                 docstring, ADVICE r8 item 4 — docstring edits dirty
-#                 conservatively), containment (containment_pairs low-t
-#                 output-size docstring, VERDICT r7 item 5);
-#   slots 6-28  = ALL 23 remaining r4-age greens (CORRECTNESS_r04 dict
-#                 order) — after this window no r4-age rows remain;
-#   slots 29-50 = the 22 stalest r5-age greens (CORRECTNESS_r05 dict
-#                 order).
-# Registry unchanged at 167. Ever-green coverage ledger: COVERAGE.md.
+# Round-9 window (this round), per VERDICT r8 items 1-2 (ledger
+# pre-committed in COVERAGE.md before any round-9 code work):
+#   slot 1      = pq_topk_rerank — the round-8 STAGED query, REGISTERED
+#                 this round (registry 167 → 168) with the sf0.01 oracle
+#                 default; also the only query planned round-9 code
+#                 touches (docstring de-line-numbering, ADVICE r9 item 3).
+#   slots 2-24  = ALL 23 remaining r5-age greens (next_window.py queue
+#                 order) — after this window no r5-age rows remain;
+#   slots 25-50 = the 26 oldest r6-age greens (queue order).
+# Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # touched by planned round-8 changes (mid-round re-proof rule)
-    "patient_split_filter",
-    "patient_id_harvest",
-    "kmeans_cells",
-    "pq_topk",
-    "containment",
-    # ALL 23 remaining r4-age greens, CORRECTNESS_r04 dict order
-    "label_propagation",
-    "binned_quantiles",
-    "embedding_dim_stats",
-    "standardize_embeddings",
-    "temperature_mixture",
-    "winsorize_quantile",
-    "incremental_code_agg",
-    "code_value_trend",
-    "event_transitions",
-    "code_pmi",
-    "welch_ttest",
-    "rolling_features",
-    "target_encode",
-    "corr_matrix",
-    "code_rollup",
-    "drift_metrics",
-    "curation_v2",
-    "regex_filter",
-    "integral_values",
-    "fill_to_nans",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_customer",
-    # the 22 stalest r5-age greens, CORRECTNESS_r05 dict order
-    "novelty_score",
-    "chi_square",
-    "decontaminate",
-    "hourly_event_counts",
-    "mixture_sample",
-    "hash_split",
-    "code_patients_hll",
-    "funnel_conversion",
-    "retention_cohort",
-    "orders_histogram",
-    "json_props_stats",
-    "value_percentiles",
-    "cube_revenue",
-    "pivot_status",
-    "sessionize",
-    "reorder_rank",
-    "event_user_enrich",
-    "distinct_twophase",
-    "order_restore",
-    "add_age",
-    "time_delta_days",
-    "datetime_parts",
+    # round-9 registration (staged r8) + the only round-9-touched query
+    "pq_topk_rerank",
+    # ALL 23 remaining r5-age greens, next_window.py queue order
+    "pack_sequences",
+    "corpus_curation",
+    "text_quality",
+    "quality_filter",
+    "tfidf_top_terms",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "exact_dedup",
+    "minhash_near_dup",
+    "simhash_buckets",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "lsh_topk",
+    "scrub_pii",
+    "chunk_documents",
+    "unigram_entropy",
+    "class_balanced",
+    "fuzzy_name_pairs",
+    "asof_purchase_click",
+    # the 26 oldest r6-age greens, next_window.py queue order
+    "sliding_window_counts",
+    "range_join_events",
+    "bloom_semi_filter",
+    "locf_impute",
+    "stream_interval_join",
+    "resample_last",
+    "topk_pruned",
+    "trailing_range_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "nation_profit",
+    "important_parts",
+    "supplier_cnt",
+    "repeated_spans",
+    "dominant_suppliers",
+    "shipping_priority",
+    "forecast_revenue",
+    "local_supplier_volume",
+    "jaccard_prefix",
+    "kneser_ney_lm",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "near_dedup",
+    "agg_code_metadata",
+    "agg_all_codes",
+    "filter_patients_min_measurements",
 ]
 
 
@@ -3688,6 +3687,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "pq_topk_rerank": q_pq_topk_rerank,
         "winnow_pairs": q_winnow_pairs,
         "cdc_chunks": q_cdc_chunks,
         "logreg_step": q_logreg_step,
@@ -5347,6 +5347,7 @@ FROM w
         "patient_split_filter": _patient_split_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
+        "pq_topk_rerank": _pq_topk_rerank_oracle_sql(),
         "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key

@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-8 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-9 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "patient_split_filter",
-    "patient_id_harvest",
-    "kmeans_cells",
-    "pq_topk",
-    "containment",
-    "label_propagation",
-    "binned_quantiles",
-    "embedding_dim_stats",
-    "standardize_embeddings",
-    "temperature_mixture",
-    "winsorize_quantile",
-    "incremental_code_agg",
-    "code_value_trend",
-    "event_transitions",
-    "code_pmi",
-    "welch_ttest",
-    "rolling_features",
-    "target_encode",
-    "corr_matrix",
-    "code_rollup",
-    "drift_metrics",
-    "curation_v2",
-    "regex_filter",
-    "integral_values",
-    "fill_to_nans",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_customer",
-    "novelty_score",
-    "chi_square",
-    "decontaminate",
-    "hourly_event_counts",
-    "mixture_sample",
-    "hash_split",
-    "code_patients_hll",
-    "funnel_conversion",
-    "retention_cohort",
-    "orders_histogram",
-    "json_props_stats",
-    "value_percentiles",
-    "cube_revenue",
-    "pivot_status",
-    "sessionize",
-    "reorder_rank",
-    "event_user_enrich",
-    "distinct_twophase",
-    "order_restore",
-    "add_age",
-    "time_delta_days",
-    "datetime_parts",
+    "pq_topk_rerank",
+    "pack_sequences",
+    "corpus_curation",
+    "text_quality",
+    "quality_filter",
+    "tfidf_top_terms",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "exact_dedup",
+    "minhash_near_dup",
+    "simhash_buckets",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "lsh_topk",
+    "scrub_pii",
+    "chunk_documents",
+    "unigram_entropy",
+    "class_balanced",
+    "fuzzy_name_pairs",
+    "asof_purchase_click",
+    "sliding_window_counts",
+    "range_join_events",
+    "bloom_semi_filter",
+    "locf_impute",
+    "stream_interval_join",
+    "resample_last",
+    "topk_pruned",
+    "trailing_range_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "nation_profit",
+    "important_parts",
+    "supplier_cnt",
+    "repeated_spans",
+    "dominant_suppliers",
+    "shipping_priority",
+    "forecast_revenue",
+    "local_supplier_volume",
+    "jaccard_prefix",
+    "kneser_ney_lm",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "near_dedup",
+    "agg_code_metadata",
+    "agg_all_codes",
+    "filter_patients_min_measurements",
 ]
 
 
@@ -123,14 +123,16 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
 
 
-def test_registry_pinned_at_167():
+def test_registry_pinned_at_168():
     # Round 6: the freeze condition (verification debt < window size) was
     # met by the round-6 rotation, so the registry grew 165 -> 167 with
     # the formerly-staged kneser_ney_lm + kmeans_cells (COVERAGE.md
-    # round-6 ledger). Any further growth must edit this pin deliberately
+    # round-6 ledger). Round 9: the round-8 staged pq_topk_rerank
+    # registered with window slot 1 (COVERAGE.md round-9 ledger),
+    # 167 -> 168. Any further growth must edit this pin deliberately
     # and land with a window slot (or a fresh ledger entry), never by
     # silently extending the backlog past the 50-row window.
-    assert len(entry.queries()) == 167
+    assert len(entry.queries()) == 168
 
 
 def test_ledger_check_function_level_granularity():

@@ -38,18 +38,18 @@ def con():
     return c
 
 
-def test_staging_area_contents_and_round6_registrations():
-    # round 6: the freeze lifted; the round-5 staged pair registered.
-    # Round 8 stages pq_topk_rerank (registry pinned at 167 by the
-    # pre-committed rotation ledger; registration is the round-9 move).
-    # Every staged query must come WITH its oracle — a staged entry the
-    # comparator cannot check verifies nothing.
+def test_staging_area_contents_and_promotions():
+    # Round 6: the freeze lifted; the round-5 staged pair registered.
+    # Round 9: the round-8 staged pq_topk_rerank registered with window
+    # slot 1 (COVERAGE.md round-9 ledger) — the staging area is empty
+    # again. Every staged query must come WITH its oracle — a staged
+    # entry the comparator cannot check verifies nothing.
     staged = entry.staged_queries()
-    assert set(staged) == {"pq_topk_rerank"}
+    assert staged == {}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
-    for name in ("kneser_ney_lm", "kmeans_cells"):
+    for name in ("kneser_ney_lm", "kmeans_cells", "pq_topk_rerank"):
         assert name in registered
         assert name in oracles
     assert not set(staged) & set(registered)  # no double-booking
@@ -69,9 +69,15 @@ def _strict_compare(spark, con, name):
     ]
 
 
-def _strict_compare_staged(spark, con, name):
-    sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
-    odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
+def test_pq_topk_rerank_matches_oracle_strict(spark, con):
+    """Round-8 staged, round-9 registered: PQ-ADC shortlist (rank <= 20
+    on the rounded approx distance) -> exact-cosine re-rank -> top-5, vs
+    the full DuckDB replay (same codebook recompute, same tie grids,
+    same rank orders). The registered oracle_sql() entry is built at the
+    sf0.01 driver default; this local proof rebuilds it at sf0.001 so
+    the codebook replay reads the same parquet the comparison does."""
+    sdf = entry.queries()["pq_topk_rerank"](spark, SF_DIR).toPandas()
+    odf = con.execute(entry._pq_topk_rerank_oracle_sql(sf_dir=SF_DIR)).fetchdf()
     scols, srows = _normalize(sdf)
     ocols, orows = _normalize(odf)
     assert scols == ocols
@@ -80,13 +86,6 @@ def _strict_compare_staged(spark, con, name):
     assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
         str(t) for t in odf[sorted(odf.columns)].dtypes
     ]
-
-
-def test_staged_pq_topk_rerank_matches_oracle_strict(spark, con):
-    """Round-8 staged query: PQ-ADC shortlist (rank <= 20 on the rounded
-    approx distance) -> exact-cosine re-rank -> top-5, vs the full DuckDB
-    replay (same codebook recompute, same tie grids, same rank orders)."""
-    _strict_compare_staged(spark, con, "pq_topk_rerank")
 
 
 def test_staged_rerank_differs_from_plain_adc_somewhere(spark):
@@ -100,7 +99,7 @@ def test_staged_rerank_differs_from_plain_adc_somewhere(spark):
     }
     rer = {
         (r["query_id"], r["rank"]): r["vec_id"]
-        for r in entry.staged_queries()["pq_topk_rerank"](spark, SF_DIR).collect()
+        for r in entry.queries()["pq_topk_rerank"](spark, SF_DIR).collect()
     }
     assert set(plain) == set(rer)  # same (query, rank) grid
     assert any(plain[key] != rer[key] for key in plain)
