@@ -53,6 +53,9 @@ DEFAULT_QUERIES = [
     # heaviest registered query never previously tracked: ~10 s at
     # sf0.1, dominated by iterative CC scheduler overhead in local mode)
     "kmeans_cells", "pq_topk", "ivf_topk", "semantic_dedup",
+    # round-9 addition (VERDICT r8 item 5): the newly registered
+    # two-stage ANN hot path, tracked in the A/B from birth
+    "pq_topk_rerank",
 ]
 
 
@@ -107,6 +110,8 @@ def main() -> None:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            sys.exit("ab.py: --out requires a PATH value")
         out_path = args[i + 1]
         del args[i : i + 2]
     ref_tree = resolve_ref_tree(args[0])
@@ -168,7 +173,8 @@ def main() -> None:
                       "cur_total_med": tc,
                       "total_delta_pct": record["total_delta_pct"]}),
           flush=True)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):  # bare filename: cwd, nothing to create
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1)
     print(f"raw samples -> {out_path}", flush=True)

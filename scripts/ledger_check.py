@@ -181,6 +181,11 @@ def registry_map(tree: ast.Module) -> dict[str, str]:
                 raise SystemExit("ledger_check: _registry() is not a single dict-literal return")
             out: dict[str, str] = {}
             for k, v in zip(returns[0].value.keys, returns[0].value.values):
+                if k is None:  # ast gives **spread entries a None key
+                    raise SystemExit(
+                        "ledger_check: dict-unpacking entry in _registry "
+                        f"(line {v.lineno}) — registry must stay a plain literal"
+                    )
                 if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
                     raise SystemExit(f"ledger_check: non-constant registry key at line {k.lineno}")
                 if not (isinstance(v, ast.Name) and v.id.startswith("q_")):
