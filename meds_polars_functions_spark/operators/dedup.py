@@ -2007,41 +2007,57 @@ def shingle_expansion_diagnostic(
 #: near-constant plan overhead — at small Σf² the window overhead
 #: dominates, at large Σf² the candidate volume does. So the dispatch
 #: signal is the diagnostic's ABSOLUTE sum_p2: prefix iff
-#: sum_p2 >= AUTO_PREFIX_SUMP2_CUTOVER (geometric midpoint of the
-#: bracketing cells: baseline-wins max 1.43e8 [j30 1x, +27%],
-#: prefix-wins min 8.96e8 [j10 16x-vs, −22%] -> sqrt ~ 3.6e8; the rule
-#: classifies all 18 measured jaccard cells correctly, counting the one
-#: genuinely neutral cell [boiler 10k/50, 1.18e8, +2.3/−4.1%] as
-#: either-way), guarded by expansion_ratio >= AUTO_PREFIX_MIN_RATIO
-#: to exclude the near-uniform regime (ratio ~2: Σf² ≈ 2Σf crosses any
-#: absolute cutover on a big enough corpus, but then candidates ≈
-#: postings — the posting join is near-linear and the window can never
-#: pay). The guard's boundary is MEASURED at its worst case (j5 cell,
-#: ratio 4.89 / Σf² 3.7e8 at 480k docs): the winner is threshold-split
-#: there — baseline +35% better at t=0.8 (all rounds), prefix ~13%
-#: better at t=0.5 (2 of 3 noisy rounds) — so the guard's worst
-#: measured mis-pick is a bounded ~13%, against the 2-3x baseline
-#: blowup it prevents being mis-priced in the ratio~2 regime.
-AUTO_PREFIX_SUMP2_CUTOVER = 3.6e8
+#: sum_p2 >= AUTO_PREFIX_SUMP2_CUTOVER, guarded by
+#: expansion_ratio >= AUTO_PREFIX_MIN_RATIO to exclude the near-uniform
+#: regime (ratio ~2: Σf² ≈ 2Σf crosses any absolute cutover on a big
+#: enough corpus, but then candidates ≈ postings — the posting join is
+#: near-linear and the window can never pay). Round-9 SHAPE
+#: RE-CALIBRATION (3.6e8 → 6.8e8): the r8 midpoint's provenance was
+#: entirely the Zipfian generator; two NON-Zipfian cells (uniform_docs:
+#: flat bimodal shingle frequencies, 120k docs, ratio 27-56 — SCALE.md
+#: round 9, records/dispatch_scale_ju_*.json) bracketed the boundary
+#: and the lower one misclassified under 3.6e8: baseline wins all 4
+#: samples at Σf² 5.19e8 (+11/+17%), prefix wins at 1.06e9 (−34/−15%).
+#: The shape-robust bracketing across BOTH generators is therefore
+#: baseline-wins max 5.19e8 [ju_lo] / prefix-wins min 8.96e8 [j10
+#: 16x-vs, −22%] -> geometric midpoint ~6.8e8. The rule classifies all
+#: 20 measured jaccard cells (18 Zipfian r7/r8 + 2 uniform r9)
+#: correctly, counting the genuinely neutral boiler 10k/50 cell
+#: (1.18e8, +2.3/−4.1%) as either-way. The guard's boundary is
+#: MEASURED at its worst case (j5 cell, ratio 4.89 / Σf² 3.7e8 at 480k
+#: docs — now also below the volume cutover): the winner is
+#: threshold-split there — baseline +35% better at t=0.8 (all rounds),
+#: prefix ~13% better at t=0.5 (2 of 3 noisy rounds) — so the worst
+#: measured mis-pick near the boundary is a bounded ~13-17% (j5 t=0.5,
+#: ju_lo t=0.8), against the 2-3x baseline blowup the rule prevents.
+AUTO_PREFIX_SUMP2_CUTOVER = 6.8e8
 AUTO_PREFIX_MIN_RATIO = 8.0
 
 #: Containment dispatch constants (see containment_pairs_auto): the
-#: threshold regime boundary and its ratio cutover. Calibrated 8/8 on
-#: the clean measured table (SCALE.md round-7; an earlier −65% diverse
-#: low-t cell was concurrent-load contamination, re-measured +8.2%);
-#: the ratio separates diverse (1.9, baseline at every t) from bench
+#: threshold regime boundary and its ratio cutover. Calibrated on the
+#: measured table (SCALE.md rounds 7-9; an earlier −65% diverse low-t
+#: cell was concurrent-load contamination, re-measured +8.2%); the
+#: ratio separates diverse (1.9, baseline at every t) from bench
 #: (10.7) and boilerplate (74/295) corpora, where prefix wins at high t.
-#: SCALE-VALIDATED round 8 (unlike the jaccard cutover, which moved):
-#: at 16x volume (480k docs, 75.8M postings) the measured boundary
-#: stayed at ratio ~5-6 — baseline wins all 4 rounds at ratio 4.89
-#: (prefix +21.5%), prefix wins at 6.7 and 12.4 (−32..−60%). Containment
-#: is volume-stable because its high-t prefix is SHORT ((1-t)|A|+1 ≈
-#: 20% of each doc at t=0.8): the rank-window overhead scales with the
-#: baseline's savings instead of amortizing against them, so the
-#: crossover is a corpus-shape property. Raw samples:
-#: records/dispatch_scale_c*.json.
+#: Round-9 RE-CALIBRATION (5.0 → 8.0): thickening the thinnest round-8
+#: cell (c5 16x-vs, ratio 6.72) from 2 to 4 recorded rounds exposed the
+#: published −60% as the round-0 GC outlier itself — the three clean
+#: rounds read −7.3/+4.6/+19.5% (median +4.6%, NEUTRAL), so ratio 6.72
+#: is AT the boundary, not decisively prefix. The measured t=0.8 table:
+#: baseline wins ≤ 4.9 (+9.7% at 30k/4.78, +21.5% at 480k/4.89, 4 clean
+#: rounds), neutral at 6.72, prefix wins ≥ 10.7 (−32% at 480k/12.4,
+#: −53..−55% boilerplate). Cutover 8.0 = geometric midpoint of the
+#: bracketing cells (6.72 neutral / 10.7 prefix); worst measured
+#: mis-pick at the boundary is the 6.72 cell's ±5% noise. Containment
+#: remains volume-stable (ratio-dispatched) because its high-t prefix
+#: is SHORT ((1-t)|A|+1 ≈ 20% of each doc at t=0.8): the rank-window
+#: overhead scales with the baseline's savings instead of amortizing
+#: against them, so the crossover is a corpus-shape property — both
+#: 480k cells straddling the cutover agree with their 30k analogues.
+#: Raw samples: records/dispatch_scale_c*.json (c5_16x_vs carries the
+#: session-tagged round-9 thickening).
 CONTAINMENT_T_SPLIT = 0.65
-CONTAINMENT_RATIO_CUTOVER = 5.0
+CONTAINMENT_RATIO_CUTOVER = 8.0
 
 
 def ngram_jaccard_pairs_auto(

@@ -96,6 +96,45 @@ def diverse_docs(spark, n_docs: int, vocab: int, n_templates: int = 0,
     return ids.select("doc_id", F.array_join(words, " ").alias("text"))
 
 
+def uniform_docs(spark, n_docs: int, vocab: int, n_templates: int = 0,
+                 tpl_words: int = 30):
+    """NON-Zipfian control corpus (VERDICT r8 item 4): same skeleton as
+    diverse_docs (lengths, planted near-dups, uniformly-popular
+    boilerplate templates) but body words drawn UNIFORMLY from the vocab
+    — no Zipf head. All shingle expansion therefore comes from the flat
+    template blocks: the shingle document-frequency distribution is
+    bimodal (f ≈ n_docs/n_templates or f = 1) instead of Zipf's graded
+    tail, which is exactly the shape difference the jaccard volume
+    cutover (AUTO_PREFIX_SUMP2_CUTOVER, calibrated on Zipfian cells
+    only) has never been measured against. Σf² ≈ 28·n²/T + postings,
+    so n_templates dials the candidate volume directly."""
+    n_base = int(n_docs * 0.9)
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    length = (F.lit(40) + F.pmod(F.xxhash64("doc_id", F.lit(SEED + 1)), F.lit(121))).cast("int")
+    base_id = F.when(
+        F.col("doc_id") >= n_base, F.col("doc_id") - F.lit(n_base)
+    ).otherwise(F.col("doc_id"))
+    def word(doc, pos):
+        # uniform rank in [0, vocab): pmod of the hash, not vocab^u
+        rank = F.pmod(F.xxhash64(doc, pos, F.lit(SEED + 3)), F.lit(vocab))
+        return F.concat(F.lit("u"), rank.cast("string"))
+    words = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: word(
+            F.when(i <= (length * 0.8).cast("int"), base_id).otherwise(F.col("doc_id")),
+            i,
+        ),
+    )
+    if n_templates:
+        tpl = F.pmod(F.xxhash64(base_id, F.lit(SEED + 2)), F.lit(n_templates))
+        boiler = F.transform(
+            F.sequence(F.lit(1), F.lit(tpl_words)),
+            lambda i: F.concat(F.lit("b"), tpl.cast("string"), F.lit("_"), i.cast("string")),
+        )
+        words = F.concat(boiler, words)
+    return ids.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
     vocab = int(sys.argv[2]) if len(sys.argv) > 2 else 200000

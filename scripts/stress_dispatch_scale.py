@@ -24,12 +24,17 @@ and the 16x corpora hold n_docs/n_templates constant so the expansion
 ratio is preserved while volume grows 16x.
 
 Usage: python scripts/stress_dispatch_scale.py [--scale 1|16] [--vocab-scale]
-                                               [--cell NAME ...]
+                                               [--append] [--cell NAME ...]
 Cells: j10, j30, c5 (default: all three at the given scale).
 --vocab-scale grows the vocabulary with volume so the expansion ratio
 stays at its 1x value (isolates "same ratio, 16x volume"); without it
 the fixed vocab lets the ratio drift up with n_docs, which conflates
 the two candidate dispatch signals.
+--append: if the cell's record file already exists, keep its samples and
+append this session's recorded rounds (round indices continue), then
+recompute the medians over ALL samples — for thickening a thin cell
+(VERDICT r8 item 3) without discarding the prior session's evidence.
+Sessions are tagged in each appended sample so provenance survives.
 Env: DISPATCH_ROUNDS (recorded rounds, default 2).
 
 Raw samples land in records/dispatch_scale_<cell>_<scale>x.json
@@ -47,7 +52,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ab_prefix_diverse import GEN_VERSION, SEED, diverse_docs  # noqa: E402
+from ab_prefix_diverse import GEN_VERSION, SEED, diverse_docs, uniform_docs  # noqa: E402
 
 from meds_polars_functions_spark.operators.dedup import (  # noqa: E402
     containment_pairs,
@@ -79,6 +84,16 @@ CELLS = {
     # min_ratio=8 guard, so the dispatcher picks baseline on the guard
     # alone. Measures whether the theory-driven guard calls the winner.
     "j5": {"n_templates": 8300, "family": "jaccard", "ts": [0.5, 0.8]},
+    # NON-Zipfian sanity cells (VERDICT r8 item 4): uniform_docs corpora
+    # — flat bimodal shingle frequencies, no Zipf tail — bracketing the
+    # 3.6e8 volume cutover from each side at ratio >> min_ratio, so the
+    # volume rule alone decides. Σf² ≈ 28·n²/T: at n=120k docs, T=806
+    # lands ~5e8 (dispatcher -> prefix), T=1680 lands ~2.4e8
+    # (dispatcher -> baseline). Run at --scale 1 (n_docs is explicit).
+    "ju_hi": {"n_templates": 806, "family": "jaccard", "ts": [0.5, 0.8],
+              "shape": "uniform", "n_docs": 120_000},
+    "ju_lo": {"n_templates": 1680, "family": "jaccard", "ts": [0.5, 0.8],
+              "shape": "uniform", "n_docs": 120_000},
 }
 
 VARIANTS = {
@@ -89,13 +104,16 @@ VARIANTS = {
 }
 
 
-def corpus(spark, n_docs: int, n_templates: int, vocab: int = VOCAB):
+def corpus(spark, n_docs: int, n_templates: int, vocab: int = VOCAB,
+           shape: str = "zipf"):
+    gen, tag = (uniform_docs, "uniform") if shape == "uniform" else (
+        diverse_docs, "diverse")
     scratch = (
-        f"/tmp/spark_graft_diverse_v{GEN_VERSION}_s{SEED}"
+        f"/tmp/spark_graft_{tag}_v{GEN_VERSION}_s{SEED}"
         f"_{n_docs}_{vocab}_{n_templates}"
     )
     if not os.path.exists(scratch):
-        diverse_docs(spark, n_docs, vocab, n_templates).write.mode(
+        gen(spark, n_docs, vocab, n_templates).write.mode(
             "overwrite"
         ).parquet(scratch)
     return spark.read.parquet(scratch)
@@ -118,6 +136,9 @@ def main() -> None:
     vocab_scaled = "--vocab-scale" in args
     if vocab_scaled:
         args.remove("--vocab-scale")
+    append = "--append" in args
+    if append:
+        args.remove("--append")
     cells = [a for a in args if a != "--cell"] or list(CELLS)
 
     spark = get_spark("dispatch_scale")
@@ -125,19 +146,21 @@ def main() -> None:
 
     for cell in cells:
         spec = CELLS[cell]
-        n_docs = BASE_DOCS * scale
+        n_docs = spec.get("n_docs", BASE_DOCS) * scale
         n_templates = spec["n_templates"] * scale
         vocab = VOCAB * (scale if vocab_scaled else 1)
-        docs = corpus(spark, n_docs, n_templates, vocab)
+        docs = corpus(spark, n_docs, n_templates, vocab,
+                      shape=spec.get("shape", "zipf"))
         diag = shingle_expansion_diagnostic(docs, "text", "doc_id")
+        shape = spec.get("shape", "zipf")
         print(json.dumps({"cell": cell, "scale": scale, "n_docs": n_docs,
                           "n_templates": n_templates, "vocab": vocab,
-                          **diag}), flush=True)
+                          "shape": shape, **diag}), flush=True)
 
         family = spec["family"]
         record = {"cell": cell, "scale": scale, "n_docs": n_docs,
                   "n_templates": n_templates, "vocab": vocab,
-                  "diagnostic": diag,
+                  "shape": shape, "diagnostic": diag,
                   "rounds": N_ROUNDS, "samples": [], "summary": {}}
 
         def run(t: float, variant: str) -> float:
@@ -173,6 +196,39 @@ def main() -> None:
         os.makedirs(os.path.join(REPO, "records"), exist_ok=True)
         suffix = "x_vs" if vocab_scaled else "x"
         out = os.path.join(REPO, "records", f"dispatch_scale_{cell}_{scale}{suffix}.json")
+        if append and os.path.exists(out):
+            with open(out) as fh:
+                prior = json.load(fh)
+            # sanity: only merge records of the SAME cell settings
+            for key in ("cell", "scale", "n_docs", "n_templates", "vocab"):
+                assert prior[key] == record[key], (key, prior[key], record[key])
+            session = 1 + max(
+                (s.get("session", 0) for s in prior["samples"]), default=0
+            )
+            base_round = 1 + max(s["round"] for s in prior["samples"])
+            for s in record["samples"]:
+                s["round"] += base_round
+                s["session"] = session
+            record["samples"] = prior["samples"] + record["samples"]
+            record["rounds"] = prior["rounds"] + N_ROUNDS
+            # medians over ALL samples, all sessions
+            for t_key in record["summary"]:
+                t_val = float(t_key[1:])
+                med = {}
+                for variant in ("baseline", "prefix"):
+                    xs = sorted(
+                        s["sec"] for s in record["samples"]
+                        if s["t"] == t_val and s["variant"] == variant
+                    )
+                    med[variant] = xs[len(xs) // 2]
+                delta = round(
+                    100 * (med["prefix"] - med["baseline"]) / med["baseline"], 1
+                )
+                record["summary"][t_key] = {
+                    **med, "prefix_vs_baseline_pct": delta,
+                }
+                print(json.dumps({"cell": cell, "t": t_val, "merged": True,
+                                  **record["summary"][t_key]}), flush=True)
         with open(out, "w") as fh:
             json.dump(record, fh, indent=1)
         print(f"raw samples -> {out}", flush=True)
