@@ -3485,16 +3485,128 @@ SELECT query_id, vec_id, rank::INT AS rank FROM reranked WHERE rank <= {k}
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 9: hybrid lexical+semantic retrieval — multi-query
+    BM25 top-20 (operators.retrieval.bm25_topk) and exact-cosine top-20
+    (the registered embedding_topk path) fused by reciprocal-rank
+    fusion (operators.retrieval.rrf_fuse, Cormack et al. 2009), top-10
+    per query. The two testdata tables share the 0-499 id domain, so
+    the fusion is over one corpus: 4 fixed query docs contribute their
+    first 6 tokens as the lexical bag and their embedding row as the
+    semantic query. Beyond-reference (no retrieval surface in the
+    reference); registration with a round-10 window slot is the plan —
+    staged now because the round-9 registry is pinned at 168 by the
+    pre-committed ledger."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from meds_polars_functions_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda w: w != ""
+    )
+    qt = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), F.slice(toks, 1, 6).alias("terms")
+    )
+    lex = bm25_topk(docs, qt, k=20, tie_round=6)
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = brute_force_topk(emb, qv, k=20, tie_round=9).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), sem],
+        k=10, rrf_k=60, tie_round=9,
+    )
+    return fused.select("query_id", "doc_id", "rrf", "rank")
+
+
+#: DuckDB replay of q_hybrid_search: the bm25_search oracle's scorer
+#: generalized per-query (terms = first 6 tokens of docs 0-3, DISTINCT
+#: within a bag like bm25_topk), ::DOUBLE literals so every float op is
+#: the same double op Spark executes; the embedding_topk oracle's cosine
+#: (round 9) cut at rank 20; RRF contributions 1/(60+rank) summed (two
+#: lists -> one commutative double add, bit-exact), round 9, ranked by
+#: (rrf desc, doc_id). Static SQL — reads only the registered views.
+_HYBRID_SEARCH_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                x -> x <> '') AS ws
+  FROM documents),
+qt AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS t
+       FROM d WHERE doc_id < 4),
+lens AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS N, avg(dl) AS avg_dl FROM lens),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM d),
+tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok
+  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+sc AS (
+  SELECT doc_id, t,
+    ln(1.0::DOUBLE + (N - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+      * (tf * 2.2::DOUBLE)
+      / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                             + 0.75::DOUBLE * dl / avg_dl)) AS s
+  FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id) CROSS JOIN stats),
+lexs AS (
+  SELECT qt.query_id, sc.doc_id, round(sum(s), 6) AS bm25
+  FROM sc JOIN qt USING (t) GROUP BY qt.query_id, sc.doc_id),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM lexs QUALIFY rank <= 20),
+emb2 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) AS nrm
+  FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn
+       FROM emb2 WHERE vec_id < 4),
+semsc AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> q.qvec[i] * e.v[i]))
+          / (q.qn * e.nrm), 9) AS cos
+  FROM qv q CROSS JOIN emb2 e),
+sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS rank
+  FROM semsc QUALIFY rank <= 20),
+contrib AS (
+  SELECT query_id, doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank) AS c FROM sem),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 9) AS rrf
+  FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused)
+SELECT query_id, doc_id, rrf, rank::INT AS rank FROM ranked WHERE rank <= 10
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
-    Currently EMPTY: the round-8 staged query (pq_topk_rerank) was
-    registered in round 9 with window slot 1 and the sf0.01 oracle
-    default (COVERAGE.md round-9 ledger) — the same staged→registered
-    path kneser_ney_lm/kmeans_cells took in round 6. New operators that
-    land mid-round after the rotation ledger is committed go here (with
-    an oracle in staged_oracle_sql) until the next round's ledger."""
-    return {}
+    Round 9: pq_topk_rerank (staged r8) REGISTERED with window slot 1
+    (COVERAGE.md round-9 ledger); hybrid_search (BM25 top-k + cosine
+    top-k -> reciprocal-rank fusion, operators/retrieval.py) staged in
+    its place — the registry is pinned at 168 by the pre-committed
+    ledger, so registration with a window slot is the round-10 move,
+    the same staged→registered path the round-5 and round-8 stagings
+    took. Every staged entry has an oracle in staged_oracle_sql."""
+    return {"hybrid_search": q_hybrid_search}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3561,13 +3673,11 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries — empty while the staging area is
-    (see staged_queries). A staged entry must always come with its
-    oracle built at the staged tests' grid (sf0.001 — the codebook-style
-    replays read the parquet directly, so the sf_dir must match the
-    comparison's); on registration the ``oracle_sql()`` entry switches
-    to the sf0.01 driver default, as pq_topk_rerank's did in round 9."""
-    return {}
+    """Oracles for the staged queries. hybrid_search's oracle is static
+    SQL over the registered views (no parquet-path dependence), so the
+    same string serves the sf0.001 staged tests and, on registration,
+    the sf0.01 ``oracle_sql()`` default."""
+    return {"hybrid_search": _HYBRID_SEARCH_ORACLE_SQL}
 
 
 # ---------------------------------------------------------------------------

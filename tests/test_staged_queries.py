@@ -41,11 +41,12 @@ def con():
 def test_staging_area_contents_and_promotions():
     # Round 6: the freeze lifted; the round-5 staged pair registered.
     # Round 9: the round-8 staged pq_topk_rerank registered with window
-    # slot 1 (COVERAGE.md round-9 ledger) — the staging area is empty
-    # again. Every staged query must come WITH its oracle — a staged
-    # entry the comparator cannot check verifies nothing.
+    # slot 1 (COVERAGE.md round-9 ledger), and hybrid_search (BM25 +
+    # cosine -> RRF, operators/retrieval.py) staged in its place.
+    # Every staged query must come WITH its oracle — a staged entry the
+    # comparator cannot check verifies nothing.
     staged = entry.staged_queries()
-    assert staged == {}
+    assert set(staged) == {"hybrid_search"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -53,6 +54,67 @@ def test_staging_area_contents_and_promotions():
         assert name in registered
         assert name in oracles
     assert not set(staged) & set(registered)  # no double-booking
+
+
+def _strict_compare_staged(spark, con, name):
+    sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+    assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
+        str(t) for t in odf[sorted(odf.columns)].dtypes
+    ]
+
+
+def test_staged_hybrid_search_matches_oracle_strict(spark, con):
+    """Round-9 staged query: BM25 top-20 + exact-cosine top-20 fused by
+    reciprocal rank (1/(60+rank), round 9) -> top-10 per query, vs the
+    full DuckDB replay (same tokenizer, same ::DOUBLE float ops, same
+    tie grids and rank orders on both stages and the fusion)."""
+    _strict_compare_staged(spark, con, "hybrid_search")
+
+
+def test_staged_hybrid_fusion_differs_from_both_single_modalities(spark):
+    """The fusion must be a real combination, not a pass-through: the
+    fused top-10 order disagrees with the lexical-only order AND with
+    the semantic-only order for at least one (query, rank) slot — if it
+    never did, the staged query would silently re-prove one input."""
+    from meds_polars_functions_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from meds_polars_functions_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda w: w != ""
+    )
+    qt = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), F.slice(toks, 1, 6).alias("terms")
+    )
+    lex = bm25_topk(docs, qt, k=20, tie_round=6)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = brute_force_topk(emb, qv, k=20, tie_round=9).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in entry.staged_queries()["hybrid_search"](spark, SF_DIR).collect()
+    }
+    for single in (lex, sem):
+        order = {
+            (r["query_id"], r["rank"]): r["doc_id"]
+            for r in single.filter(F.col("rank") <= 10).collect()
+        }
+        assert any(
+            fused.get(key) != order.get(key) for key in fused
+        ), "fusion is a pass-through of one modality"
 
 
 def _strict_compare(spark, con, name):
