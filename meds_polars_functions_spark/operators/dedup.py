@@ -2054,8 +2054,14 @@ AUTO_PREFIX_MIN_RATIO = 8.0
 #: overhead scales with the baseline's savings instead of amortizing
 #: against them, so the crossover is a corpus-shape property — both
 #: 480k cells straddling the cutover agree with their 30k analogues.
-#: Raw samples: records/dispatch_scale_c*.json (c5_16x_vs carries the
-#: session-tagged round-9 thickening).
+#: KNOWN RESIDUAL (round-9 uniform-shape cells, SCALE.md round-9
+#: addendum): on flat bimodal-frequency corpora the rule mis-picks at
+#: ratio 11.8 (cu_hi: baseline wins all 4 rounds, +5-17%) — bounded,
+#: and no single second signal (volume, max_f) separates the measured
+#: table without breaking a template cell; revisit only with 2-3 more
+#: f-axis cells if a flat-shape profile matters in production.
+#: Raw samples: records/dispatch_scale_c*.json (c5_16x_vs and cu_hi
+#: carry session-tagged multi-session thickening).
 CONTAINMENT_T_SPLIT = 0.65
 CONTAINMENT_RATIO_CUTOVER = 8.0
 

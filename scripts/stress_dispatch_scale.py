@@ -94,6 +94,16 @@ CELLS = {
               "shape": "uniform", "n_docs": 120_000},
     "ju_lo": {"n_templates": 1680, "family": "jaccard", "ts": [0.5, 0.8],
               "shape": "uniform", "n_docs": 120_000},
+    # NON-Zipfian containment cells: the r9 CONTAINMENT_RATIO_CUTOVER
+    # re-calibration (8.0) rests on Zipfian cells only — the same shape
+    # risk the jaccard rule failed. Empirically Σf² ≈ 8.7e11/T on the
+    # 120k uniform corpora and ratio = Σf²/19.0M postings: T=7600 lands
+    # ratio ~6 (dispatcher -> baseline), T=4150 lands ratio ~11
+    # (dispatcher -> prefix). t=0.8 only (the t >= t_split regime).
+    "cu_lo": {"n_templates": 7600, "family": "containment", "ts": [0.8],
+              "shape": "uniform", "n_docs": 120_000},
+    "cu_hi": {"n_templates": 4150, "family": "containment", "ts": [0.8],
+              "shape": "uniform", "n_docs": 120_000},
 }
 
 VARIANTS = {
