@@ -389,3 +389,50 @@ def test_kneser_ney_topk_mode_is_broadcast_only(spark):
     plan = plan_of(kneser_ney_lm_score(docs, "text", "doc_id", top_k=500))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_term_prune_is_broadcast_semi_before_shuffle(spark):
+    """bm25_topk (the staged hybrid_search's lexical stage): the corpus
+    explode must be pruned by a BROADCAST left-semi join on the query
+    term set BEFORE the (doc, term) tf exchange — at 100 TB the only
+    corpus-sized shuffle carries matching tokens, never the vocabulary.
+    The df / one-row stats / per-query term joins must all broadcast;
+    the single nested-loop join allowed is the one-row stats crossJoin."""
+    from meds_polars_functions_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = spark.createDataFrame(
+        [(0, ["spark", "window"]), (1, ["merge", "sort"])],
+        "query_id long, terms array<string>",
+    )
+    plan = plan_of(bm25_topk(docs, q, k=5))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one-row stats side: broadcast nested loop is fine, a shuffled one is not
+    assert "ShuffledHashJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_rrf_fuse_never_touches_the_corpus(spark):
+    """rrf_fuse consumes per-query top-k frames: its plan is one bounded
+    union + hash aggregate + per-query window — no join back to any
+    corpus table, no sort-merge, no broadcast needed at all."""
+    from meds_polars_functions_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2)], "query_id long, doc_id long, rank int"
+    )
+    plan = plan_of(rrf_fuse([a, b], k=5))
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly two exchanges (agg + window partitioning; formatted output
+    # lists each node once in the tree and once as a "(N) Exchange"
+    # detail header — count the headers) and the rank cut is pushed
+    # below the final sort as a group-limit
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "WindowGroupLimit" in plan
