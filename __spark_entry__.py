@@ -3351,9 +3351,11 @@ def q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order"). Same deterministic codebook replay as q_pq_topk; the ADC
     scan keeps the 20 best candidates per query (rank by rounded
     approx_d, vec_id tie), then ONLY those 160 rows are re-scored with
-    exact cosine against the raw corpus vectors (broadcast joins — at
-    100 TB the raw embeddings are touched for |Q|·rerank rows, never
-    scanned). Exercises pq_topk's ``rerank=`` path (the two-stage branch
+    exact cosine against the raw corpus vectors (round 9: the bounded
+    shortlist ids are isin-pushed into the raw scan, so at 100 TB only
+    the row groups holding shortlisted vectors are READ — the raw table
+    is neither scanned nor shuffled). Exercises pq_topk's ``rerank=``
+    path (the two-stage branch
     of ``operators.similarity.pq_topk``) at oracle grade. Staged in
     round 8 behind the pre-committed ledger; REGISTERED round 9 with a
     window slot and the sf0.01 oracle default (COVERAGE.md round-9
@@ -3700,7 +3702,11 @@ def staged_oracle_sql() -> dict[str, str]:
 #                 touches (docstring de-line-numbering, ADVICE r9 item 3).
 #   slots 2-24  = ALL 23 remaining r5-age greens (next_window.py queue
 #                 order) — after this window no r5-age rows remain;
-#   slots 25-50 = the 26 oldest r6-age greens (queue order).
+#   slots 25-49 = the 25 oldest r6-age greens (queue order);
+#   slot 50     = pq_topk (mid-round amendment: the rerank isin-pushdown
+#                 edit dirties it conservatively — rerank=0 plan
+#                 unchanged; displaced filter_patients_min_measurements
+#                 heads the round-10 queue).
 # Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
@@ -3757,7 +3763,11 @@ CORRECTNESS_WINDOW: list[str] = [
     "near_dedup",
     "agg_code_metadata",
     "agg_all_codes",
-    "filter_patients_min_measurements",
+    # mid-round amendment (COVERAGE.md): the rerank isin-pushdown edit
+    # dirties pq_topk (function-level, rerank=0 plan unchanged) -> it
+    # takes the last slot; filter_patients_min_measurements returns to
+    # the head of the round-10 freshness queue.
+    "pq_topk",
 ]
 
 

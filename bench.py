@@ -60,6 +60,8 @@ TRACKED = [
     "dsir_weights",
     "bpe_pair_counts",
     "pq_topk",
+    # round 9: the registered two-stage shortlist -> exact-cosine re-rank
+    "pq_topk_rerank",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

@@ -907,10 +907,14 @@ def pq_topk(
     per-query top-k rank.
 
     ``rerank > 0``: keep the ``rerank`` best ADC candidates per query and
-    re-score them with exact cosine (broadcast join back to the raw
-    corpus vectors) — recall knob at the cost of one extra (still
-    broadcast) join. ``rerank >= corpus size`` degenerates to exact
-    brute force, which the property test exploits.
+    re-score them with exact cosine. The |Q| x rerank shortlist is
+    bounded by construction, so it is collected (query-collect cap) and
+    its id set pushed into the raw-corpus scan as an isin filter —
+    parquet row-group pruning reads only the shortlisted vectors at
+    100 TB instead of streaming the raw table; past the cap the plan
+    falls back to broadcasting the shortlist itself (build side pinned).
+    ``rerank >= corpus size`` degenerates to exact brute force, which
+    the property test exploits.
     """
     m = len(codebooks)
     enc_input = corpus.select(
@@ -971,13 +975,30 @@ def pq_topk(
     c_raw = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
     )
-    # the shortlist is |Q| x rerank rows BY CONSTRUCTION — broadcast it
-    # explicitly so the raw-corpus side always streams (don't leave the
-    # build-side choice to stats: at sf the corpus is the smaller side
-    # and AQE would happily broadcast it, the exact inversion that
-    # cannot hold at 100 TB)
+    # The shortlist is |Q| x rerank rows BY CONSTRUCTION, so collect it
+    # (bounded by the module's query-collect cap) and push its id set
+    # INTO the raw-corpus scan as an isin filter: at 100 TB the re-rank
+    # then reads only the parquet row groups containing shortlisted ids
+    # (min/max pruning) instead of streaming the whole raw-embedding
+    # table through a broadcast join to keep |Q|·rerank rows. The pairs
+    # ride as a literal broadcast frame; cosine math is unchanged, so
+    # the output is bit-identical to the join formulation.
+    pairs = cand.select("query_id", "vec_id")
+    rows = pairs.limit(MAX_COLLECTED_QUERY_ROWS + 1).collect()
+    if len(rows) <= MAX_COLLECTED_QUERY_ROWS:
+        ids = sorted({r["vec_id"] for r in rows})
+        pairs = F.broadcast(
+            corpus.sparkSession.createDataFrame(rows, pairs.schema)
+        )
+        c_raw = c_raw.filter(F.col("vec_id").isin(ids))
+    else:
+        # corpus-scale query set: fall back to broadcasting the shortlist
+        # plan itself so nothing query-scale is ever driver-collected;
+        # the raw side streams (the pre-round-9 formulation), with the
+        # build side still pinned so AQE can't invert it at scale.
+        pairs = F.broadcast(pairs)
     exact = (
-        F.broadcast(cand.select("query_id", "vec_id"))
+        pairs
         .join(c_raw, "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select(

@@ -436,3 +436,31 @@ def test_rrf_fuse_never_touches_the_corpus(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_rerank_pushes_shortlist_ids_into_raw_scan(spark):
+    """pq_topk(rerank=): the bounded shortlist's id set must reach the
+    raw-embedding parquet scan as an In() pushed filter (row-group
+    pruning — at 100 TB the re-rank reads only shortlisted vectors,
+    never streams the raw table), and the raw side must join against a
+    broadcast literal pair frame, never sort-merge."""
+    from meds_polars_functions_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(pq_topk(emb, q, books, k=3, tie_round=6, rerank=10))
+    assert "In(vec_id, [" in plan  # shortlist ids pushed to the raw scan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -67,7 +67,11 @@ EXPECTED_WINDOW = [
     "near_dedup",
     "agg_code_metadata",
     "agg_all_codes",
-    "filter_patients_min_measurements",
+    # mid-round amendment (COVERAGE.md): the rerank isin-pushdown edit
+    # dirties pq_topk (function-level, rerank=0 plan unchanged) -> it
+    # takes the last slot; filter_patients_min_measurements returns to
+    # the head of the round-10 freshness queue.
+    "pq_topk",
 ]
 
 
