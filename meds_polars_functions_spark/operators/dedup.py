@@ -2020,7 +2020,9 @@ def shingle_expansion_diagnostic(
 #: samples at Σf² 5.19e8 (+11/+17%), prefix wins at 1.06e9 (−34/−15%).
 #: The shape-robust bracketing across BOTH generators is therefore
 #: baseline-wins max 5.19e8 [ju_lo] / prefix-wins min 8.96e8 [j10
-#: 16x-vs, −22%] -> geometric midpoint ~6.8e8. The rule classifies all
+#: 16x-vs: t=0.5 prefix 4/4 rounds at −18..−22%; its t=0.8 corner is a
+#: measured 2-2 noisy split — a documented threshold-split boundary
+#: residual] -> geometric midpoint ~6.8e8. The rule classifies all
 #: 20 measured jaccard cells (18 Zipfian r7/r8 + 2 uniform r9)
 #: correctly, counting the genuinely neutral boiler 10k/50 cell
 #: (1.18e8, +2.3/−4.1%) as either-way. The guard's boundary is
