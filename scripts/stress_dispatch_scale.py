@@ -210,8 +210,12 @@ def main() -> None:
             with open(out) as fh:
                 prior = json.load(fh)
             # sanity: only merge records of the SAME cell settings
+            # (records written before a key existed — e.g. round-8 files
+            # predate "vocab"/"shape" — skip that key rather than crash
+            # after the measurement has already run)
             for key in ("cell", "scale", "n_docs", "n_templates", "vocab"):
-                assert prior[key] == record[key], (key, prior[key], record[key])
+                if key in prior:
+                    assert prior[key] == record[key], (key, prior[key], record[key])
             session = 1 + max(
                 (s.get("session", 0) for s in prior["samples"]), default=0
             )
