@@ -3488,17 +3488,16 @@ SELECT query_id, vec_id, rank::INT AS rank FROM reranked WHERE rank <= {k}
 
 
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 9: hybrid lexical+semantic retrieval — multi-query
-    BM25 top-20 (operators.retrieval.bm25_topk) and exact-cosine top-20
-    (the registered embedding_topk path) fused by reciprocal-rank
-    fusion (operators.retrieval.rrf_fuse, Cormack et al. 2009), top-10
-    per query. The two testdata tables share the 0-499 id domain, so
-    the fusion is over one corpus: 4 fixed query docs contribute their
+    """Hybrid lexical+semantic retrieval — multi-query BM25 top-20
+    (operators.retrieval.bm25_topk) and exact-cosine top-20 (the
+    registered embedding_topk path) fused by reciprocal-rank fusion
+    (operators.retrieval.rrf_fuse, Cormack et al. 2009), top-10 per
+    query. The two testdata tables share the 0-499 id domain, so the
+    fusion is over one corpus: 4 fixed query docs contribute their
     first 6 tokens as the lexical bag and their embedding row as the
     semantic query. Beyond-reference (no retrieval surface in the
-    reference); registration with a round-10 window slot is the plan —
-    staged now because the round-9 registry is pinned at 168 by the
-    pre-committed ledger."""
+    reference). Staged round 9, REGISTERED round 10 with window slot 1
+    (COVERAGE.md round-10 ledger, registry 168 → 169)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.retrieval import bm25_topk, rrf_fuse
     from meds_polars_functions_spark.operators.similarity import brute_force_topk
@@ -3601,14 +3600,12 @@ SELECT query_id, doc_id, rrf, rank::INT AS rank FROM ranked WHERE rank <= 10
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
-    Round 9: pq_topk_rerank (staged r8) REGISTERED with window slot 1
-    (COVERAGE.md round-9 ledger); hybrid_search (BM25 top-k + cosine
-    top-k -> reciprocal-rank fusion, operators/retrieval.py) staged in
-    its place — the registry is pinned at 168 by the pre-committed
-    ledger, so registration with a window slot is the round-10 move,
-    the same staged→registered path the round-5 and round-8 stagings
-    took. Every staged entry has an oracle in staged_oracle_sql."""
-    return {"hybrid_search": q_hybrid_search}
+    Round 10: hybrid_search (staged r9) REGISTERED with window slot 1
+    (COVERAGE.md round-10 ledger, registry 168 → 169) — the same
+    staged→registered path the round-5, round-8 and round-9 stagings
+    took. The staging area is currently EMPTY; any new staged entry
+    must come WITH an oracle in staged_oracle_sql."""
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3675,11 +3672,10 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries. hybrid_search's oracle is static
-    SQL over the registered views (no parquet-path dependence), so the
-    same string serves the sf0.001 staged tests and, on registration,
-    the sf0.01 ``oracle_sql()`` default."""
-    return {"hybrid_search": _HYBRID_SEARCH_ORACLE_SQL}
+    """Oracles for the staged queries — empty since the round-10
+    hybrid_search registration promoted its static SQL (sf-independent,
+    no parquet-path dependence) to the ``oracle_sql()`` default."""
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -3694,80 +3690,78 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-9 window (this round), per VERDICT r8 items 1-2 (ledger
-# pre-committed in COVERAGE.md before any round-9 code work):
-#   slot 1      = pq_topk_rerank — the round-8 STAGED query, REGISTERED
-#                 this round (registry 167 → 168) with the sf0.01 oracle
-#                 default; also the only query planned round-9 code
-#                 touches (docstring de-line-numbering, ADVICE r9 item 3).
-#   slots 2-24  = ALL 23 remaining r5-age greens (next_window.py queue
-#                 order) — after this window no r5-age rows remain;
-#   slots 25-49 = the 25 oldest r6-age greens (queue order);
-#   slot 50     = pq_topk (mid-round amendment: the rerank isin-pushdown
-#                 edit dirties it conservatively — rerank=0 plan
-#                 unchanged; displaced filter_patients_min_measurements
-#                 heads the round-10 queue).
+# Round-10 window (this round), per VERDICT r9 items 1-2 (ledger
+# pre-committed in COVERAGE.md before any round-10 code work):
+#   slot 1      = hybrid_search — the round-9 STAGED query, REGISTERED
+#                 this round (registry 168 → 169) with the sf0.01 oracle
+#                 default; also dirtied by the retrieval.py dead-line
+#                 removal (ADVICE r10 item 3).
+#   slots 2-3   = pq_topk_rerank, pq_topk — dirtied by the planned
+#                 ADVICE r10 medium item on similarity.py pq_topk
+#                 (eager-contract docstring + bounded isin-literal
+#                 threshold; the rerank branch lives inside pq_topk, so
+#                 both importers are conservatively dirty).
+#   slots 4-25  = ALL 22 remaining r6-age greens (next_window.py queue
+#                 order) — after this window no r6-age rows remain;
+#   slots 26-50 = the 25 oldest r7-age greens (queue order).
 # Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-9 registration (staged r8) + the only round-9-touched query
+    # round-10 registration (staged r9)
+    "hybrid_search",
+    # round-10-touched queries (similarity.py rerank-path edit)
     "pq_topk_rerank",
-    # ALL 23 remaining r5-age greens, next_window.py queue order
-    "pack_sequences",
-    "corpus_curation",
-    "text_quality",
-    "quality_filter",
-    "tfidf_top_terms",
-    "language_id",
-    "token_count",
-    "doc_fingerprint",
-    "exact_dup_groups",
-    "exact_dedup",
-    "minhash_near_dup",
-    "simhash_buckets",
-    "simhash_near_dup",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "lsh_topk",
-    "scrub_pii",
-    "chunk_documents",
-    "unigram_entropy",
-    "class_balanced",
-    "fuzzy_name_pairs",
-    "asof_purchase_click",
-    # the 26 oldest r6-age greens, next_window.py queue order
-    "sliding_window_counts",
-    "range_join_events",
-    "bloom_semi_filter",
-    "locf_impute",
-    "stream_interval_join",
-    "resample_last",
-    "topk_pruned",
-    "trailing_range_revenue",
-    "min_cost_supplier",
-    "market_share",
-    "nation_profit",
-    "important_parts",
-    "supplier_cnt",
-    "repeated_spans",
-    "dominant_suppliers",
-    "shipping_priority",
-    "forecast_revenue",
-    "local_supplier_volume",
-    "jaccard_prefix",
-    "kneser_ney_lm",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "near_dedup",
-    "agg_code_metadata",
-    "agg_all_codes",
-    # mid-round amendment (COVERAGE.md): the rerank isin-pushdown edit
-    # dirties pq_topk (function-level, rerank=0 plan unchanged) -> it
-    # takes the last slot; filter_patients_min_measurements returns to
-    # the head of the round-10 freshness queue.
     "pq_topk",
+    # ALL 22 remaining r6-age greens, next_window.py queue order
+    "filter_patients_min_measurements",
+    "filter_patients_min_events",
+    "filter_measurements",
+    "fit_vocabulary_indices",
+    "normalization",
+    "occlude_outliers",
+    "add_time_of_day",
+    "canonical_sort_rank",
+    "dedup_keep_first",
+    "union_by_name",
+    "dup_code_check",
+    "metadata_merge_agg",
+    "metadata_enrich_full_outer",
+    "code_construction",
+    "tokenize_schema",
+    "tokenize_event_seqs",
+    "volume_shipping",
+    "promo_revenue",
+    "ship_priority_mix",
+    "repetition_stats",
+    "pagerank_trade",
+    "profile_events",
+    # the 25 oldest r7-age greens, next_window.py queue order
+    "embedding_topk_vectorized",
+    "ivf_topk",
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "repeat_buyers_setop",
 ]
 
 
@@ -3849,6 +3843,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "clf_score": q_clf_score,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
@@ -5468,6 +5463,7 @@ FROM w
         "ivf_topk": _ivf_topk_oracle_sql(),
         "pq_topk": _pq_topk_oracle_sql(),
         "pq_topk_rerank": _pq_topk_rerank_oracle_sql(),
+        "hybrid_search": _HYBRID_SEARCH_ORACLE_SQL,
         "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key

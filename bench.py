@@ -62,6 +62,9 @@ TRACKED = [
     "pq_topk",
     # round 9: the registered two-stage shortlist -> exact-cosine re-rank
     "pq_topk_rerank",
+    # round 10: the registered hybrid BM25+cosine RRF retrieval, tracked
+    # from birth (VERDICT r9 item 3)
+    "hybrid_search",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

@@ -110,7 +110,6 @@ def bm25_topk(
         .groupBy("query_id", "id")
         .agg(F.sum("s").alias("bm25"))
     )
-    score = F.col("bm25")
     if tie_round is not None:
         per_query = per_query.select(
             "query_id", "id", F.round("bm25", tie_round).alias("bm25")

@@ -56,6 +56,9 @@ DEFAULT_QUERIES = [
     # round-9 addition (VERDICT r8 item 5): the newly registered
     # two-stage ANN hot path, tracked in the A/B from birth
     "pq_topk_rerank",
+    # round-10 addition (VERDICT r9 item 3): the newly registered hybrid
+    # BM25+cosine RRF retrieval, tracked in the A/B from birth
+    "hybrid_search",
 ]
 
 

@@ -15,63 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-9 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-10 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
+    "hybrid_search",
     "pq_topk_rerank",
-    "pack_sequences",
-    "corpus_curation",
-    "text_quality",
-    "quality_filter",
-    "tfidf_top_terms",
-    "language_id",
-    "token_count",
-    "doc_fingerprint",
-    "exact_dup_groups",
-    "exact_dedup",
-    "minhash_near_dup",
-    "simhash_buckets",
-    "simhash_near_dup",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "lsh_topk",
-    "scrub_pii",
-    "chunk_documents",
-    "unigram_entropy",
-    "class_balanced",
-    "fuzzy_name_pairs",
-    "asof_purchase_click",
-    "sliding_window_counts",
-    "range_join_events",
-    "bloom_semi_filter",
-    "locf_impute",
-    "stream_interval_join",
-    "resample_last",
-    "topk_pruned",
-    "trailing_range_revenue",
-    "min_cost_supplier",
-    "market_share",
-    "nation_profit",
-    "important_parts",
-    "supplier_cnt",
-    "repeated_spans",
-    "dominant_suppliers",
-    "shipping_priority",
-    "forecast_revenue",
-    "local_supplier_volume",
-    "jaccard_prefix",
-    "kneser_ney_lm",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "near_dedup",
-    "agg_code_metadata",
-    "agg_all_codes",
-    # mid-round amendment (COVERAGE.md): the rerank isin-pushdown edit
-    # dirties pq_topk (function-level, rerank=0 plan unchanged) -> it
-    # takes the last slot; filter_patients_min_measurements returns to
-    # the head of the round-10 freshness queue.
     "pq_topk",
+    "filter_patients_min_measurements",
+    "filter_patients_min_events",
+    "filter_measurements",
+    "fit_vocabulary_indices",
+    "normalization",
+    "occlude_outliers",
+    "add_time_of_day",
+    "canonical_sort_rank",
+    "dedup_keep_first",
+    "union_by_name",
+    "dup_code_check",
+    "metadata_merge_agg",
+    "metadata_enrich_full_outer",
+    "code_construction",
+    "tokenize_schema",
+    "tokenize_event_seqs",
+    "volume_shipping",
+    "promo_revenue",
+    "ship_priority_mix",
+    "repetition_stats",
+    "pagerank_trade",
+    "profile_events",
+    "embedding_topk_vectorized",
+    "ivf_topk",
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "repeat_buyers_setop",
 ]
 
 
@@ -127,16 +123,18 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
 
 
-def test_registry_pinned_at_168():
+def test_registry_pinned_at_169():
     # Round 6: the freeze condition (verification debt < window size) was
     # met by the round-6 rotation, so the registry grew 165 -> 167 with
     # the formerly-staged kneser_ney_lm + kmeans_cells (COVERAGE.md
     # round-6 ledger). Round 9: the round-8 staged pq_topk_rerank
-    # registered with window slot 1 (COVERAGE.md round-9 ledger),
-    # 167 -> 168. Any further growth must edit this pin deliberately
-    # and land with a window slot (or a fresh ledger entry), never by
-    # silently extending the backlog past the 50-row window.
-    assert len(entry.queries()) == 168
+    # registered with window slot 1, 167 -> 168. Round 10: the round-9
+    # staged hybrid_search registered with window slot 1 (COVERAGE.md
+    # round-10 ledger), 168 -> 169. Any further growth must edit this
+    # pin deliberately and land with a window slot (or a fresh ledger
+    # entry), never by silently extending the backlog past the 50-row
+    # window.
+    assert len(entry.queries()) == 169
 
 
 def test_ledger_check_function_level_granularity():

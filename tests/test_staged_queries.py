@@ -40,44 +40,34 @@ def con():
 
 def test_staging_area_contents_and_promotions():
     # Round 6: the freeze lifted; the round-5 staged pair registered.
-    # Round 9: the round-8 staged pq_topk_rerank registered with window
-    # slot 1 (COVERAGE.md round-9 ledger), and hybrid_search (BM25 +
-    # cosine -> RRF, operators/retrieval.py) staged in its place.
-    # Every staged query must come WITH its oracle — a staged entry the
-    # comparator cannot check verifies nothing.
+    # Round 9: the round-8 staged pq_topk_rerank registered. Round 10:
+    # the round-9 staged hybrid_search registered with window slot 1
+    # (COVERAGE.md round-10 ledger) — the staging area is now EMPTY.
+    # Every future staged query must come WITH its oracle — a staged
+    # entry the comparator cannot check verifies nothing.
     staged = entry.staged_queries()
-    assert set(staged) == {"hybrid_search"}
+    assert staged == {}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
-    for name in ("kneser_ney_lm", "kmeans_cells", "pq_topk_rerank"):
+    for name in (
+        "kneser_ney_lm", "kmeans_cells", "pq_topk_rerank", "hybrid_search"
+    ):
         assert name in registered
         assert name in oracles
     assert not set(staged) & set(registered)  # no double-booking
 
 
-def _strict_compare_staged(spark, con, name):
-    sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
-    odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
-    scols, srows = _normalize(sdf)
-    ocols, orows = _normalize(odf)
-    assert scols == ocols
-    assert len(srows) == len(orows) > 0
-    assert srows == orows
-    assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
-        str(t) for t in odf[sorted(odf.columns)].dtypes
-    ]
+def test_hybrid_search_matches_oracle_strict(spark, con):
+    """Round-9 staged, round-10 registered: BM25 top-20 + exact-cosine
+    top-20 fused by reciprocal rank (1/(60+rank), round 9) -> top-10
+    per query, vs the full DuckDB replay (same tokenizer, same
+    ::DOUBLE float ops, same tie grids and rank orders on both stages
+    and the fusion)."""
+    _strict_compare(spark, con, "hybrid_search")
 
 
-def test_staged_hybrid_search_matches_oracle_strict(spark, con):
-    """Round-9 staged query: BM25 top-20 + exact-cosine top-20 fused by
-    reciprocal rank (1/(60+rank), round 9) -> top-10 per query, vs the
-    full DuckDB replay (same tokenizer, same ::DOUBLE float ops, same
-    tie grids and rank orders on both stages and the fusion)."""
-    _strict_compare_staged(spark, con, "hybrid_search")
-
-
-def test_staged_hybrid_fusion_differs_from_both_single_modalities(spark):
+def test_hybrid_fusion_differs_from_both_single_modalities(spark):
     """The fusion must be a real combination, not a pass-through: the
     fused top-10 order disagrees with the lexical-only order AND with
     the semantic-only order for at least one (query, rank) slot — if it
@@ -105,7 +95,7 @@ def test_staged_hybrid_fusion_differs_from_both_single_modalities(spark):
     )
     fused = {
         (r["query_id"], r["rank"]): r["doc_id"]
-        for r in entry.staged_queries()["hybrid_search"](spark, SF_DIR).collect()
+        for r in entry.queries()["hybrid_search"](spark, SF_DIR).collect()
     }
     for single in (lex, sem):
         order = {
