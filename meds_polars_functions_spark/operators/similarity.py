@@ -81,6 +81,16 @@ def brute_force_topk_expression(
 #: is the right tool, so fail fast with the redirect instead.
 MAX_COLLECTED_QUERY_ROWS = 100_000
 
+#: Ceiling on the number of id LITERALS pushed into a parquet scan as an
+#: isin filter (pq_topk rerank shortlist pruning). Distinct from the
+#: collect cap above: collecting 100k small rows is fine, but folding
+#: 100k literals into one In() predicate is a known Catalyst plan-size /
+#: codegen footgun (the expression tree and the pushed filter both carry
+#: every literal). Between this threshold and the collect cap the rerank
+#: uses the broadcast-join fallback instead — shortlist semantics are
+#: identical, only the raw-scan pruning strategy changes.
+MAX_ISIN_PUSHDOWN_IDS = 10_000
+
 
 def _collect_query_rows(queries: DataFrame, query_id: str, query_vec: str):
     """Bounded collect of the query side; raises instead of OOMing the
@@ -911,10 +921,23 @@ def pq_topk(
     bounded by construction, so it is collected (query-collect cap) and
     its id set pushed into the raw-corpus scan as an isin filter —
     parquet row-group pruning reads only the shortlisted vectors at
-    100 TB instead of streaming the raw table; past the cap the plan
-    falls back to broadcasting the shortlist itself (build side pinned).
-    ``rerank >= corpus size`` degenerates to exact brute force, which
-    the property test exploits.
+    100 TB instead of streaming the raw table. The isin-literal list is
+    separately bounded by MAX_ISIN_PUSHDOWN_IDS (folding ~100k literals
+    into one In() predicate is a Catalyst plan-size/codegen footgun):
+    above it — and past the collect cap — the plan falls back to
+    broadcasting the shortlist itself (build side pinned), identical
+    output, raw side streams. ``rerank >= corpus size`` degenerates to
+    exact brute force, which the property test exploits.
+
+    EAGER-EXECUTION CONTRACT (rerank > 0 only): building the returned
+    DataFrame RUNS the ADC stage (a bounded collect of the shortlist) at
+    call time — ``.explain()`` on the result shows only the re-rank
+    plan, and the shortlist is a SNAPSHOT of the corpus as of the call:
+    if the corpus source mutates between this call and the final action,
+    the re-rank still scores the frozen shortlist (unlike a single lazy
+    plan, which would re-derive it). Callers needing one lazy
+    end-to-end plan — or plan-only inspection without execution —
+    should use ``rerank=0`` (pure ADC, fully lazy).
     """
     m = len(codebooks)
     enc_input = corpus.select(
@@ -986,11 +1009,18 @@ def pq_topk(
     pairs = cand.select("query_id", "vec_id")
     rows = pairs.limit(MAX_COLLECTED_QUERY_ROWS + 1).collect()
     if len(rows) <= MAX_COLLECTED_QUERY_ROWS:
-        ids = sorted({r["vec_id"] for r in rows})
         pairs = F.broadcast(
             corpus.sparkSession.createDataFrame(rows, pairs.schema)
         )
-        c_raw = c_raw.filter(F.col("vec_id").isin(ids))
+        ids = sorted({r["vec_id"] for r in rows})
+        if len(ids) <= MAX_ISIN_PUSHDOWN_IDS:
+            # small id set: fold it into the raw scan as an In() filter
+            # so parquet row-group min/max pruning reads only the
+            # shortlisted vectors at 100 TB.
+            c_raw = c_raw.filter(F.col("vec_id").isin(ids))
+        # else: id set too large to fold as literals (plan-size/codegen
+        # hazard) — the broadcast shortlist join below prunes to
+        # |Q|·rerank rows anyway; only the scan-pruning strategy differs.
     else:
         # corpus-scale query set: fall back to broadcasting the shortlist
         # plan itself so nothing query-scale is ever driver-collected;

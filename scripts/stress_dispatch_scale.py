@@ -214,12 +214,21 @@ def main() -> None:
             # predate "vocab"/"shape" — skip that key rather than crash
             # after the measurement has already run)
             for key in ("cell", "scale", "n_docs", "n_templates", "vocab"):
-                if key in prior:
-                    assert prior[key] == record[key], (key, prior[key], record[key])
+                if key in prior and prior[key] != record[key]:
+                    # SystemExit, not assert: the check must survive
+                    # python -O, and it fires AFTER the expensive
+                    # measurement — a silent merge of mismatched cells
+                    # would poison the dispatch-constant evidence.
+                    raise SystemExit(
+                        f"--append refuses to merge: {key!r} differs "
+                        f"(prior={prior[key]!r}, new={record[key]!r}) in {out}"
+                    )
             session = 1 + max(
                 (s.get("session", 0) for s in prior["samples"]), default=0
             )
-            base_round = 1 + max(s["round"] for s in prior["samples"])
+            base_round = 1 + max(
+                (s["round"] for s in prior["samples"]), default=0
+            )
             for s in record["samples"]:
                 s["round"] += base_round
                 s["session"] = session

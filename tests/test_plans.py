@@ -410,7 +410,7 @@ def test_bm25_topk_term_prune_is_broadcast_semi_before_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # one-row stats side: broadcast nested loop is fine, a shuffled one is not
-    assert "ShuffledHashJoin" not in plan or "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_rrf_fuse_never_touches_the_corpus(spark):
@@ -464,3 +464,40 @@ def test_pq_rerank_pushes_shortlist_ids_into_raw_scan(spark):
     assert "In(vec_id, [" in plan  # shortlist ids pushed to the raw scan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_rerank_isin_threshold_falls_back_to_broadcast_join(
+    spark, monkeypatch
+):
+    """Above MAX_ISIN_PUSHDOWN_IDS distinct shortlist ids (ADVICE r10:
+    ~100k literals in one In() predicate is a Catalyst plan-size /
+    codegen footgun), the rerank must SKIP the isin literal fold and
+    rely on the broadcast shortlist join alone — same rows out, no
+    In(vec_id, …) in the raw scan, still never sort-merge."""
+    from meds_polars_functions_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = sim.train_pq_codebooks(
+        emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
+        sample_fraction=1.0, order_col="vec_id",
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    with_isin = rows_of(
+        sim.pq_topk(emb, q, books, k=3, tie_round=6, rerank=10)
+    )
+    monkeypatch.setattr(sim, "MAX_ISIN_PUSHDOWN_IDS", 3)
+    fallback = sim.pq_topk(emb, q, books, k=3, tie_round=6, rerank=10)
+    plan = plan_of(fallback)
+    assert "In(vec_id, [" not in plan  # literal fold skipped
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the pruning strategy changed, the result must not
+    assert rows_of(fallback) == with_isin
