@@ -3597,15 +3597,123 @@ SELECT query_id, doc_id, rrf, rank::INT AS rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 10: maximal-marginal-relevance diversified top-k
+    (operators.retrieval.mmr_rerank, Carbonell & Goldstein SIGIR 1998)
+    over exact-cosine top-20 candidates — the standard post-retrieval
+    diversification stage, composing with the round-10-registered
+    hybrid_search family. 4 fixed query embeddings (vec_id < 4), rel =
+    cosine round 9 (the embedding_topk grid), lambda=0.7, k=5; pairwise
+    candidate sims are JVM-side sequential-fold cosine round 9; the
+    greedy selection runs per query group in one Arrow-batched
+    applyInPandas over the bounded n_cand^2 pair rows. Beyond-reference
+    (no retrieval surface in the reference); registration with a
+    round-11 window slot is the plan — staged now because the round-10
+    registry is pinned at 169 by the pre-committed ledger."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.retrieval import mmr_rerank
+    from meds_polars_functions_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = brute_force_topk(emb, qv, k=20, tie_round=9).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    return mmr_rerank(cand, emb, k=5, lam=0.7, tie_round=9)
+
+
+def _mmr_topk_oracle_sql(k: int = 5, n_cand: int = 20, lam: str = "0.7") -> str:
+    """DuckDB replay of q_mmr_topk: the embedding_topk cosine (round 9)
+    cut at rank 20 gives the candidates; the greedy MMR selection is
+    UNROLLED as k chained CTEs — step i computes round(lam*rel -
+    (1-lam)*max_{s in sel} sim, 9) over the not-yet-selected candidates
+    (all float ops the same doubles Spark's greedy stage executes on the
+    same already-rounded inputs) and picks (mmr desc, doc_id asc).
+    Static SQL — reads only the registered views."""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+m{i} AS (
+  SELECT c.query_id, c.doc_id,
+    round({lam}::DOUBLE * c.rel - (1.0::DOUBLE - {lam}::DOUBLE) * pen.p, 9) AS mmr
+  FROM cand c
+  JOIN (SELECT s.query_id, s.da AS doc_id, max(s.s) AS p
+        FROM sim s JOIN sel{i - 1} t
+          ON t.query_id = s.query_id AND t.doc_id = s.db
+        GROUP BY s.query_id, s.da) pen
+    ON pen.query_id = c.query_id AND pen.doc_id = c.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)),
+p{i} AS (
+  SELECT query_id, doc_id, mmr, {i}::INT AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, doc_id) AS rn
+    FROM m{i}) WHERE rn = 1),
+sel{i} AS (SELECT query_id, doc_id FROM sel{i - 1}
+           UNION ALL SELECT query_id, doc_id FROM p{i})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT query_id, doc_id, mmr, rank FROM p{i}" for i in range(1, k + 1)
+    )
+    return f"""
+WITH emb2 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) AS nrm
+  FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn
+       FROM emb2 WHERE vec_id < 4),
+relsc AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> q.qvec[i] * e.v[i]))
+          / (q.qn * e.nrm), 9) AS rel
+  FROM qv q CROSS JOIN emb2 e),
+cand AS (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT query_id, doc_id, rel,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, doc_id) AS rnk
+    FROM relsc) WHERE rnk <= {n_cand}),
+ce AS (SELECT c.query_id, c.doc_id, e.v, e.nrm
+       FROM cand c JOIN emb2 e ON e.vec_id = c.doc_id),
+sim AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+    round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                  i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm), 9) AS s
+  FROM ce a JOIN ce b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+m1 AS (
+  SELECT query_id, doc_id,
+    round({lam}::DOUBLE * rel - (1.0::DOUBLE - {lam}::DOUBLE) * 0.0::DOUBLE, 9) AS mmr
+  FROM cand),
+p1 AS (
+  SELECT query_id, doc_id, mmr, 1::INT AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, doc_id) AS rn
+    FROM m1) WHERE rn = 1),
+sel1 AS (SELECT query_id, doc_id FROM p1){"".join(steps)}
+{union}
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
     Round 10: hybrid_search (staged r9) REGISTERED with window slot 1
     (COVERAGE.md round-10 ledger, registry 168 → 169) — the same
     staged→registered path the round-5, round-8 and round-9 stagings
-    took. The staging area is currently EMPTY; any new staged entry
-    must come WITH an oracle in staged_oracle_sql."""
-    return {}
+    took; mmr_topk (MMR diversified top-k, operators/retrieval.py
+    mmr_rerank) staged in its place — the registry is pinned at 169 by
+    the pre-committed ledger, so registration with a window slot is the
+    round-11 move. Every staged entry has an oracle in
+    staged_oracle_sql."""
+    return {"mmr_topk": q_mmr_topk}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3672,10 +3780,11 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries — empty since the round-10
-    hybrid_search registration promoted its static SQL (sf-independent,
-    no parquet-path dependence) to the ``oracle_sql()`` default."""
-    return {}
+    """Oracles for the staged queries. mmr_topk's oracle is static SQL
+    over the registered views (no parquet-path dependence), so the same
+    string serves the sf0.001 staged tests and, on registration, the
+    sf0.01 ``oracle_sql()`` default."""
+    return {"mmr_topk": _mmr_topk_oracle_sql()}
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,111 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("__id__").alias(id_col), "rrf", "rank")
     )
+
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 9,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification of per-query ranked
+    candidates (Carbonell & Goldstein, SIGIR 1998): greedily select k
+    documents maximizing ``lam * rel(c) - (1 - lam) * max_{s in S}
+    sim(c, s)`` — relevance traded against redundancy with the
+    already-selected set S (empty-S penalty is 0, so the first pick is
+    the relevance argmax). ``sim`` is embedding cosine. BEYOND-REFERENCE
+    (no retrieval surface in the reference); composes with bm25_topk /
+    rrf_fuse / the ANN top-k family, whose bounded per-query outputs are
+    exactly the candidate shape this consumes.
+
+    Scale shape (100 TB corpus, human-scale query set): ``candidates``
+    is |Q| x n_cand rows BY CONSTRUCTION (a retriever's top-n), so it is
+    BROADCAST into the corpus-embedding join — the raw table is read
+    ONCE and never shuffled; everything after that join is bounded. The
+    greedy argmax loop is genuinely iterative (each pick changes the
+    next penalty), so pairwise sims + selection run per query group in
+    ONE Arrow-batched ``applyInPandas`` (n_cand^2 dot products in a
+    single numpy matmul) — the only exchange in the whole plan is the
+    bounded groupBy(query_id). Fully lazy: nothing is collected at
+    construction time (contrast pq_topk's eager rerank).
+
+    Determinism: candidate ids are processed in ascending order, sims
+    are ``np.round(mat @ mat.T / outer(norms), tie_round)`` — the same
+    numpy float64 matmul + round-9 grid as the driver-proven
+    ``brute_force_topk_vectorized`` / DuckDB list_sum parity — and every
+    greedy step compares ``np.round(lam*rel - (1-lam)*penalty,
+    tie_round)`` with argmax-first = ascending-id tiebreak, so the
+    selection is engine-reproducible. Candidates without an embedding
+    row are dropped (inner join) — a similarity penalty cannot be
+    computed for them; (query, doc) candidate rows are assumed unique
+    (every retriever top-n in this package emits them unique).
+
+    Output: (query_id, <id_col>, mmr, rank <= k).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cand = candidates.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("__id__"),
+        F.col(score_col).cast("double").alias("__rel__"),
+    )
+    emb = embeddings.select(
+        F.col(emb_id_col).alias("__id__"), F.col(emb_col).alias("__v__")
+    )
+    # candidate side is bounded -> broadcast; the corpus-sized embedding
+    # table streams through ONE broadcast hash join (no corpus shuffle,
+    # no second read — the pairwise sims are computed inside the Arrow
+    # stage, not by a self-join that would re-scan the corpus).
+    ce = F.broadcast(cand).join(emb, "__id__").select(
+        "query_id", "__id__", "__rel__", "__v__"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", ce.schema["query_id"].dataType),
+            T.StructField("__id__", ce.schema["__id__"].dataType),
+            T.StructField("mmr", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    pen_w = 1.0 - lam
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        order = pdf["__id__"].argsort(kind="stable").to_numpy()
+        ids = pdf["__id__"].to_numpy()[order]
+        rel = pdf["__rel__"].to_numpy()[order]
+        mat = np.array(list(pdf["__v__"]), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        sim = np.round(mat @ mat.T / np.outer(norms, norms), tie_round)
+        n = len(ids)
+        taken = np.zeros(n, dtype=bool)
+        penalty = np.zeros(n)
+        out = {"query_id": [], "__id__": [], "mmr": [], "rank": []}
+        for rank in range(1, min(k, n) + 1):
+            m = np.round(lam * rel - pen_w * penalty, tie_round)
+            m[taken] = -np.inf
+            best = int(np.argmax(m))  # first max = ascending-id tiebreak
+            out["query_id"].append(qid)
+            out["__id__"].append(ids[best])
+            out["mmr"].append(float(m[best]))
+            out["rank"].append(rank)
+            taken[best] = True
+            np.maximum(penalty, sim[:, best], out=penalty)
+        return pd.DataFrame(out)
+
+    return (
+        ce.groupBy("query_id")
+        .applyInPandas(greedy, schema=out_schema)
+        .select("query_id", F.col("__id__").alias(id_col), "mmr", "rank")
+    )

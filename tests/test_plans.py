@@ -501,3 +501,32 @@ def test_pq_rerank_isin_threshold_falls_back_to_broadcast_join(
     assert "BroadcastHashJoin" in plan
     # the pruning strategy changed, the result must not
     assert rows_of(fallback) == with_isin
+
+
+def test_mmr_corpus_join_broadcast_single_pandas_stage(spark):
+    """mmr_rerank (round-10 staged): the bounded candidate set must
+    BROADCAST into the corpus-embedding join (the raw table is read
+    once, never shuffled or sort-merged), the candidate pair self-join
+    must broadcast too, and the greedy stage must be exactly ONE
+    Arrow-batched FlatMapGroupsInPandas — a second Pandas stage would
+    mean the pair rows took an extra Python round-trip."""
+    from meds_polars_functions_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cand = spark.createDataFrame(
+        [(q, d, 1.0 / (d + 1)) for q in range(2) for d in range(10)],
+        "query_id long, doc_id long, score double",
+    )
+    import re
+
+    plan = plan_of(mmr_rerank(cand, emb, k=5, lam=0.7))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # formatted output lists each node once in the tree and once as a
+    # "(N) <Node>" detail header — count the headers
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # the groupBy only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1  # ONE corpus read

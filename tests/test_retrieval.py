@@ -118,3 +118,83 @@ def test_rrf_fuse_k_cut_and_empty_input(spark):
     assert rrf_fuse([lex], k=2).count() == 2
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank (round-10 staged operator)
+# ---------------------------------------------------------------------------
+
+from meds_polars_functions_spark.operators.retrieval import mmr_rerank  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mmr_inputs(spark):
+    # doc 10 most relevant, doc 11 a near-duplicate of 10, doc 12
+    # orthogonal — the canonical diversity-vs-relevance setup.
+    cand = spark.createDataFrame(
+        [(0, 10, 0.95), (0, 11, 0.90), (0, 12, 0.50)],
+        "query_id long, doc_id long, score double",
+    )
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.999, 0.0447]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    return cand, emb
+
+
+def test_mmr_hand_computed_diversity(spark, mmr_inputs):
+    """lam=0.7: pick1 = 10 (relevance argmax, mmr 0.7*0.95 = 0.665);
+    pick2 = 12 (0.35 beats 11's 0.63 - 0.3*sim(11,10) ~= 0.3303 — the
+    near-duplicate is penalized past the weaker-but-diverse doc);
+    pick3 = 11. Pure relevance order would be 10, 11, 12."""
+    cand, emb = mmr_inputs
+    got = [
+        (r["doc_id"], r["mmr"], r["rank"])
+        for r in mmr_rerank(cand, emb, k=3, lam=0.7).orderBy("rank").collect()
+    ]
+    assert [d for d, _, _ in got] == [10, 12, 11]
+    assert got[0][1] == round(0.7 * 0.95, 9)
+    assert got[1][1] == round(0.7 * 0.50, 9)
+    # sim(11,10) = 0.999/sqrt(0.999^2 + 0.0447^2) rounded to 9
+    import math
+
+    s = round(0.999 / math.sqrt(0.999**2 + 0.0447**2), 9)
+    assert got[2][1] == round(0.7 * 0.90 - (1.0 - 0.7) * s, 9)
+
+
+def test_mmr_lam_one_is_pure_relevance(spark, mmr_inputs):
+    """lam=1.0 zeroes the redundancy penalty: the output must be the
+    relevance order with mmr == round(rel, 9)."""
+    cand, emb = mmr_inputs
+    got = [
+        (r["doc_id"], r["mmr"])
+        for r in mmr_rerank(cand, emb, k=3, lam=1.0).orderBy("rank").collect()
+    ]
+    assert got == [(10, 0.95), (11, 0.90), (12, 0.50)]
+
+
+def test_mmr_singleton_and_k_truncation(spark, mmr_inputs):
+    """A query with one candidate yields one row (the left join keeps
+    pairless spine rows); k larger than the candidate count truncates."""
+    cand, emb = mmr_inputs
+    single = spark.createDataFrame(
+        [(7, 12, 0.4)], "query_id long, doc_id long, score double"
+    )
+    rows = mmr_rerank(single, emb, k=5, lam=0.7).collect()
+    assert [(r["query_id"], r["doc_id"], r["rank"]) for r in rows] == [(7, 12, 1)]
+    assert rows[0]["mmr"] == round(0.7 * 0.4, 9)
+    assert mmr_rerank(cand, emb, k=99, lam=0.7).count() == 3
+
+
+def test_mmr_drops_candidates_without_embeddings(spark, mmr_inputs):
+    """A candidate with no embedding row cannot be similarity-penalized
+    — the documented contract drops it (inner join) rather than scoring
+    it with a silent zero penalty."""
+    cand, emb = mmr_inputs
+    cand2 = cand.union(
+        spark.createDataFrame(
+            [(0, 99, 0.99)], "query_id long, doc_id long, score double"
+        )
+    )
+    got = [r["doc_id"] for r in mmr_rerank(cand2, emb, k=4, lam=0.7).collect()]
+    assert 99 not in got and len(got) == 3

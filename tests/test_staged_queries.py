@@ -42,11 +42,12 @@ def test_staging_area_contents_and_promotions():
     # Round 6: the freeze lifted; the round-5 staged pair registered.
     # Round 9: the round-8 staged pq_topk_rerank registered. Round 10:
     # the round-9 staged hybrid_search registered with window slot 1
-    # (COVERAGE.md round-10 ledger) — the staging area is now EMPTY.
-    # Every future staged query must come WITH its oracle — a staged
-    # entry the comparator cannot check verifies nothing.
+    # (COVERAGE.md round-10 ledger), and mmr_topk (MMR diversified
+    # top-k, operators/retrieval.py mmr_rerank) staged in its place.
+    # Every staged query must come WITH its oracle — a staged entry the
+    # comparator cannot check verifies nothing.
     staged = entry.staged_queries()
-    assert staged == {}
+    assert set(staged) == {"mmr_topk"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -210,3 +211,55 @@ def test_kmeans_cells_oracle_is_falsifiable(spark):
         .collect()[0][0]
     )
     assert frac < 1.0
+
+
+def _strict_compare_staged(spark, con, name):
+    sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+    assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
+        str(t) for t in odf[sorted(odf.columns)].dtypes
+    ]
+
+
+def test_staged_mmr_topk_matches_oracle_strict(spark, con):
+    """Round-10 staged query: exact-cosine top-20 candidates (round-9
+    rel grid) diversified by greedy MMR (lambda=0.7, k=5) vs the DuckDB
+    replay whose greedy selection is UNROLLED as 5 chained CTEs — same
+    already-rounded inputs, same round(lam*rel - (1-lam)*maxsim, 9)
+    step arithmetic, same (mmr desc, doc_id) pick order."""
+    _strict_compare_staged(spark, con, "mmr_topk")
+
+
+def test_staged_mmr_diversifies_vs_pure_relevance(spark):
+    """Falsifiability: the staged query's top-5 must differ from the
+    pure-relevance top-5 (same candidates, lam=1.0 ordering) for at
+    least one (query, rank) slot — if it never did, MMR would silently
+    re-prove embedding_topk and stage nothing new."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rel_order = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, qv, k=5, tie_round=9).collect()
+    }
+    mmr_order = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in entry.staged_queries()["mmr_topk"](spark, SF_DIR).collect()
+    }
+    assert set(rel_order) == set(mmr_order)  # same (query, rank) grid
+    assert any(mmr_order[key] != rel_order[key] for key in mmr_order), (
+        "MMR top-5 is a pass-through of the relevance order"
+    )
