@@ -3598,7 +3598,9 @@ SELECT query_id, doc_id, rrf, rank::INT AS rank FROM ranked WHERE rank <= 10
 
 
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 10: maximal-marginal-relevance diversified top-k
+    """Staged round 10, REGISTERED round 10 by explicit mid-round ledger
+    amendment (COVERAGE.md; registry 169 → 170, window slot 1):
+    maximal-marginal-relevance diversified top-k
     (operators.retrieval.mmr_rerank, Carbonell & Goldstein SIGIR 1998)
     over exact-cosine top-20 candidates — the standard post-retrieval
     diversification stage, composing with the round-10-registered
@@ -3607,9 +3609,7 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sims are JVM-side sequential-fold cosine round 9; the
     greedy selection runs per query group in one Arrow-batched
     applyInPandas over the bounded n_cand^2 pair rows. Beyond-reference
-    (no retrieval surface in the reference); registration with a
-    round-11 window slot is the plan — staged now because the round-10
-    registry is pinned at 169 by the pre-committed ledger."""
+    (no retrieval surface in the reference)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.retrieval import mmr_rerank
     from meds_polars_functions_spark.operators.similarity import brute_force_topk
@@ -3706,14 +3706,15 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
     Round 10: hybrid_search (staged r9) REGISTERED with window slot 1
-    (COVERAGE.md round-10 ledger, registry 168 → 169) — the same
-    staged→registered path the round-5, round-8 and round-9 stagings
-    took; mmr_topk (MMR diversified top-k, operators/retrieval.py
-    mmr_rerank) staged in its place — the registry is pinned at 169 by
-    the pre-committed ledger, so registration with a window slot is the
-    round-11 move. Every staged entry has an oracle in
+    (COVERAGE.md round-10 ledger, registry 168 → 169); mmr_topk staged
+    in its place, then ALSO REGISTERED this round by explicit mid-round
+    ledger amendment (COVERAGE.md round-10 amendment, registry 169 →
+    170, window slot 1) after its oracle held at registration grade at
+    three scale factors — the amendment path the r9 pq_topk precedent
+    established. The staging area is empty until the next candidate
+    lands. Every staged entry must come WITH an oracle in
     staged_oracle_sql."""
-    return {"mmr_topk": q_mmr_topk}
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3780,11 +3781,11 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries. mmr_topk's oracle is static SQL
-    over the registered views (no parquet-path dependence), so the same
-    string serves the sf0.001 staged tests and, on registration, the
-    sf0.01 ``oracle_sql()`` default."""
-    return {"mmr_topk": _mmr_topk_oracle_sql()}
+    """Oracles for the staged queries — empty since the round-10
+    amendment registered mmr_topk (its static SQL moved to the
+    ``oracle_sql()`` default unchanged: no parquet-path dependence, so
+    the same string serves every scale factor)."""
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -3813,10 +3814,22 @@ def staged_oracle_sql() -> dict[str, str]:
 #   slots 4-25  = ALL 22 remaining r6-age greens (next_window.py queue
 #                 order) — after this window no r6-age rows remain;
 #   slots 26-50 = the 25 oldest r7-age greens (queue order).
+# Mid-round amendment (COVERAGE.md round-10 amendment): mmr_topk —
+# staged earlier this round at registration grade (strict oracle PASS at
+# sf0.001/0.01/0.1 under a default ANSI session) — is REGISTERED
+# (registry 169 → 170) and takes slot 1; every pre-committed slot shifts
+# down one and repeat_buyers_setop (slot 50, r7-age, undamaged) returns
+# to the head of the round-11 freshness queue, exactly the r9 amendment
+# mechanics.
 # Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
+    # round-10 mid-round amendment: mmr_topk registered (169 -> 170) with
+    # slot 1; repeat_buyers_setop (r7-age, undamaged) displaced from slot
+    # 50 back to the head of the round-11 freshness queue (the r9
+    # amendment precedent). Ledger: COVERAGE.md round-10 amendment.
+    "mmr_topk",
     # round-10 registration (staged r9)
     "hybrid_search",
     # round-10-touched queries (similarity.py rerank-path edit)
@@ -3870,7 +3883,6 @@ CORRECTNESS_WINDOW: list[str] = [
     "interpolate_values",
     "scd2_priority",
     "snapshot_diff",
-    "repeat_buyers_setop",
 ]
 
 
@@ -3953,6 +3965,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "mmr_topk": q_mmr_topk,
         "clf_score": q_clf_score,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
@@ -5573,6 +5586,7 @@ FROM w
         "pq_topk": _pq_topk_oracle_sql(),
         "pq_topk_rerank": _pq_topk_rerank_oracle_sql(),
         "hybrid_search": _HYBRID_SEARCH_ORACLE_SQL,
+        "mmr_topk": _mmr_topk_oracle_sql(),
         "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key

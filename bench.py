@@ -65,6 +65,9 @@ TRACKED = [
     # round 10: the registered hybrid BM25+cosine RRF retrieval, tracked
     # from birth (VERDICT r9 item 3)
     "hybrid_search",
+    # round 10 (mid-round amendment): the registered MMR diversified
+    # top-k, tracked from birth
+    "mmr_topk",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

@@ -59,6 +59,9 @@ DEFAULT_QUERIES = [
     # round-10 addition (VERDICT r9 item 3): the newly registered hybrid
     # BM25+cosine RRF retrieval, tracked in the A/B from birth
     "hybrid_search",
+    # round-10 amendment: the newly registered MMR diversified top-k,
+    # tracked in the A/B from birth
+    "mmr_topk",
 ]
 
 

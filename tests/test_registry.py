@@ -18,6 +18,7 @@ import __spark_entry__ as entry
 # The exact round-10 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
+    "mmr_topk",
     "hybrid_search",
     "pq_topk_rerank",
     "pq_topk",
@@ -67,7 +68,6 @@ EXPECTED_WINDOW = [
     "interpolate_values",
     "scd2_priority",
     "snapshot_diff",
-    "repeat_buyers_setop",
 ]
 
 
@@ -123,18 +123,19 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
 
 
-def test_registry_pinned_at_169():
+def test_registry_pinned_at_170():
     # Round 6: the freeze condition (verification debt < window size) was
     # met by the round-6 rotation, so the registry grew 165 -> 167 with
     # the formerly-staged kneser_ney_lm + kmeans_cells (COVERAGE.md
     # round-6 ledger). Round 9: the round-8 staged pq_topk_rerank
     # registered with window slot 1, 167 -> 168. Round 10: the round-9
     # staged hybrid_search registered with window slot 1 (COVERAGE.md
-    # round-10 ledger), 168 -> 169. Any further growth must edit this
-    # pin deliberately and land with a window slot (or a fresh ledger
-    # entry), never by silently extending the backlog past the 50-row
-    # window.
-    assert len(entry.queries()) == 169
+    # round-10 ledger), 168 -> 169; then mmr_topk registered by explicit
+    # mid-round ledger amendment (COVERAGE.md round-10 amendment),
+    # 169 -> 170. Any further growth must edit this pin deliberately and
+    # land with a window slot (or a fresh ledger entry), never by
+    # silently extending the backlog past the 50-row window.
+    assert len(entry.queries()) == 170
 
 
 def test_ledger_check_function_level_granularity():

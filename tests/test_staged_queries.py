@@ -42,17 +42,19 @@ def test_staging_area_contents_and_promotions():
     # Round 6: the freeze lifted; the round-5 staged pair registered.
     # Round 9: the round-8 staged pq_topk_rerank registered. Round 10:
     # the round-9 staged hybrid_search registered with window slot 1
-    # (COVERAGE.md round-10 ledger), and mmr_topk (MMR diversified
-    # top-k, operators/retrieval.py mmr_rerank) staged in its place.
-    # Every staged query must come WITH its oracle — a staged entry the
-    # comparator cannot check verifies nothing.
+    # (COVERAGE.md round-10 ledger); mmr_topk staged in its place, then
+    # ALSO registered by explicit mid-round ledger amendment after its
+    # oracle held at registration grade at three scale factors. Staging
+    # is empty until the next candidate lands. Every staged query must
+    # come WITH its oracle — a staged entry the comparator cannot check
+    # verifies nothing.
     staged = entry.staged_queries()
-    assert set(staged) == {"mmr_topk"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
     for name in (
-        "kneser_ney_lm", "kmeans_cells", "pq_topk_rerank", "hybrid_search"
+        "kneser_ney_lm", "kmeans_cells", "pq_topk_rerank", "hybrid_search",
+        "mmr_topk",
     ):
         assert name in registered
         assert name in oracles
@@ -226,20 +228,21 @@ def _strict_compare_staged(spark, con, name):
     ]
 
 
-def test_staged_mmr_topk_matches_oracle_strict(spark, con):
-    """Round-10 staged query: exact-cosine top-20 candidates (round-9
-    rel grid) diversified by greedy MMR (lambda=0.7, k=5) vs the DuckDB
-    replay whose greedy selection is UNROLLED as 5 chained CTEs — same
+def test_mmr_topk_matches_oracle_strict(spark, con):
+    """Round-10 staged, round-10 registered (mid-round ledger
+    amendment): exact-cosine top-20 candidates (round-9 rel grid)
+    diversified by greedy MMR (lambda=0.7, k=5) vs the DuckDB replay
+    whose greedy selection is UNROLLED as 5 chained CTEs — same
     already-rounded inputs, same round(lam*rel - (1-lam)*maxsim, 9)
     step arithmetic, same (mmr desc, doc_id) pick order."""
-    _strict_compare_staged(spark, con, "mmr_topk")
+    _strict_compare(spark, con, "mmr_topk")
 
 
-def test_staged_mmr_diversifies_vs_pure_relevance(spark):
-    """Falsifiability: the staged query's top-5 must differ from the
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """Falsifiability: the registered query's top-5 must differ from the
     pure-relevance top-5 (same candidates, lam=1.0 ordering) for at
     least one (query, rank) slot — if it never did, MMR would silently
-    re-prove embedding_topk and stage nothing new."""
+    re-prove embedding_topk and register nothing new."""
     from pyspark.sql import functions as F
 
     from meds_polars_functions_spark.operators.similarity import brute_force_topk
@@ -257,7 +260,7 @@ def test_staged_mmr_diversifies_vs_pure_relevance(spark):
     }
     mmr_order = {
         (r["query_id"], r["rank"]): r["doc_id"]
-        for r in entry.staged_queries()["mmr_topk"](spark, SF_DIR).collect()
+        for r in entry.queries()["mmr_topk"](spark, SF_DIR).collect()
     }
     assert set(rel_order) == set(mmr_order)  # same (query, rank) grid
     assert any(mmr_order[key] != rel_order[key] for key in mmr_order), (
