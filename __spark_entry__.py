@@ -3702,6 +3702,74 @@ sel1 AS (SELECT query_id, doc_id FROM p1){"".join(steps)}
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 10 (session 2): windowed event-funnel analytics
+    (operators.funnel.window_funnel + funnel_counts) — per-user max
+    ordered-step chain view → click → purchase with strictly increasing
+    timestamps and span <= 6 h, reduced to users-reaching-step counts.
+    The existential (exactly verifiable) form of ClickHouse's
+    windowFunnel; entirely JVM-side — the per-user DP is k-1 chained
+    strict-prefix range-frame window maxima over ONE user_id exchange,
+    no Python UDF. Beyond-reference (no behavioral-analytics surface in
+    the reference). At sf0.001 the funnel is 15 → 14 → 1 users and the
+    6 h window binds (W=24 h gives 15/15/8), so the oracle is
+    falsifiable on both the ordering and the window constraints."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.funnel import (
+        funnel_counts,
+        window_funnel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lv = window_funnel(ev, _FUNNEL_STEPS, window=_FUNNEL_WINDOW_US)
+    return funnel_counts(lv, _FUNNEL_STEPS).orderBy("step")
+
+
+#: DuckDB replay of q_window_funnel from the DEFINITION: level >= L iff a
+#: strictly-increasing chain of the first L step types exists with span
+#: <= W — expressed as 1/2/3-way self-joins on epoch_us (the same µs
+#: truncation _t applies on the Spark side), then the spine counts.
+_WINDOW_FUNNEL_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM e),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON a.user_id = b.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND b.tu > a.tu AND b.tu - a.tu <= {_FUNNEL_WINDOW_US}),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON a.user_id = b.user_id
+           JOIN e c ON a.user_id = c.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'purchase'
+    AND b.tu > a.tu AND c.tu > b.tu
+    AND c.tu - a.tu <= {_FUNNEL_WINDOW_US}),
+lv AS (
+  SELECT u.user_id,
+         CASE WHEN l3.user_id IS NOT NULL THEN 3
+              WHEN l2.user_id IS NOT NULL THEN 2
+              WHEN l1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS lvl
+  FROM u LEFT JOIN l1 ON l1.user_id = u.user_id
+         LEFT JOIN l2 ON l2.user_id = u.user_id
+         LEFT JOIN l3 ON l3.user_id = u.user_id),
+spine AS (SELECT * FROM (VALUES
+  (1, 'view'), (2, 'click'), (3, 'purchase')) t(step, step_name))
+SELECT s.step::INT AS step, s.step_name AS step_name,
+       (SELECT count(*) FROM lv WHERE lv.lvl >= s.step)::BIGINT AS users
+FROM spine s
+ORDER BY step
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -3711,10 +3779,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ledger amendment (COVERAGE.md round-10 amendment, registry 169 →
     170, window slot 1) after its oracle held at registration grade at
     three scale factors — the amendment path the r9 pq_topk precedent
-    established. The staging area is empty until the next candidate
-    lands. Every staged entry must come WITH an oracle in
-    staged_oracle_sql."""
-    return {}
+    established. window_funnel (windowed event-funnel analytics,
+    operators/funnel.py) staged in its place — the round-10 registry is
+    pinned at 170 by the amended ledger, so registration with a window
+    slot is the round-11 move. Every staged entry must come WITH an
+    oracle in staged_oracle_sql."""
+    return {"window_funnel": q_window_funnel}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3781,11 +3851,11 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries — empty since the round-10
-    amendment registered mmr_topk (its static SQL moved to the
-    ``oracle_sql()`` default unchanged: no parquet-path dependence, so
-    the same string serves every scale factor)."""
-    return {}
+    """Oracles for the staged queries. window_funnel's oracle is static
+    SQL over the registered views (no parquet-path dependence), so the
+    same string serves the sf0.001 staged tests and, on registration,
+    the sf0.01 ``oracle_sql()`` default."""
+    return {"window_funnel": _WINDOW_FUNNEL_ORACLE_SQL}
 
 
 # ---------------------------------------------------------------------------

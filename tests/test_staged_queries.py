@@ -49,6 +49,7 @@ def test_staging_area_contents_and_promotions():
     # come WITH its oracle — a staged entry the comparator cannot check
     # verifies nothing.
     staged = entry.staged_queries()
+    assert set(staged) == {"window_funnel"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -266,3 +267,49 @@ def test_mmr_diversifies_vs_pure_relevance(spark):
     assert any(mmr_order[key] != rel_order[key] for key in mmr_order), (
         "MMR top-5 is a pass-through of the relevance order"
     )
+
+def test_staged_window_funnel_matches_oracle_strict(spark, con):
+    """Round-10 (session 2) staged query: per-user windowed funnel
+    view -> click -> purchase (strictly increasing ts, span <= 6 h)
+    reduced to users-reaching-step counts, vs the DEFINITIONAL DuckDB
+    replay (existence of a chain expressed as 1/2/3-way self-joins on
+    epoch_us — the same µs truncation the Spark side applies)."""
+    _strict_compare_staged(spark, con, "window_funnel")
+
+
+def test_staged_funnel_window_and_order_both_bind(spark):
+    """Falsifiability: the 6 h window must actually constrain the result
+    (an unwindowed funnel reports strictly more converting users), and
+    the ordered-chain requirement must bite (type-set membership alone
+    would over-count) — otherwise the staged query would silently
+    re-prove a plain groupBy count."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.funnel import (
+        funnel_counts,
+        window_funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    ev = entry._t(spark, SF_DIR, "events")
+    windowed = {
+        r["step"]: r["users"]
+        for r in entry.staged_queries()["window_funnel"](spark, SF_DIR).collect()
+    }
+    # (a) window binds: a 30-day window admits strictly more users at
+    # the deepest step
+    wide = funnel_counts(
+        window_funnel(ev, steps, window=30 * 24 * 3600 * 1_000_000), steps
+    )
+    wide_users = {r["step"]: r["users"] for r in wide.collect()}
+    assert wide_users[3] > windowed[3]
+    # (b) order binds even unwindowed: users owning all three types
+    # outnumber (or at least differ from) windowed level-3 users
+    have_all = (
+        ev.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 3)
+        .count()
+    )
+    assert have_all > windowed[3]
