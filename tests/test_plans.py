@@ -112,6 +112,26 @@ def test_minhash_candidates_single_bucket_exchange(spark, entry_mod):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
 
 
+def _executed_plan_counts(build, expected, attempts=2):
+    """Execute the plan and count (ReusedExchange, ArrowEvalPython) nodes
+    in the final adaptive plan TEXT. AQE's executed-plan printer
+    occasionally collapses an already-materialized query-stage subtree,
+    hiding nodes from the string (observed ~1/20 runs in round 10: an
+    ArrowEvalPython printed once instead of twice) with no change to the
+    plan that actually ran — so an off-expected count is re-executed once
+    before it is reported; a REAL plan regression (an extra corpus pass,
+    a duplicated UDF stage) reproduces deterministically on the retry."""
+    for _ in range(attempts):
+        out = build()
+        out.collect()
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("+- == Initial Plan ==")[0]
+        got = (final.count("ReusedExchange"), final.count("ArrowEvalPython"))
+        if got == expected:
+            return got
+    return got
+
+
 def test_minhash_verify_reuses_signature_exchange(spark, entry_mod):
     """minhash_dedup_pairs computes signatures in ONE corpus pass: the
     repartition above the struct UDF is materialized once and the banding
@@ -126,13 +146,13 @@ def test_minhash_verify_reuses_signature_exchange(spark, entry_mod):
     # both hash modes (crc32 default, portable md5) must keep the reuse —
     # the driver's oracle query runs the portable mode
     for portable in (False, True):
-        out = minhash_dedup_pairs(
-            docs, "text", "doc_id", threshold=0.5, portable=portable
+        counts = _executed_plan_counts(
+            lambda: minhash_dedup_pairs(
+                docs, "text", "doc_id", threshold=0.5, portable=portable
+            ),
+            expected=(2, 2),
         )
-        out.collect()
-        executed = out._jdf.queryExecution().executedPlan().toString()
-        final = executed.split("+- == Initial Plan ==")[0]
-        assert final.count("ReusedExchange") == 2, f"portable={portable}"
+        assert counts == (2, 2), f"portable={portable}"
 
 
 def test_pack_sequences_window_is_sharded(spark, entry_mod):
@@ -366,17 +386,16 @@ def test_containment_minhash_reuses_signature_exchange(spark, entry_mod):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     for portable in (False, True):
-        out = containment_pairs_minhash(
-            docs, "text", "doc_id", threshold=0.5, portable=portable
-        )
-        out.collect()
-        executed = out._jdf.queryExecution().executedPlan().toString()
-        final = executed.split("+- == Initial Plan ==")[0]
-        assert final.count("ReusedExchange") == 2, f"portable={portable}"
         # same executed-plan signature as the proven minhash_dedup_pairs
         # shape (the map-side explode_outer direction emission adds no
         # extra exchange and no extra Arrow stage)
-        assert final.count("ArrowEvalPython") == 2, f"portable={portable}"
+        counts = _executed_plan_counts(
+            lambda: containment_pairs_minhash(
+                docs, "text", "doc_id", threshold=0.5, portable=portable
+            ),
+            expected=(2, 2),
+        )
+        assert counts == (2, 2), f"portable={portable}"
 
 
 def test_kneser_ney_topk_mode_is_broadcast_only(spark):
