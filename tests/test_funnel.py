@@ -169,3 +169,60 @@ def test_funnel_counts_plan_never_touches_corpus_scale(spark):
     # exactly one file scan (formatted mode names each node twice —
     # tree + detail — so count the unique Location line instead)
     assert plan.count("InMemoryFileIndex") == 1
+
+
+# --- property: window_funnel == brute-force chain search -------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+settings.register_profile(
+    "spark_funnel",
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute_level(evts, steps, window):
+    """Reference: max L with an explicit strictly-increasing chain of
+    steps[0..L-1] and span <= window — literal DFS over the definition
+    (inputs are tiny)."""
+    k = len(steps)
+    best = 0
+
+    def extend(i, first_ts, last_ts):
+        nonlocal best
+        best = max(best, i)
+        if i == k:
+            return
+        for ts, et in evts:
+            if et == steps[i] and ts > last_ts and (
+                i == 0 or ts - first_ts <= window
+            ):
+                extend(i + 1, first_ts if i else ts, ts)
+
+    extend(0, None, -1)
+    return best
+
+
+funnel_row = st.tuples(
+    st.integers(1, 4),                      # user
+    st.integers(0, 20),                     # ts (small grid -> many ties)
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+@settings(settings.get_profile("spark_funnel"))
+@given(st.lists(funnel_row, min_size=1, max_size=30), st.integers(0, 12))
+def test_funnel_matches_bruteforce(spark, rows, window):
+    from collections import defaultdict
+
+    lv = _levels(spark, [(u, t, e) for u, t, e in rows], window=window)
+    per_user = defaultdict(list)
+    for u, t, e in rows:
+        per_user[u].append((t, e))
+    for u, evts in per_user.items():
+        if not any(e in STEPS for _, e in evts):
+            assert u not in lv
+        else:
+            assert lv[u] == _brute_level(evts, STEPS, window), (u, evts, window)
