@@ -3770,6 +3770,46 @@ ORDER BY step
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 10 (session 2): monthly retention-cohort matrix
+    (operators.cohorts.retention_cohorts) over the ORDERS table —
+    customers bucketed by the calendar month of their first order,
+    counted once per active month at each month offset. The events
+    table is degenerate for cohorts (every user starts in week 0);
+    orders spans ~7 years, giving 51 cohorts × 1845 non-trivial cells
+    at sf0.01. Entirely JVM-side, TWO shuffles: one groupBy(custkey)
+    computing min(month) + collect_set(month) together (distinct active
+    months per customer are inherently tiny), map-side explode, then
+    the tiny groupBy(cohort, offset). Beyond-reference
+    (behavioral-analytics family, with window_funnel)."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.cohorts import retention_cohorts
+
+    orders = _t(spark, sf_dir, "orders")
+    return retention_cohorts(
+        orders, user_col="o_custkey", ts_col="o_orderdate", period="month"
+    ).orderBy("cohort", "period_offset")
+
+
+#: DuckDB replay of q_retention_cohorts from the definition: distinct
+#: (customer, year*12+month) pairs, per-customer min as the cohort,
+#: count per (cohort, offset). Pure integer month arithmetic — no
+#: truncation-grid dependence at all.
+_RETENTION_COHORTS_ORACLE_SQL = """
+WITH w AS (
+  SELECT DISTINCT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS pd
+  FROM orders),
+c AS (SELECT o_custkey, min(pd) AS cohort FROM w GROUP BY o_custkey)
+SELECT c.cohort AS cohort,
+       (w.pd - c.cohort)::INT AS period_offset,
+       count(*)::BIGINT AS users
+FROM w JOIN c ON w.o_custkey = c.o_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -3783,8 +3823,12 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators/funnel.py) staged in its place — the round-10 registry is
     pinned at 170 by the amended ledger, so registration with a window
     slot is the round-11 move. Every staged entry must come WITH an
-    oracle in staged_oracle_sql."""
-    return {"window_funnel": q_window_funnel}
+    oracle in staged_oracle_sql. Session 2 stages the behavioral-
+    analytics pair together: window_funnel + retention_cohorts."""
+    return {
+        "window_funnel": q_window_funnel,
+        "retention_cohorts": q_retention_cohorts,
+    }
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3851,11 +3895,14 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries. window_funnel's oracle is static
-    SQL over the registered views (no parquet-path dependence), so the
-    same string serves the sf0.001 staged tests and, on registration,
-    the sf0.01 ``oracle_sql()`` default."""
-    return {"window_funnel": _WINDOW_FUNNEL_ORACLE_SQL}
+    """Oracles for the staged queries. Both are static SQL over the
+    registered views (no parquet-path dependence), so the same strings
+    serve the sf0.001 staged tests and, on registration, the sf0.01
+    ``oracle_sql()`` defaults."""
+    return {
+        "window_funnel": _WINDOW_FUNNEL_ORACLE_SQL,
+        "retention_cohorts": _RETENTION_COHORTS_ORACLE_SQL,
+    }
 
 
 # ---------------------------------------------------------------------------

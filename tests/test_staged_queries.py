@@ -44,12 +44,13 @@ def test_staging_area_contents_and_promotions():
     # the round-9 staged hybrid_search registered with window slot 1
     # (COVERAGE.md round-10 ledger); mmr_topk staged in its place, then
     # ALSO registered by explicit mid-round ledger amendment after its
-    # oracle held at registration grade at three scale factors. Staging
-    # is empty until the next candidate lands. Every staged query must
-    # come WITH its oracle — a staged entry the comparator cannot check
+    # oracle held at registration grade at three scale factors. Session
+    # 2 then staged the behavioral-analytics pair (window_funnel +
+    # retention_cohorts) for round 11. Every staged query must come
+    # WITH its oracle — a staged entry the comparator cannot check
     # verifies nothing.
     staged = entry.staged_queries()
-    assert set(staged) == {"window_funnel"}
+    assert set(staged) == {"window_funnel", "retention_cohorts"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -313,3 +314,32 @@ def test_staged_funnel_window_and_order_both_bind(spark):
         .count()
     )
     assert have_all > windowed[3]
+
+def test_staged_retention_cohorts_matches_oracle_strict(spark, con):
+    """Round-10 (session 2) staged query: monthly retention-cohort
+    matrix over orders (first-order month per customer, counted once
+    per active month at each month offset) vs the definitional DuckDB
+    replay — pure integer year*12+month arithmetic on both sides."""
+    _strict_compare_staged(spark, con, "retention_cohorts")
+
+
+def test_staged_retention_matrix_is_nontrivial(spark):
+    """Falsifiability: the matrix must have real cohort structure —
+    many distinct cohorts, retention decay (some cohort retains fewer
+    users at a later offset than its size), and a min-vs-max cohort
+    confusion must change the result (the last cohort can't equal the
+    first)."""
+    rows = entry.staged_queries()["retention_cohorts"](spark, SF_DIR).collect()
+    m = {(r["cohort"], r["period_offset"]): r["users"] for r in rows}
+    cohorts = {c for c, _ in m}
+    assert len(cohorts) > 10
+    assert any(
+        m[(c, o)] < m[(c, 0)] for c, o in m if o > 0 and (c, 0) in m
+    ), "no retention decay anywhere: the offset dimension is vacuous"
+    # offset-0 cohort sizes sum to the customer universe exactly once
+    import duckdb as _d
+
+    n_cust = _d.connect().execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(m[(c, 0)] for c in cohorts) == n_cust
