@@ -59,7 +59,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["window_funnel", "funnel_counts"]
+__all__ = ["window_funnel", "funnel_counts", "funnel_events"]
 
 
 def _ts_us(col: Column, dtype: str) -> Column:
@@ -75,6 +75,32 @@ def _ts_us(col: Column, dtype: str) -> Column:
     if dtype == "timestamp":
         return F.unix_micros(col)
     return col.cast("long")
+
+
+def funnel_events(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shared JVM front-end for the batch and streaming funnels:
+    ``(user_col, __tu:long µs, __step:int 1..k)``, with the step filter
+    as a plain ``isin`` (scan-pushable — the when-chain mapping is not)
+    and the timestamp normalized to integer microseconds."""
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError("steps must be non-empty and distinct")
+    dtype = dict(events.dtypes).get(ts_col)
+    step_idx = F.lit(None).cast("int")
+    for i in range(len(steps) - 1, -1, -1):
+        step_idx = F.when(F.col(type_col) == steps[i], F.lit(i + 1)).otherwise(
+            step_idx
+        )
+    return events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        _ts_us(F.col(ts_col), dtype).alias("__tu"),
+        step_idx.alias("__step"),
+    )
 
 
 def window_funnel(
@@ -101,21 +127,7 @@ def window_funnel(
     if window < 0:
         raise ValueError("window must be >= 0 microseconds")
 
-    dtype = dict(events.dtypes).get(ts_col)
-    step_idx = F.lit(None).cast("int")
-    for i in range(k - 1, -1, -1):
-        step_idx = F.when(F.col(type_col) == steps[i], F.lit(i + 1)).otherwise(
-            step_idx
-        )
-    df = (
-        # isin first: a plain scan-pushable predicate (the when-chain is not)
-        events.filter(F.col(type_col).isin(list(steps)))
-        .select(
-            F.col(user_col),
-            _ts_us(F.col(ts_col), dtype).alias("__tu"),
-            step_idx.alias("__step"),
-        )
-    )
+    df = funnel_events(events, steps, user_col, ts_col, type_col)
 
     # Strict-prefix frame: by-value range, upper bound -1 => only rows with
     # a strictly smaller timestamp contribute (ties can never chain).

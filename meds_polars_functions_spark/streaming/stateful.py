@@ -152,3 +152,114 @@ def streaming_dedup_within_watermark(
     remains the escape hatch for custom digests/TTL policies."""
     keys = keys or ["event_id"]
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    window: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming form of ``operators.funnel.window_funnel``: per-user
+    funnel level maintained incrementally across micro-batches, one
+    ``(user_id, funnel_level, events_seen)`` row per (user, batch).
+
+    The batch DP's whole state is O(k) per user — for each level the
+    best (latest) chain-start timestamp — so it streams exactly:
+
+    - ``lt[i]``: max start over chains reaching level i+1 whose LAST
+      event is strictly before the high-water mark ``tmax`` (these are
+      extendable by any event at ``ts >= tmax``);
+    - ``eq[i]``: same but last event AT ``tmax`` (extendable only once
+      the clock strictly advances — this is the strict-< tie rule the
+      batch operator enforces with its RANGE -1 frame, carried across
+      micro-batch boundaries).
+
+    Advancing ``tmax`` folds ``eq`` into ``lt``. Within a batch events
+    are sorted by timestamp and processed in tie groups against ``lt``
+    only, which is the batch operator's two-phase tie semantics.
+
+    In-order contract: an event with ``ts`` strictly below the user's
+    high-water mark arrived out of order beyond what the state can
+    replay (the DP is forward-only); it is counted in ``events_seen``
+    but otherwise ignored — feed batches in timestamp order (the
+    stream≡batch parity test does) or pre-sort within the allowed
+    lateness upstream. State never retains events, so a user's state is
+    ~2k+3 longs forever — RocksDB-friendly at any corpus size.
+
+    Share the JVM front-end with the batch operator (pushed isin step
+    filter, µs normalization) so both see identical inputs.
+    """
+    from meds_polars_functions_spark.operators.funnel import funnel_events
+
+    k = len(steps)
+    if window < 0:
+        raise ValueError("window must be >= 0 microseconds")
+    NEG = -(1 << 62)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("funnel_level", T.IntegerType()),
+            T.StructField("events_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tmax", T.LongType()),
+            T.StructField("lt", T.ArrayType(T.LongType())),
+            T.StructField("eq", T.ArrayType(T.LongType())),
+            T.StructField("level", T.IntegerType()),
+            T.StructField("seen", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (u,) = key
+        if state.exists:
+            tmax, lt, eq, level, seen = state.get
+            lt, eq = list(lt), list(eq)
+        else:
+            tmax, lt, eq, level, seen = NEG, [NEG] * k, [NEG] * k, 0, 0
+
+        frames = [pdf[["__tu", "__step"]] for pdf in pdfs if len(pdf)]
+        if frames:
+            allr = pd.concat(frames).sort_values("__tu", kind="stable")
+            seen += len(allr)
+            for t, grp in allr.groupby("__tu", sort=True):
+                t = int(t)
+                if t < tmax:
+                    continue  # out-of-order below the high-water mark
+                if t > tmax:
+                    lt = [max(a, b) for a, b in zip(lt, eq)]
+                    eq = [NEG] * k
+                    tmax = t
+                for s in grp["__step"]:
+                    s = int(s)
+                    if s == 1:
+                        cand = t
+                    else:
+                        prev = lt[s - 2]
+                        cand = prev if (prev != NEG and t - prev <= window) else NEG
+                    if cand != NEG and cand > eq[s - 1]:
+                        eq[s - 1] = cand
+                        if s > level:
+                            level = s
+
+        state.update((tmax, lt, eq, level, seen))
+        yield pd.DataFrame(
+            {"user_id": [u], "funnel_level": [level], "events_seen": [seen]}
+        )
+
+    prepared = funnel_events(events, steps, user_col, ts_col, type_col)
+    return prepared.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -164,3 +164,101 @@ def test_stream_static_broadcast_enrich(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.fixture()
+def funnel_batch_dir(spark):
+    d = tempfile.mkdtemp(prefix="funnel_batches_")
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = dt.timedelta(minutes=1)
+    b1 = [
+        (1, h, 7, "view", 1.0, None),        # u7 starts a chain
+        (2, h, 8, "view", 1.0, None),        # u8 starts a chain
+        (3, h, 9, "view", 1.0, None),        # u9: view at ts T...
+    ]
+    b2 = [
+        (4, h + 30 * m, 7, "click", 1.0, None),   # u7 level 2 (in window)
+        (5, h, 9, "click", 1.0, None),            # u9: click at the SAME ts
+                                                  # across batches -> no chain
+        (6, h + 120 * m, 8, "click", 1.0, None),  # u8: outside 1 h window
+    ]
+    b3 = [
+        (7, h + 45 * m, 7, "purchase", 1.0, None),  # u7 level 3
+        (8, h + 46 * m, 9, "purchase", 1.0, None),  # u9 stays 1 (no click'd)
+    ]
+    for i, b in enumerate((b1, b2, b3), 1):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _last_per_user(rows):
+    out = {}
+    for r in rows:  # update mode: the row with the most events seen wins
+        cur = out.get(r["user_id"])
+        if cur is None or r["events_seen"] >= cur["events_seen"]:
+            out[r["user_id"]] = r
+    return {u: r["funnel_level"] for u, r in out.items()}
+
+
+def test_streaming_funnel_levels_across_batches(spark, funnel_batch_dir):
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+
+    rows = _run(
+        spark,
+        funnel_batch_dir,
+        lambda s: streaming_funnel_levels(
+            s, ["view", "click", "purchase"], window=3_600_000_000
+        ),
+        "funnel_stream_out",
+    )
+    assert _last_per_user(rows) == {7: 3, 8: 1, 9: 1}
+    # state really crossed batches: u7's chain completes only in batch 3
+    u7 = sorted(
+        (r["events_seen"], r["funnel_level"]) for r in rows if r["user_id"] == 7
+    )
+    assert u7 == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_streaming_funnel_matches_batch_on_driver_events(spark):
+    """stream≡batch parity: the sf0.001 events table split into three
+    timestamp-ordered micro-batches must land every user on exactly the
+    batch operator's funnel level."""
+    from meds_polars_functions_spark.operators.funnel import window_funnel
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+    from pyspark.sql import functions as F
+
+    steps, W = ["view", "click", "purchase"], 6 * 3_600_000_000
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    want = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(ev, steps, window=W).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="funnel_parity_")
+    try:
+        ordered = ev.orderBy("ts").collect()
+        cut = len(ordered) // 3
+        for i, chunk in enumerate(
+            (ordered[:cut], ordered[cut : 2 * cut], ordered[2 * cut :]), 1
+        ):
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+                os.path.join(d, f"f{i}")
+            )
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_funnel_levels(s, steps, window=W),
+            "funnel_parity_out",
+        )
+        assert _last_per_user(rows) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
