@@ -3717,7 +3717,10 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python UDF. Beyond-reference (no behavioral-analytics surface in
     the reference). At sf0.001 the funnel is 15 → 14 → 1 users and the
     6 h window binds (W=24 h gives 15/15/8), so the oracle is
-    falsifiable on both the ordering and the window constraints."""
+    falsifiable on both the ordering and the window constraints.
+    Distinct from the REGISTERED `funnel_conversion`, which is a
+    windowless signup→purchase 2-row count (no chain, no window, no
+    per-step levels)."""
     _prep(spark)
     from meds_polars_functions_spark.operators.funnel import (
         funnel_counts,
@@ -3770,18 +3773,24 @@ ORDER BY step
 """
 
 
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STAGED round 10 (session 2): monthly retention-cohort matrix
     (operators.cohorts.retention_cohorts) over the ORDERS table —
     customers bucketed by the calendar month of their first order,
-    counted once per active month at each month offset. The events
-    table is degenerate for cohorts (every user starts in week 0);
-    orders spans ~7 years, giving 51 cohorts × 1845 non-trivial cells
-    at sf0.01. Entirely JVM-side, TWO shuffles: one groupBy(custkey)
-    computing min(month) + collect_set(month) together (distinct active
-    months per customer are inherently tiny), map-side explode, then
-    the tiny groupBy(cohort, offset). Beyond-reference
-    (behavioral-analytics family, with window_funnel)."""
+    counted once per active month at each month offset.
+
+    Relationship to the REGISTERED `retention_cohort` (daily, events
+    table, distinct-activity ⋈ first-seen join plan): different period
+    arithmetic (calendar months — Jan 31 → Feb 1 is offset 1, which no
+    day-grid can express), different corpus (orders spans ~7 years →
+    51 real cohorts × 1845 cells at sf0.01, where events is
+    cohort-degenerate), and a different physical plan — ONE
+    groupBy(custkey) computes min(month) + collect_set(month) together
+    (distinct active months per customer are inherently tiny), map-side
+    explode, tiny groupBy(cohort, offset): TWO exchanges, NO
+    corpus-keyed join (the registered plan's join shuffles the activity
+    table twice). The scale-path upgrade of the family, staged as its
+    own query."""
     _prep(spark)
     from meds_polars_functions_spark.operators.cohorts import retention_cohorts
 
@@ -3791,11 +3800,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "period_offset")
 
 
-#: DuckDB replay of q_retention_cohorts from the definition: distinct
+#: DuckDB replay of q_monthly_retention from the definition: distinct
 #: (customer, year*12+month) pairs, per-customer min as the cohort,
 #: count per (cohort, offset). Pure integer month arithmetic — no
 #: truncation-grid dependence at all.
-_RETENTION_COHORTS_ORACLE_SQL = """
+_MONTHLY_RETENTION_ORACLE_SQL = """
 WITH w AS (
   SELECT DISTINCT o_custkey,
          (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS pd
@@ -3824,10 +3833,10 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pinned at 170 by the amended ledger, so registration with a window
     slot is the round-11 move. Every staged entry must come WITH an
     oracle in staged_oracle_sql. Session 2 stages the behavioral-
-    analytics pair together: window_funnel + retention_cohorts."""
+    analytics pair together: window_funnel + monthly_retention."""
     return {
         "window_funnel": q_window_funnel,
-        "retention_cohorts": q_retention_cohorts,
+        "monthly_retention": q_monthly_retention,
     }
 
 
@@ -3901,7 +3910,7 @@ def staged_oracle_sql() -> dict[str, str]:
     ``oracle_sql()`` defaults."""
     return {
         "window_funnel": _WINDOW_FUNNEL_ORACLE_SQL,
-        "retention_cohorts": _RETENTION_COHORTS_ORACLE_SQL,
+        "monthly_retention": _MONTHLY_RETENTION_ORACLE_SQL,
     }
 
 

@@ -46,11 +46,13 @@ def test_staging_area_contents_and_promotions():
     # ALSO registered by explicit mid-round ledger amendment after its
     # oracle held at registration grade at three scale factors. Session
     # 2 then staged the behavioral-analytics pair (window_funnel +
-    # retention_cohorts) for round 11. Every staged query must come
+    # monthly_retention) for round 11 — monthly_retention renamed from
+    # its working name after the registry-hygiene audit (the registered
+    # daily retention_cohort is one letter away; see COVERAGE.md). Every staged query must come
     # WITH its oracle — a staged entry the comparator cannot check
     # verifies nothing.
     staged = entry.staged_queries()
-    assert set(staged) == {"window_funnel", "retention_cohorts"}
+    assert set(staged) == {"window_funnel", "monthly_retention"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -315,12 +317,12 @@ def test_staged_funnel_window_and_order_both_bind(spark):
     )
     assert have_all > windowed[3]
 
-def test_staged_retention_cohorts_matches_oracle_strict(spark, con):
+def test_staged_monthly_retention_matches_oracle_strict(spark, con):
     """Round-10 (session 2) staged query: monthly retention-cohort
     matrix over orders (first-order month per customer, counted once
     per active month at each month offset) vs the definitional DuckDB
     replay — pure integer year*12+month arithmetic on both sides."""
-    _strict_compare_staged(spark, con, "retention_cohorts")
+    _strict_compare_staged(spark, con, "monthly_retention")
 
 
 def test_staged_retention_matrix_is_nontrivial(spark):
@@ -329,7 +331,7 @@ def test_staged_retention_matrix_is_nontrivial(spark):
     users at a later offset than its size), and a min-vs-max cohort
     confusion must change the result (the last cohort can't equal the
     first)."""
-    rows = entry.staged_queries()["retention_cohorts"](spark, SF_DIR).collect()
+    rows = entry.staged_queries()["monthly_retention"](spark, SF_DIR).collect()
     m = {(r["cohort"], r["period_offset"]): r["users"] for r in rows}
     cohorts = {c for c, _ in m}
     assert len(cohorts) > 10
