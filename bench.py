@@ -68,6 +68,10 @@ TRACKED = [
     # round 10 (mid-round amendment): the registered MMR diversified
     # top-k, tracked from birth
     "mmr_topk",
+    # round 11: the registered behavioral-analytics pair, tracked from
+    # birth (VERDICT r10 item 3)
+    "window_funnel",
+    "monthly_retention",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

@@ -62,6 +62,10 @@ DEFAULT_QUERIES = [
     # round-10 amendment: the newly registered MMR diversified top-k,
     # tracked in the A/B from birth
     "mmr_topk",
+    # round-11 additions (VERDICT r10 item 3): the newly registered
+    # behavioral-analytics pair, tracked in the A/B from birth
+    "window_funnel",
+    "monthly_retention",
 ]
 
 

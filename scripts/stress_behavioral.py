@@ -28,7 +28,8 @@ SF_DIR = "/root/testdata/sf0.01"
 def run(spark, sf_dir: str, label: str) -> None:
     timings = {}
     for name in ("window_funnel", "monthly_retention"):
-        q = em.staged_queries()[name]
+        # registered in round 11 (formerly staged; COVERAGE.md ledger)
+        q = em.queries()[name]
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

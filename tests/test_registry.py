@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-10 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-11 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "mmr_topk",
-    "hybrid_search",
-    "pq_topk_rerank",
-    "pq_topk",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "repetition_stats",
-    "pagerank_trade",
-    "profile_events",
-    "embedding_topk_vectorized",
-    "ivf_topk",
-    "heavy_hitters",
-    "image_features",
-    "audio_features",
-    "late_order_priority",
-    "returned_item_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_volume_customers",
-    "brand_predicate_revenue",
-    "dormant_customers",
-    "moving_avg_revenue",
-    "ntile_acctbal",
-    "unpivot_nation_metrics",
-    "only_late_supplier",
-    "user_streaks",
-    "bitmap_distinct_users",
-    "argmax_customer",
-    "group_median",
-    "grouping_sets_revenue",
-    "interpolate_values",
-    "scd2_priority",
-    "snapshot_diff",
+    "window_funnel",
+    "monthly_retention",
+    "repeat_buyers_setop",
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
+    "cms_freq",
+    "incremental_dedup",
+    "bpe_encode",
+    "triangles",
+    "weighted_sample",
+    "time_parse",
+    "jl_topk",
+    "typed_coercion",
+    "span_dedup",
+    "patient_split_filter",
+    "patient_id_harvest",
+    "kmeans_cells",
+    "containment",
+    "label_propagation",
+    "binned_quantiles",
+    "embedding_dim_stats",
+    "standardize_embeddings",
+    "temperature_mixture",
+    "winsorize_quantile",
+    "incremental_code_agg",
+    "code_value_trend",
+    "event_transitions",
+    "code_pmi",
+    "welch_ttest",
+    "rolling_features",
+    "target_encode",
+    "corr_matrix",
+    "code_rollup",
+    "drift_metrics",
+    "curation_v2",
+    "regex_filter",
+    "integral_values",
+    "fill_to_nans",
+    "pricing_summary",
 ]
 
 
@@ -123,7 +123,7 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
 
 
-def test_registry_pinned_at_170():
+def test_registry_pinned_at_172():
     # Round 6: the freeze condition (verification debt < window size) was
     # met by the round-6 rotation, so the registry grew 165 -> 167 with
     # the formerly-staged kneser_ney_lm + kmeans_cells (COVERAGE.md
@@ -132,10 +132,13 @@ def test_registry_pinned_at_170():
     # staged hybrid_search registered with window slot 1 (COVERAGE.md
     # round-10 ledger), 168 -> 169; then mmr_topk registered by explicit
     # mid-round ledger amendment (COVERAGE.md round-10 amendment),
-    # 169 -> 170. Any further growth must edit this pin deliberately and
-    # land with a window slot (or a fresh ledger entry), never by
-    # silently extending the backlog past the 50-row window.
-    assert len(entry.queries()) == 170
+    # 169 -> 170. Round 11: the round-10 (session 2) staged behavioral
+    # pair window_funnel + monthly_retention registered with window
+    # slots 1-2 (COVERAGE.md round-11 ledger), 170 -> 172. Any further
+    # growth must edit this pin deliberately and land with a window slot
+    # (or a fresh ledger entry), never by silently extending the backlog
+    # past the 50-row window.
+    assert len(entry.queries()) == 172
 
 
 def test_ledger_check_function_level_granularity():
