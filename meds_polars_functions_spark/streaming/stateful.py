@@ -164,7 +164,10 @@ def streaming_funnel_levels(
 ) -> DataFrame:
     """Streaming form of ``operators.funnel.window_funnel``: per-user
     funnel level maintained incrementally across micro-batches, one
-    ``(user_id, funnel_level, events_seen)`` row per (user, batch).
+    ``(<user_col>, funnel_level, events_seen, dropped_events)`` row per
+    (user, batch) — the user column keeps its input name and type
+    (ADVICE r11: a string-keyed or renamed user column previously hit a
+    hardcoded ``user_id: long`` output field).
 
     The batch DP's whole state is O(k) per user — for each level the
     best (latest) chain-start timestamp — so it streams exactly:
@@ -184,10 +187,13 @@ def streaming_funnel_levels(
     In-order contract: an event with ``ts`` strictly below the user's
     high-water mark arrived out of order beyond what the state can
     replay (the DP is forward-only); it is counted in ``events_seen``
-    but otherwise ignored — feed batches in timestamp order (the
+    AND in the ``dropped_events`` output column (ADVICE r11: silent
+    drops made stream/batch divergence on unordered feeds invisible —
+    a consumer asserting ``dropped_events == 0`` now gets an exact
+    in-order-contract check). Feed batches in timestamp order (the
     stream≡batch parity test does) or pre-sort within the allowed
     lateness upstream. State never retains events, so a user's state is
-    ~2k+3 longs forever — RocksDB-friendly at any corpus size.
+    ~2k+4 longs forever — RocksDB-friendly at any corpus size.
 
     Share the JVM front-end with the batch operator (pushed isin step
     filter, µs normalization) so both see identical inputs.
@@ -199,11 +205,13 @@ def streaming_funnel_levels(
         raise ValueError("window must be >= 0 microseconds")
     NEG = -(1 << 62)
 
+    prepared = funnel_events(events, steps, user_col, ts_col, type_col)
     out_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(user_col, prepared.schema[user_col].dataType),
             T.StructField("funnel_level", T.IntegerType()),
             T.StructField("events_seen", T.LongType()),
+            T.StructField("dropped_events", T.LongType()),
         ]
     )
     state_schema = T.StructType(
@@ -213,6 +221,7 @@ def streaming_funnel_levels(
             T.StructField("eq", T.ArrayType(T.LongType())),
             T.StructField("level", T.IntegerType()),
             T.StructField("seen", T.LongType()),
+            T.StructField("dropped", T.LongType()),
         ]
     )
 
@@ -221,10 +230,10 @@ def streaming_funnel_levels(
 
         (u,) = key
         if state.exists:
-            tmax, lt, eq, level, seen = state.get
+            tmax, lt, eq, level, seen, dropped = state.get
             lt, eq = list(lt), list(eq)
         else:
-            tmax, lt, eq, level, seen = NEG, [NEG] * k, [NEG] * k, 0, 0
+            tmax, lt, eq, level, seen, dropped = NEG, [NEG] * k, [NEG] * k, 0, 0, 0
 
         frames = [pdf[["__tu", "__step"]] for pdf in pdfs if len(pdf)]
         if frames:
@@ -233,7 +242,8 @@ def streaming_funnel_levels(
             for t, grp in allr.groupby("__tu", sort=True):
                 t = int(t)
                 if t < tmax:
-                    continue  # out-of-order below the high-water mark
+                    dropped += len(grp)  # out of order below the high-water mark
+                    continue
                 if t > tmax:
                     lt = [max(a, b) for a, b in zip(lt, eq)]
                     eq = [NEG] * k
@@ -250,12 +260,16 @@ def streaming_funnel_levels(
                         if s > level:
                             level = s
 
-        state.update((tmax, lt, eq, level, seen))
+        state.update((tmax, lt, eq, level, seen, dropped))
         yield pd.DataFrame(
-            {"user_id": [u], "funnel_level": [level], "events_seen": [seen]}
+            {
+                user_col: [u],
+                "funnel_level": [level],
+                "events_seen": [seen],
+                "dropped_events": [dropped],
+            }
         )
 
-    prepared = funnel_events(events, steps, user_col, ts_col, type_col)
     return prepared.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,

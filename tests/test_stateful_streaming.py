@@ -222,6 +222,79 @@ def test_streaming_funnel_levels_across_batches(spark, funnel_batch_dir):
         (r["events_seen"], r["funnel_level"]) for r in rows if r["user_id"] == 7
     )
     assert u7 == [(1, 1), (2, 2), (3, 3)]
+    # the fixture feeds batches in timestamp order (ties included), so
+    # the in-order contract holds and nothing is dropped
+    assert all(r["dropped_events"] == 0 for r in rows)
+
+
+def test_streaming_funnel_custom_user_col_name_and_type(spark, funnel_batch_dir):
+    """ADVICE r11: the output user column must carry user_col's NAME and
+    the input schema's TYPE — a string-keyed rename previously collided
+    with a hardcoded ``user_id: long`` output field."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+
+    rows = _run(
+        spark,
+        funnel_batch_dir,
+        lambda s: streaming_funnel_levels(
+            s.withColumn("uid", F.concat(F.lit("u"), F.col("user_id"))),
+            ["view", "click", "purchase"],
+            window=3_600_000_000,
+            user_col="uid",
+        ),
+        "funnel_uid_out",
+    )
+    assert rows and isinstance(rows[0]["uid"], str)
+    last = {}
+    for r in rows:
+        cur = last.get(r["uid"])
+        if cur is None or r["events_seen"] >= cur["events_seen"]:
+            last[r["uid"]] = r
+    assert {u: r["funnel_level"] for u, r in last.items()} == {
+        "u7": 3, "u8": 1, "u9": 1
+    }
+
+
+def test_streaming_funnel_reports_dropped_out_of_order(spark):
+    """ADVICE r11: events strictly below a user's high-water mark are
+    beyond the forward-only DP's replay and are dropped — the drop must
+    be VISIBLE via dropped_events (it still counts in events_seen), so
+    consumers can detect a violated in-order contract."""
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+
+    d = tempfile.mkdtemp(prefix="funnel_ooo_")
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = dt.timedelta(minutes=1)
+    b1 = [(1, h + 10 * m, 7, "click", 1.0, None)]  # tmax -> h+10m
+    b2 = [(2, h, 7, "view", 1.0, None)]  # strictly below tmax: dropped
+    for i, b in enumerate((b1, b2), 1):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+    try:
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_funnel_levels(
+                s, ["view", "click", "purchase"], window=3_600_000_000
+            ),
+            "funnel_ooo_out",
+        )
+        final = max(
+            (r for r in rows if r["user_id"] == 7),
+            key=lambda r: r["events_seen"],
+        )
+        assert final["events_seen"] == 2
+        assert final["dropped_events"] == 1
+        assert final["funnel_level"] == 0  # the late view never replays
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_streaming_funnel_matches_batch_on_driver_events(spark):
