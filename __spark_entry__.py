@@ -3821,6 +3821,82 @@ ORDER BY 1, 2
 """
 
 
+_ATTR_GAP_US = 6 * 3600 * 1_000_000  # 6-hour session gap (the events
+# table spans 30 days: 6 h yields real multi-event sessions — a 30-min
+# gap makes ~95% of conversions session-opening singletons)
+_ATTR_CONVERSION = "purchase"
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 11: sessionized first/last-touch conversion
+    attribution (operators.attribution.touch_attribution) — events
+    gap-sessionized per user (6 h, (ts, event_id) tie order), one
+    conversion per converting session (the first 'purchase' in session
+    order), first-touch credit to the session-opening channel and
+    last-touch credit to the channel immediately before the conversion,
+    '(direct)' when the purchase opens its session. Integer-only
+    row-number logic — the DuckDB oracle replays it exactly.
+    Beyond-reference (no behavioral-analytics surface in the
+    reference). Registry audit (the standing rule): nearest registered
+    names are `sessionize` (session AGGREGATES — start/end/count/sum,
+    no per-event ids, no attribution) and the funnel/retention rows
+    (level chains / cohort matrices — no channel credit); no registered
+    name within edit distance 2. At sf0.001 all five channels plus
+    '(direct)' earn credit and the first-touch and last-touch
+    distributions differ, so the oracle is falsifiable on the touch
+    choice; the falsifiability test also proves the gap binds."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.attribution import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, gap=_ATTR_GAP_US, conversion=_ATTR_CONVERSION
+    ).orderBy("channel")
+
+
+#: DuckDB replay of q_touch_attribution from the DEFINITION: the same
+#: gaps-and-islands session ids ((tu, eid) order, new session when the
+#: gap strictly exceeds 6 h), the same first-conversion position, the
+#: same rn=1 / rn=fprn-1 touch picks. Integer-only — no float grids.
+_TOUCH_ATTRIBUTION_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id AS eid, event_type
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                   OR tu - lag(tu) OVER w > {_ATTR_GAP_US}
+            THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, eid)),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tu, eid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY tu, eid) AS rn
+  FROM s),
+f AS (
+  SELECT *, min(CASE WHEN event_type = '{_ATTR_CONVERSION}' THEN rn END)
+              OVER (PARTITION BY user_id, sid) AS fprn
+  FROM r),
+p AS (
+  SELECT user_id, sid, min(fprn) AS fp,
+         max(CASE WHEN rn = 1 THEN event_type END) AS t1,
+         max(CASE WHEN rn = fprn - 1 THEN event_type END) AS tl
+  FROM f WHERE fprn IS NOT NULL GROUP BY user_id, sid),
+c AS (
+  SELECT CASE WHEN fp = 1 THEN '(direct)' ELSE t1 END AS first_touch,
+         CASE WHEN fp = 1 THEN '(direct)' ELSE tl END AS last_touch
+  FROM p),
+ft AS (SELECT first_touch AS channel, count(*) AS n FROM c GROUP BY 1),
+lt AS (SELECT last_touch AS channel, count(*) AS n FROM c GROUP BY 1)
+SELECT coalesce(ft.channel, lt.channel) AS channel,
+       coalesce(ft.n, 0)::BIGINT AS first_touch_conversions,
+       coalesce(lt.n, 0)::BIGINT AS last_touch_conversions
+FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+ORDER BY channel
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -3848,8 +3924,14 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     note in the staged docstring (precedent: retention_cohorts ->
     monthly_retention, one letter from the registered daily
     retention_cohort). tests/test_staged_queries.py's no-double-booking
-    assert is the enforcement."""
-    return {}
+    assert is the enforcement.
+
+    Round 11 stages ONE new family (VERDICT r10 item 5): sessionized
+    first/last-touch attribution (operators/attribution.py), audited
+    against the registry per the standing rule (see its docstring)."""
+    return {
+        "touch_attribution": q_touch_attribution,
+    }
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -3916,11 +3998,14 @@ SELECT metric, value FROM (
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracles for the staged queries (empty since the round-11
-    registrations — the behavioral pair's static SQL moved verbatim to
-    the ``oracle_sql()`` defaults). Every staged entry must appear here
-    too: a staged query the comparator cannot check verifies nothing."""
-    return {}
+    """Oracles for the staged queries. Static SQL over the registered
+    views (no parquet-path dependence), so the same string serves the
+    sf0.001 staged tests and, on registration, the sf0.01
+    ``oracle_sql()`` default. Every staged entry must appear here too:
+    a staged query the comparator cannot check verifies nothing."""
+    return {
+        "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE_SQL,
+    }
 
 
 # ---------------------------------------------------------------------------

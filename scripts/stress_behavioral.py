@@ -1,5 +1,6 @@
-"""×N stress for the round-10 STAGED behavioral queries (window_funnel,
-monthly_retention) — same discipline as stress_staged.py: warm first,
+"""×N stress for the behavioral queries (window_funnel and
+monthly_retention, registered in round 11; touch_attribution, staged in
+round 11) — same discipline as stress_staged.py: warm first,
 noop sink, one session, id-offset-disjoint blown-up copies from
 stress_scale.materialize (events' user_ids and orders' custkeys are
 offset per copy, so N× data means N× users/customers with unchanged
@@ -27,9 +28,11 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def run(spark, sf_dir: str, label: str) -> None:
     timings = {}
-    for name in ("window_funnel", "monthly_retention"):
-        # registered in round 11 (formerly staged; COVERAGE.md ledger)
-        q = em.queries()[name]
+    registered = em.queries()
+    for name in ("window_funnel", "monthly_retention", "touch_attribution"):
+        # the first two registered in round 11 (formerly staged);
+        # touch_attribution staged in round 11 (COVERAGE.md ledger)
+        q = registered.get(name) or em.staged_queries()[name]
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -65,7 +65,11 @@ def test_staging_area_contents_and_promotions():
     # round-11 ledger, registry 170 -> 172); staging is empty. Every
     # staged query must come WITH its oracle — a staged entry the
     # comparator cannot check verifies nothing.
+    # Round 11 stages ONE new family: touch_attribution (sessionized
+    # first/last-touch conversion credit, operators/attribution.py),
+    # registry-audited per the standing rule (see its docstring).
     staged = entry.staged_queries()
+    assert set(staged) == {"touch_attribution"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -340,6 +344,49 @@ def test_monthly_retention_matches_oracle_strict(spark, con):
     vs the definitional DuckDB replay — pure integer year*12+month
     arithmetic on both sides."""
     _strict_compare(spark, con, "monthly_retention")
+
+
+def test_staged_touch_attribution_matches_oracle_strict(spark, con):
+    """Round-11 staged query: gap-sessionized (6 h, (ts, event_id) tie
+    order) first/last-touch conversion attribution vs the definitional
+    DuckDB replay — identical gaps-and-islands session ids, identical
+    first-conversion position, identical rn=1 / rn=fprn-1 touch picks.
+    Integer-only logic on both sides."""
+    _strict_compare_staged(spark, con, "touch_attribution")
+
+
+def test_staged_attribution_gap_and_touch_choice_both_bind(spark):
+    """Falsifiability: (a) the session gap must actually constrain the
+    result — a 30-day gap merges each user into one session and changes
+    the credit table; (b) the first-vs-last touch choice must matter —
+    the two credit columns differ for at least one channel (if they
+    never did, the staged query would silently re-prove a single
+    channel count); (c) each credit column partitions the converting
+    sessions exactly once."""
+    from meds_polars_functions_spark.operators.attribution import (
+        touch_attribution,
+    )
+
+    ev = entry._t(spark, SF_DIR, "events")
+    rows = entry.staged_queries()["touch_attribution"](spark, SF_DIR).collect()
+    got = {
+        r["channel"]: (r["first_touch_conversions"], r["last_touch_conversions"])
+        for r in rows
+    }
+    # (a) gap binds
+    wide = {
+        r["channel"]: (r["first_touch_conversions"], r["last_touch_conversions"])
+        for r in touch_attribution(
+            ev, gap=30 * 24 * 3600 * 1_000_000
+        ).collect()
+    }
+    assert wide != got
+    # (b) touch choice binds
+    assert any(f != l for f, l in got.values())
+    # (c) both columns total the converting-session count
+    n_first = sum(f for f, _ in got.values())
+    n_last = sum(l for _, l in got.values())
+    assert n_first == n_last > 0
 
 
 def test_retention_matrix_is_nontrivial(spark):
