@@ -59,11 +59,37 @@ from pyspark.sql import functions as F
 
 from meds_polars_functions_spark.operators.funnel import _ts_us
 
-__all__ = ["assign_sessions", "touch_attribution", "DIRECT_CHANNEL"]
+__all__ = [
+    "assign_sessions",
+    "attribution_events",
+    "session_credits",
+    "touch_attribution",
+    "DIRECT_CHANNEL",
+]
 
 #: Channel credited when the converting event opens its session (no
 #: preceding touch exists).
 DIRECT_CHANNEL = "(direct)"
+
+
+def attribution_events(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shared JVM front-end for the batch and streaming attribution:
+    ``(user_col, __tu:long µs, __eid:long, type_col)`` with the
+    timestamp normalized to integer microseconds and the id cast for
+    the deterministic ``(__tu, __eid)`` tie order."""
+    dtype = dict(events.dtypes).get(ts_col)
+    return events.select(
+        F.col(user_col),
+        _ts_us(F.col(ts_col), dtype).alias("__tu"),
+        F.col(id_col).cast("long").alias("__eid"),
+        F.col(type_col),
+    )
 
 
 def assign_sessions(
@@ -81,13 +107,7 @@ def assign_sessions(
     greater than ``gap`` microseconds."""
     if gap < 0:
         raise ValueError("gap must be >= 0 microseconds")
-    dtype = dict(events.dtypes).get(ts_col)
-    df = events.select(
-        F.col(user_col),
-        _ts_us(F.col(ts_col), dtype).alias("__tu"),
-        F.col(id_col).cast("long").alias("__eid"),
-        F.col(type_col),
-    )
+    df = attribution_events(events, user_col, ts_col, id_col, type_col)
     w = Window.partitionBy(user_col).orderBy("__tu", "__eid")
     new_session = (
         F.lag("__tu").over(w).isNull()
@@ -96,6 +116,55 @@ def assign_sessions(
     return df.withColumn(
         "__sid",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_credits(
+    events: DataFrame,
+    gap: int,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per CONVERTING session: ``(user_col, __sid:long,
+    first_touch:string, last_touch:string)`` — the per-session credit
+    frame ``touch_attribution`` aggregates, exposed for callers that
+    need session-level attribution (and for the stream≡batch parity
+    test of the streaming form)."""
+    s = assign_sessions(events, gap, user_col, ts_col, id_col, type_col)
+
+    w_ord = Window.partitionBy(user_col, "__sid").orderBy("__tu", "__eid")
+    s = s.withColumn("__rn", F.row_number().over(w_ord))
+    # First conversion's session position — a whole-partition window so
+    # every row of the session sees it (needed to pick position fprn-1).
+    w_sess = Window.partitionBy(user_col, "__sid")
+    s = s.withColumn(
+        "__fprn",
+        F.min(F.when(F.col(type_col) == conversion, F.col("__rn"))).over(w_sess),
+    )
+
+    return (
+        s.filter(F.col("__fprn").isNotNull())
+        .groupBy(user_col, "__sid")
+        .agg(
+            F.min("__fprn").alias("__fp"),  # constant within the session
+            F.max(F.when(F.col("__rn") == 1, F.col(type_col))).alias("__t1"),
+            F.max(
+                F.when(F.col("__rn") == F.col("__fprn") - 1, F.col(type_col))
+            ).alias("__tl"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("__sid"),
+            F.when(F.col("__fp") == 1, F.lit(DIRECT_CHANNEL))
+            .otherwise(F.col("__t1"))
+            .alias("first_touch"),
+            F.when(F.col("__fp") == 1, F.lit(DIRECT_CHANNEL))
+            .otherwise(F.col("__tl"))
+            .alias("last_touch"),
+        )
     )
 
 
@@ -115,36 +184,8 @@ def touch_attribution(
     one last-touch credit to the channel immediately before the
     conversion; ``(direct)`` when the conversion opens the session.
     Both credit columns total the number of converting sessions."""
-    s = assign_sessions(events, gap, user_col, ts_col, id_col, type_col)
-
-    w_ord = Window.partitionBy(user_col, "__sid").orderBy("__tu", "__eid")
-    s = s.withColumn("__rn", F.row_number().over(w_ord))
-    # First conversion's session position — a whole-partition window so
-    # every row of the session sees it (needed to pick position fprn-1).
-    w_sess = Window.partitionBy(user_col, "__sid")
-    s = s.withColumn(
-        "__fprn",
-        F.min(F.when(F.col(type_col) == conversion, F.col("__rn"))).over(w_sess),
-    )
-
-    per_session = (
-        s.filter(F.col("__fprn").isNotNull())
-        .groupBy(user_col, "__sid")
-        .agg(
-            F.min("__fprn").alias("__fp"),  # constant within the session
-            F.max(F.when(F.col("__rn") == 1, F.col(type_col))).alias("__t1"),
-            F.max(
-                F.when(F.col("__rn") == F.col("__fprn") - 1, F.col(type_col))
-            ).alias("__tl"),
-        )
-        .select(
-            F.when(F.col("__fp") == 1, F.lit(DIRECT_CHANNEL))
-            .otherwise(F.col("__t1"))
-            .alias("first_touch"),
-            F.when(F.col("__fp") == 1, F.lit(DIRECT_CHANNEL))
-            .otherwise(F.col("__tl"))
-            .alias("last_touch"),
-        )
+    per_session = session_credits(
+        events, gap, conversion, user_col, ts_col, id_col, type_col
     )
 
     # ONE pass to both totals: a per-side groupBy + full-outer channel

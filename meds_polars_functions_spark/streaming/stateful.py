@@ -277,3 +277,135 @@ def streaming_funnel_levels(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_touch_credits(
+    events: DataFrame,
+    gap: int,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming form of ``operators.attribution.session_credits``:
+    per-user gap sessionization maintained incrementally across
+    micro-batches, emitting one ``(<user_col>, session_id, first_touch,
+    last_touch)`` row the moment a CONVERTING session CLOSES (a later
+    event of the same user arrives more than ``gap`` µs after it).
+
+    The session DP's whole state is O(1) per user — the open session's
+    high-water timestamp, opening channel, most-recent channel, and the
+    (first_touch, last_touch) pair frozen at its first conversion — so
+    it streams exactly; no events are retained. An open session is by
+    definition still extendable, so its credit is withheld until the
+    close (in production add an idle timeout upstream if final-session
+    credits must flush; the batch operator is the source of truth for
+    a bounded corpus).
+
+    In-order contract (same as ``streaming_funnel_levels``): an event
+    strictly below the user's high-water mark cannot be replayed into
+    already-folded session state; it is dropped and counted in the
+    ``dropped_events`` output column. Events AT the high-water mark are
+    processed (ties ordered by ``(ts, id)`` within a batch; across
+    batches, arrival order stands in for the id tiebreak — feed ties in
+    id order to match the batch operator exactly).
+
+    Shares ``attribution_events`` with the batch operator so both see
+    identical (user, µs, id, type) inputs.
+    """
+    from meds_polars_functions_spark.operators.attribution import (
+        DIRECT_CHANNEL,
+        attribution_events,
+    )
+
+    if gap < 0:
+        raise ValueError("gap must be >= 0 microseconds")
+    NEG = -(1 << 62)
+
+    prepared = attribution_events(events, user_col, ts_col, id_col, type_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, prepared.schema[user_col].dataType),
+            T.StructField("session_id", T.LongType()),
+            T.StructField("first_touch", T.StringType()),
+            T.StructField("last_touch", T.StringType()),
+            T.StructField("dropped_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tmax", T.LongType()),
+            T.StructField("sid", T.LongType()),
+            T.StructField("first_type", T.StringType()),
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("converted", T.BooleanType()),
+            T.StructField("ft", T.StringType()),
+            T.StructField("lt", T.StringType()),
+            T.StructField("dropped", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (u,) = key
+        if state.exists:
+            tmax, sid, first_type, prev_type, converted, ft, lt, dropped = (
+                state.get
+            )
+        else:
+            tmax, sid, first_type, prev_type, converted, ft, lt, dropped = (
+                NEG, 0, None, None, False, None, None, 0,
+            )
+
+        out = {k: [] for k in ("sid", "ft", "lt")}
+
+        def close_session():
+            if converted:
+                out["sid"].append(sid)
+                out["ft"].append(ft)
+                out["lt"].append(lt)
+
+        frames = [pdf[["__tu", "__eid", type_col]] for pdf in pdfs if len(pdf)]
+        if frames:
+            allr = pd.concat(frames).sort_values(
+                ["__tu", "__eid"], kind="stable"
+            )
+            for t, _eid, typ in allr.itertuples(index=False, name=None):
+                t = int(t)
+                if t < tmax:
+                    dropped += 1  # below the high-water mark: unreplayable
+                    continue
+                if first_type is None or t - tmax > gap:
+                    close_session()
+                    sid += 1
+                    first_type, converted, ft, lt = typ, False, None, None
+                    if typ == conversion:
+                        converted, ft, lt = True, DIRECT_CHANNEL, DIRECT_CHANNEL
+                elif not converted and typ == conversion:
+                    converted, ft, lt = True, first_type, prev_type
+                prev_type = typ
+                tmax = t
+
+        state.update(
+            (tmax, sid, first_type, prev_type, converted, ft, lt, dropped)
+        )
+        n = len(out["sid"])
+        yield pd.DataFrame(
+            {
+                user_col: [u] * n,
+                "session_id": out["sid"],
+                "first_touch": out["ft"],
+                "last_touch": out["lt"],
+                "dropped_events": [dropped] * n,
+            }
+        )
+
+    return prepared.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -40,7 +40,7 @@ def two_batch_dir(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
-def _run(spark, src_dir, transform, name):
+def _run(spark, src_dir, transform, name, output_mode="update"):
     schema = spark.read.parquet(os.path.join(src_dir, "f1")).schema
     stream = (
         spark.readStream.schema(schema)
@@ -52,7 +52,7 @@ def _run(spark, src_dir, transform, name):
         transform(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -333,5 +333,113 @@ def test_streaming_funnel_matches_batch_on_driver_events(spark):
             "funnel_parity_out",
         )
         assert _last_per_user(rows) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_touch_credits_emit_on_close(spark):
+    """Credits emit exactly when a converting session CLOSES (a later
+    event beyond the gap): mid-batch closes, cross-batch closes, silent
+    close of an unconverted session, and withheld credit for the final
+    (still-open) session."""
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_touch_credits,
+    )
+
+    d = tempfile.mkdtemp(prefix="touch_stream_")
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = dt.timedelta(minutes=1)
+    GAP = 3600 * 1_000_000  # 1 h
+    b1 = [
+        (1, h, 7, "view", 1.0, None),
+        (2, h + 10 * m, 7, "purchase", 1.0, None),  # converts (ft=view, lt=view)
+        (3, h, 8, "click", 1.0, None),  # session never converts
+    ]
+    b2 = [
+        # 100 min > gap after (2): closes u7 session 1 -> credit emitted
+        (4, h + 110 * m, 7, "purchase", 1.0, None),  # opens s2, direct
+        (5, h + 110 * m, 8, "click", 1.0, None),  # closes u8 s1 silently
+    ]
+    b3 = [
+        # closes u7 session 2 -> (direct, direct); opens s3 (never closes)
+        (6, h + 300 * m, 7, "view", 1.0, None),
+    ]
+    for i, b in enumerate((b1, b2, b3), 1):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+    try:
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_touch_credits(s, gap=GAP),
+            "touch_stream_out",
+            output_mode="append",
+        )
+        got = sorted(
+            (r["user_id"], r["session_id"], r["first_touch"], r["last_touch"])
+            for r in rows
+        )
+        assert got == [(7, 1, "view", "view"), (7, 2, "(direct)", "(direct)")]
+        assert all(r["dropped_events"] == 0 for r in rows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_touch_credits_match_batch_on_driver_events(spark):
+    """stream≡batch parity: the sf0.001 events table split into three
+    timestamp-ordered micro-batches must emit exactly the batch
+    operator's per-session credits for every CLOSED session (all but
+    each user's final session, which is still open when the stream
+    drains)."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.attribution import (
+        assign_sessions,
+        session_credits,
+    )
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_touch_credits,
+    )
+
+    GAP = 6 * 3600 * 1_000_000
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    last_sid = assign_sessions(ev, GAP).groupBy("user_id").agg(
+        F.max("__sid").alias("__last")
+    )
+    want = sorted(
+        (r["user_id"], r["__sid"], r["first_touch"], r["last_touch"])
+        for r in session_credits(ev, GAP)
+        .join(last_sid, "user_id")
+        .filter(F.col("__sid") < F.col("__last"))
+        .collect()
+    )
+    assert len(want) > 50  # the parity set is substantial, not vacuous
+
+    d = tempfile.mkdtemp(prefix="touch_parity_")
+    try:
+        ordered = ev.orderBy("ts", "event_id").collect()
+        cut = len(ordered) // 3
+        for i, chunk in enumerate(
+            (ordered[:cut], ordered[cut : 2 * cut], ordered[2 * cut :]), 1
+        ):
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+                os.path.join(d, f"f{i}")
+            )
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_touch_credits(s, gap=GAP),
+            "touch_parity_out",
+            output_mode="append",
+        )
+        got = sorted(
+            (r["user_id"], r["session_id"], r["first_touch"], r["last_touch"])
+            for r in rows
+        )
+        assert got == want
+        assert all(r["dropped_events"] == 0 for r in rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
