@@ -40,8 +40,14 @@ def main() -> int:
             if ok:
                 last[name] = (rnd, i)
 
-    entry_src = open(f"{REPO}/__spark_entry__.py").read()
-    registered = re.findall(r'^\s+"([a-z0-9_]+)": q_', entry_src, re.M)
+    # Import the registry rather than regexing the source: the staged
+    # dict uses the same '"name": q_*' literal shape and a regex counts
+    # its entries as registered (observed at round-11 open: 172 before
+    # the registration landed).
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    registered = list(entry._registry())
 
     debt = [q for q in registered if q not in last]
     if debt:
