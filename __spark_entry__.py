@@ -3897,6 +3897,64 @@ ORDER BY channel
 """
 
 
+_PATHS_MAX_STEPS = 5
+_PATHS_TOP_K = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 11 (addendum — second behavioral staging, the r10
+    session-2 precedent): top-20 session journeys
+    (operators.attribution.session_paths) — events gap-sessionized per
+    user (6 h, (ts, event_id) tie order, shared with touch_attribution),
+    each session's first 5 event types joined with '>', counted across
+    sessions, ordered (sessions DESC, path). Registry audit (standing
+    rule): nearest registered names are `event_transitions` (a GLOBAL
+    consecutive-pair Markov matrix per user — no session boundaries, no
+    whole journeys), `tokenize_event_seqs` (MEDS training-sequence
+    tokenization), and `sessionize` (session aggregates); no name
+    within edit distance 2. At sf0.001 the top-20 spans 1-to-5-step
+    paths with real count structure, the 5-step cap binds, and path
+    ORDER binds (a sorted-multiset grouping differs), so the oracle is
+    falsifiable on the cap and the ordering."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.attribution import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, gap=_ATTR_GAP_US, max_steps=_PATHS_MAX_STEPS, top_k=_PATHS_TOP_K
+    )
+
+
+#: DuckDB replay of q_session_paths from the DEFINITION: identical
+#: gaps-and-islands session ids, identical (tu, eid) in-session order,
+#: ordered string_agg over the first max_steps rows, same
+#: (sessions DESC, path) tie order and LIMIT. Integer/string-only.
+_SESSION_PATHS_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id AS eid, event_type
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                   OR tu - lag(tu) OVER w > {_ATTR_GAP_US}
+            THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, eid)),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tu, eid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY tu, eid) AS rn
+  FROM s),
+p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATHS_MAX_STEPS} GROUP BY user_id, sid)
+SELECT path, count(*)::BIGINT AS sessions
+FROM p GROUP BY path
+ORDER BY sessions DESC, path
+LIMIT {_PATHS_TOP_K}
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -3926,11 +3984,14 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retention_cohort). tests/test_staged_queries.py's no-double-booking
     assert is the enforcement.
 
-    Round 11 stages ONE new family (VERDICT r10 item 5): sessionized
-    first/last-touch attribution (operators/attribution.py), audited
-    against the registry per the standing rule (see its docstring)."""
+    Round 11 stages the sessionized-analytics pair (the r10 session-2
+    two-staging precedent, documented as a COVERAGE.md addendum):
+    first/last-touch attribution plus top-k session journeys
+    (operators/attribution.py), both audited against the registry per
+    the standing rule (see their docstrings)."""
     return {
         "touch_attribution": q_touch_attribution,
+        "session_paths": q_session_paths,
     }
 
 
@@ -4005,6 +4066,7 @@ def staged_oracle_sql() -> dict[str, str]:
     a staged query the comparator cannot check verifies nothing."""
     return {
         "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE_SQL,
+        "session_paths": _SESSION_PATHS_ORACLE_SQL,
     }
 
 

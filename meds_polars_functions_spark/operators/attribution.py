@@ -63,6 +63,7 @@ __all__ = [
     "assign_sessions",
     "attribution_events",
     "session_credits",
+    "session_paths",
     "touch_attribution",
     "DIRECT_CHANNEL",
 ]
@@ -216,4 +217,65 @@ def touch_attribution(
         F.count(F.when(~F.col("__c.is_first"), F.lit(1)))
         .cast("long")
         .alias("last_touch_conversions"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap: int,
+    max_steps: int = 5,
+    top_k: int = 20,
+    sep: str = ">",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k session journeys: ``(path:string, sessions:long)`` — each
+    session's first ``max_steps`` event types (in ``(ts, id)`` order)
+    joined with ``sep``, counted across all sessions, ordered by
+    ``(sessions DESC, path)`` and truncated to ``top_k`` rows.
+
+    The session-path miner of product analytics ("what do users DO in a
+    session"), session-bounded and order-exact — distinct from the
+    registered `event_transitions` (a global consecutive-PAIR Markov
+    matrix per user: no session boundaries, no whole journeys) and from
+    `tokenize_event_seqs` (MEDS training-sequence tokenization).
+
+    Scale: the same ONE corpus exchange as the rest of this module —
+    the row-number window and the per-(user, session) collect reuse the
+    user partitioning; rows beyond ``max_steps`` are dropped map-side
+    BEFORE the collect, so the collected lists are <= max_steps structs
+    regardless of session length (never an unbounded per-group
+    collect_list); the path table that reaches the final count is one
+    <= max_steps-type string per session, and the count groupBy keys on
+    a low-cardinality path domain (<= |event types|^max_steps, in
+    practice a few thousand) — a k-row frame for the closing sort."""
+    if max_steps < 1:
+        raise ValueError("max_steps must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    s = assign_sessions(events, gap, user_col, ts_col, id_col, type_col)
+    w_ord = Window.partitionBy(user_col, "__sid").orderBy("__tu", "__eid")
+    paths = (
+        s.withColumn("__rn", F.row_number().over(w_ord))
+        .filter(F.col("__rn") <= max_steps)
+        .groupBy(user_col, "__sid")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", F.col(type_col)))
+                    ),
+                    lambda x: x[type_col],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("sessions"))
+        .orderBy(F.col("sessions").desc(), "path")
+        .limit(top_k)
     )

@@ -1,5 +1,5 @@
 """×N stress for the behavioral queries (window_funnel and
-monthly_retention, registered in round 11; touch_attribution, staged in
+monthly_retention, registered in round 11; touch_attribution + session_paths, staged in
 round 11) — same discipline as stress_staged.py: warm first,
 noop sink, one session, id-offset-disjoint blown-up copies from
 stress_scale.materialize (events' user_ids and orders' custkeys are
@@ -29,7 +29,7 @@ SF_DIR = "/root/testdata/sf0.01"
 def run(spark, sf_dir: str, label: str) -> None:
     timings = {}
     registered = em.queries()
-    for name in ("window_funnel", "monthly_retention", "touch_attribution"):
+    for name in ("window_funnel", "monthly_retention", "touch_attribution", "session_paths"):
         # the first two registered in round 11 (formerly staged);
         # touch_attribution staged in round 11 (COVERAGE.md ledger)
         q = registered.get(name) or em.staged_queries()[name]

@@ -191,3 +191,116 @@ def test_touch_attribution_plan_one_corpus_exchange(spark, tiny):
     )  # session windows/agg reuse the user exchange
     assert "EvalPython" not in plan
     assert "Join" not in plan  # credit totals are one groupBy, no join
+
+
+def test_session_paths_hand_computed(spark, tiny):
+    from meds_polars_functions_spark.operators.attribution import session_paths
+
+    got = {
+        r["path"]: r["sessions"]
+        for r in session_paths(tiny, GAP_US, max_steps=5, top_k=20).collect()
+    }
+    # u1 s1 = view>click>purchase>purchase (the ==gap event stays in),
+    # u1 s2 = purchase, u2 s1 = click, u2 s2 = signup>purchase
+    assert got == {
+        "view>click>purchase>purchase": 1,
+        "purchase": 1,
+        "click": 1,
+        "signup>purchase": 1,
+    }
+
+
+def test_session_paths_cap_and_topk_bind(spark, tiny):
+    from meds_polars_functions_spark.operators.attribution import session_paths
+
+    capped = {
+        r["path"]: r["sessions"]
+        for r in session_paths(tiny, GAP_US, max_steps=2, top_k=20).collect()
+    }
+    # the 4-event session truncates to its first 2 steps
+    assert "view>click" in capped and len(capped) == 4
+    top1 = session_paths(tiny, GAP_US, max_steps=5, top_k=1).collect()
+    assert len(top1) == 1
+    # deterministic tie order: all counts are 1 -> lexicographically first
+    assert top1[0]["path"] == "click"
+
+
+def test_session_paths_matches_brute_force_fuzz(spark):
+    from meds_polars_functions_spark.operators.attribution import session_paths
+
+    rng = random.Random(2311)
+    types = ["view", "click", "purchase", "signup"]
+    rows = [
+        (
+            eid,
+            H + dt.timedelta(minutes=rng.randrange(0, 3000)),
+            rng.randrange(1, 9),
+            rng.choice(types),
+        )
+        for eid in range(400)
+    ]
+    gap_us, max_steps = 45 * 60 * 1_000_000, 3
+    by_user = {}
+    for eid, ts, uid, typ in rows:
+        by_user.setdefault(uid, []).append(
+            (int(ts.timestamp() * 1_000_000), eid, typ)
+        )
+    counts = {}
+    for evs in by_user.values():
+        evs.sort()
+        cur, prev = [], None
+        sessions = []
+        for tu, _eid, typ in evs:
+            if prev is not None and tu - prev > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append(typ)
+            prev = tu
+        sessions.append(cur)
+        for sess in sessions:
+            p = ">".join(sess[:max_steps])
+            counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["sessions"])
+        for r in session_paths(
+            spark.createDataFrame(rows, SCHEMA),
+            gap_us,
+            max_steps=max_steps,
+            top_k=20,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_session_paths_plan_one_corpus_exchange(spark, tiny):
+    """Same 100 TB pin as touch_attribution: ONE user-only corpus
+    exchange reused by the row-number window and the bounded
+    (<= max_steps structs) per-session collect; the only other exchange
+    is the tiny path count; top-k plans as TakeOrderedAndProject (no
+    global sort); no Python, no joins."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from meds_polars_functions_spark.operators.attribution import session_paths
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        session_paths(tiny, GAP_US).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan)) == 1
+    assert "__sid" not in " ".join(re.findall(r"hashpartitioning\([^)]*\)", plan))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_session_paths_invalid_args_raise(spark, tiny):
+    from meds_polars_functions_spark.operators.attribution import session_paths
+
+    with pytest.raises(ValueError):
+        session_paths(tiny, GAP_US, max_steps=0)
+    with pytest.raises(ValueError):
+        session_paths(tiny, GAP_US, top_k=0)

@@ -65,11 +65,13 @@ def test_staging_area_contents_and_promotions():
     # round-11 ledger, registry 170 -> 172); staging is empty. Every
     # staged query must come WITH its oracle — a staged entry the
     # comparator cannot check verifies nothing.
-    # Round 11 stages ONE new family: touch_attribution (sessionized
-    # first/last-touch conversion credit, operators/attribution.py),
-    # registry-audited per the standing rule (see its docstring).
+    # Round 11 stages the sessionized-analytics pair (the r10 session-2
+    # two-staging precedent, COVERAGE.md addendum): touch_attribution
+    # (first/last-touch conversion credit) and session_paths (top-k
+    # session journeys), both in operators/attribution.py and both
+    # registry-audited per the standing rule (see their docstrings).
     staged = entry.staged_queries()
-    assert set(staged) == {"touch_attribution"}
+    assert set(staged) == {"touch_attribution", "session_paths"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -387,6 +389,70 @@ def test_staged_attribution_gap_and_touch_choice_both_bind(spark):
     n_first = sum(f for f, _ in got.values())
     n_last = sum(l for _, l in got.values())
     assert n_first == n_last > 0
+
+
+def test_staged_session_paths_matches_oracle_strict(spark, con):
+    """Round-11 staged query (addendum): top-20 session journeys — the
+    same 6 h gaps-and-islands sessionization as touch_attribution, each
+    session's first 5 event types joined in (ts, event_id) order,
+    counted with the (sessions DESC, path) tie order, vs the
+    definitional DuckDB replay (ordered string_agg, same cap, same
+    LIMIT). Integer/string-only logic on both sides."""
+    _strict_compare_staged(spark, con, "session_paths")
+
+
+def test_staged_session_paths_order_and_cap_both_bind(spark):
+    """Falsifiability: (a) path ORDER binds — the sf0.001 top-20
+    contains at least one pair of paths that are permutations of the
+    same type multiset (a sorted-multiset grouping would merge them);
+    (b) the 5-step cap binds — an uncapped run changes the table; (c)
+    counts are a partition of sessions: the top-1 path count is bounded
+    by the total session count."""
+    from meds_polars_functions_spark.operators.attribution import (
+        assign_sessions,
+        session_paths,
+    )
+
+    ev = entry._t(spark, SF_DIR, "events")
+    rows = entry.staged_queries()["session_paths"](spark, SF_DIR).collect()
+    got = {r["path"]: r["sessions"] for r in rows}
+    # (a) order binds
+    perms = [
+        (a, b)
+        for a in got
+        for b in got
+        if a < b and sorted(a.split(">")) == sorted(b.split(">"))
+    ]
+    assert perms, "no permutation pair in the top-20: order is vacuous"
+    # (b) cap binds — on the FULL path table (sf0.001 has 8 sessions
+    # longer than 5 events, but their truncated paths are each rare, so
+    # the top-20 itself is cap-stable; asserting there would be vacuous)
+    # and, for a cap below the typical session length, on the top-20 too
+    full = lambda ms: {  # noqa: E731
+        r["path"]: r["sessions"]
+        for r in session_paths(
+            ev, gap=6 * 3600 * 1_000_000, max_steps=ms, top_k=100_000
+        ).collect()
+    }
+    assert full(1000) != full(5)
+    two = {
+        r["path"]: r["sessions"]
+        for r in session_paths(
+            ev, gap=6 * 3600 * 1_000_000, max_steps=2, top_k=20
+        ).collect()
+    }
+    assert two != got
+    # (c) counts bounded by the session universe
+    from pyspark.sql import functions as F
+
+    n_sessions = (
+        assign_sessions(ev, 6 * 3600 * 1_000_000)
+        .select("user_id", "__sid")
+        .distinct()
+        .count()
+    )
+    assert 0 < max(got.values()) <= n_sessions
+    assert sum(got.values()) <= n_sessions
 
 
 def test_retention_matrix_is_nontrivial(spark):
