@@ -3828,7 +3828,8 @@ _ATTR_CONVERSION = "purchase"
 
 
 def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 11: sessionized first/last-touch conversion
+    """Staged round 11, REGISTERED round 12 (window slot 1, COVERAGE.md
+    round-12 ledger): sessionized first/last-touch conversion
     attribution (operators.attribution.touch_attribution) — events
     gap-sessionized per user (6 h, (ts, event_id) tie order), one
     conversion per converting session (the first 'purchase' in session
@@ -3858,6 +3859,11 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gaps-and-islands session ids ((tu, eid) order, new session when the
 #: gap strictly exceeds 6 h), the same first-conversion position, the
 #: same rn=1 / rn=fprn-1 touch picks. Integer-only — no float grids.
+#: The closing channel join is IS NOT DISTINCT FROM (ADVICE r12 item
+#: 3): Spark's groupBy treats NULL channels as one group, so the oracle
+#: must too — `=` would split a null channel into two rows if the data
+#: ever grew null event types (latent-only today: the synthetic events
+#: table has none).
 _TOUCH_ATTRIBUTION_ORACLE_SQL = f"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS tu, event_id AS eid, event_type
@@ -3892,7 +3898,7 @@ lt AS (SELECT last_touch AS channel, count(*) AS n FROM c GROUP BY 1)
 SELECT coalesce(ft.channel, lt.channel) AS channel,
        coalesce(ft.n, 0)::BIGINT AS first_touch_conversions,
        coalesce(lt.n, 0)::BIGINT AS last_touch_conversions
-FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+FROM ft FULL OUTER JOIN lt ON ft.channel IS NOT DISTINCT FROM lt.channel
 ORDER BY channel
 """
 
@@ -3902,8 +3908,9 @@ _PATHS_TOP_K = 20
 
 
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 11 (addendum — second behavioral staging, the r10
-    session-2 precedent): top-20 session journeys
+    """Staged round 11 (addendum — second behavioral staging, the r10
+    session-2 precedent), REGISTERED round 12 (window slot 2,
+    COVERAGE.md round-12 ledger): top-20 session journeys
     (operators.attribution.session_paths) — events gap-sessionized per
     user (6 h, (ts, event_id) tie order, shared with touch_attribution),
     each session's first 5 event types joined with '>', counted across
@@ -3984,15 +3991,16 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retention_cohort). tests/test_staged_queries.py's no-double-booking
     assert is the enforcement.
 
-    Round 11 stages the sessionized-analytics pair (the r10 session-2
+    Round 11 staged the sessionized-analytics pair (the r10 session-2
     two-staging precedent, documented as a COVERAGE.md addendum):
     first/last-touch attribution plus top-k session journeys
     (operators/attribution.py), both audited against the registry per
-    the standing rule (see their docstrings)."""
-    return {
-        "touch_attribution": q_touch_attribution,
-        "session_paths": q_session_paths,
-    }
+    the standing rule (see their docstrings).
+
+    Round 12: BOTH registered with window slots 1-2 (COVERAGE.md
+    round-12 ledger, registry 172 -> 174); the staging area is empty
+    until this round's new staging lands."""
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -4064,10 +4072,7 @@ def staged_oracle_sql() -> dict[str, str]:
     sf0.001 staged tests and, on registration, the sf0.01
     ``oracle_sql()`` default. Every staged entry must appear here too:
     a staged query the comparator cannot check verifies nothing."""
-    return {
-        "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE_SQL,
-        "session_paths": _SESSION_PATHS_ORACLE_SQL,
-    }
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -4082,76 +4087,73 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-11 window (this round), per VERDICT r10 items 1-2 (ledger
-# pre-committed in COVERAGE.md before any round-11 code work):
-#   slots 1-2   = window_funnel, monthly_retention — the round-10
-#                 (session 2) STAGED behavioral pair, REGISTERED this
-#                 round (registry 170 -> 172) with the staged
+# Round-12 window (this round), per VERDICT r11 items 1-2 (ledger
+# pre-committed in COVERAGE.md before any round-12 code work):
+#   slots 1-2   = touch_attribution, session_paths — the round-11
+#                 STAGED sessionized-analytics pair, REGISTERED this
+#                 round (registry 172 -> 174) with the staged
 #                 sf-independent oracles promoted to the oracle_sql()
-#                 defaults; also the only round-11-dirtied queries.
-#   slots 3-25  = ALL 23 remaining r7-age greens (next_window.py queue
-#                 order, repeat_buyers_setop leading — displaced from
-#                 the round-10 window by the mmr_topk amendment) —
-#                 after this window no r7-age rows remain;
-#   slots 26-50 = the 25 oldest r8-age greens (queue order).
+#                 defaults; also the only round-12-dirtied queries.
+#   slots 3-26  = ALL 24 remaining r8-age greens (next_window.py queue
+#                 order) — after this window no r8-age rows remain;
+#   slots 27-50 = the 24 oldest r9-age greens (queue order).
 # Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-11 registrations (staged r10 session 2; registry 170 -> 172)
-    "window_funnel",
-    "monthly_retention",
-    # ALL 23 remaining r7-age greens, next_window.py queue order
-    # (repeat_buyers_setop leads: displaced by the r10 amendment)
-    "repeat_buyers_setop",
-    "dedup_clusters_star",
-    "lm_score",
-    "semantic_dedup",
-    "bigram_lm",
-    "dsir_weights",
-    "bpe_pair_counts",
-    "bm25_search",
-    "clf_score",
-    "shuffle_positions",
-    "winnow_pairs",
-    "cdc_chunks",
-    "logreg_step",
-    "blocklist",
-    "cms_freq",
-    "incremental_dedup",
-    "bpe_encode",
-    "triangles",
-    "weighted_sample",
-    "time_parse",
-    "jl_topk",
-    "typed_coercion",
-    "span_dedup",
-    # the 25 oldest r8-age greens, next_window.py queue order
-    "patient_split_filter",
-    "patient_id_harvest",
-    "kmeans_cells",
-    "containment",
-    "label_propagation",
-    "binned_quantiles",
-    "embedding_dim_stats",
-    "standardize_embeddings",
-    "temperature_mixture",
-    "winsorize_quantile",
-    "incremental_code_agg",
-    "code_value_trend",
-    "event_transitions",
-    "code_pmi",
-    "welch_ttest",
-    "rolling_features",
-    "target_encode",
-    "corr_matrix",
-    "code_rollup",
-    "drift_metrics",
-    "curation_v2",
-    "regex_filter",
-    "integral_values",
-    "fill_to_nans",
-    "pricing_summary",
+    # round-12 registrations (staged r11; registry 172 -> 174)
+    "touch_attribution",
+    "session_paths",
+    # ALL 24 remaining r8-age greens, next_window.py queue order
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "novelty_score",
+    "chi_square",
+    "decontaminate",
+    "hourly_event_counts",
+    "mixture_sample",
+    "hash_split",
+    "code_patients_hll",
+    "funnel_conversion",
+    "retention_cohort",
+    "orders_histogram",
+    "json_props_stats",
+    "value_percentiles",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "reorder_rank",
+    "event_user_enrich",
+    "distinct_twophase",
+    "order_restore",
+    "add_age",
+    "time_delta_days",
+    "datetime_parts",
+    # the 24 oldest r9-age greens, next_window.py queue order
+    "pack_sequences",
+    "corpus_curation",
+    "text_quality",
+    "quality_filter",
+    "tfidf_top_terms",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "exact_dedup",
+    "minhash_near_dup",
+    "simhash_buckets",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "lsh_topk",
+    "scrub_pii",
+    "chunk_documents",
+    "unigram_entropy",
+    "class_balanced",
+    "fuzzy_name_pairs",
+    "asof_purchase_click",
+    "sliding_window_counts",
 ]
 
 
@@ -4239,6 +4241,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 ledger, registry 170 -> 172)
         "window_funnel": q_window_funnel,
         "monthly_retention": q_monthly_retention,
+        # round-12 registrations (staged r11; COVERAGE.md round-12
+        # ledger, registry 172 -> 174)
+        "touch_attribution": q_touch_attribution,
+        "session_paths": q_session_paths,
         "clf_score": q_clf_score,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
@@ -5864,6 +5870,12 @@ FROM w
         # (already sf-independent static SQL over the registered views)
         "window_funnel": _WINDOW_FUNNEL_ORACLE_SQL,
         "monthly_retention": _MONTHLY_RETENTION_ORACLE_SQL,
+        # round-12 registrations: the staged oracles promoted (the
+        # touch_attribution channel join upgraded to IS NOT DISTINCT
+        # FROM at promotion — ADVICE r12 item 3; value-identical on data
+        # without null event types, re-checked at three SFs)
+        "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE_SQL,
+        "session_paths": _SESSION_PATHS_ORACLE_SQL,
         "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key

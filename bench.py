@@ -72,6 +72,10 @@ TRACKED = [
     # birth (VERDICT r10 item 3)
     "window_funnel",
     "monthly_retention",
+    # round 12: the registered sessionized-analytics pair, tracked from
+    # birth (the standing rule)
+    "touch_attribution",
+    "session_paths",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

@@ -66,6 +66,10 @@ DEFAULT_QUERIES = [
     # behavioral-analytics pair, tracked in the A/B from birth
     "window_funnel",
     "monthly_retention",
+    # round-12 additions: the newly registered sessionized-analytics
+    # pair, tracked in the A/B from birth
+    "touch_attribution",
+    "session_paths",
 ]
 
 

@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-11 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-12 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "window_funnel",
-    "monthly_retention",
-    "repeat_buyers_setop",
-    "dedup_clusters_star",
-    "lm_score",
-    "semantic_dedup",
-    "bigram_lm",
-    "dsir_weights",
-    "bpe_pair_counts",
-    "bm25_search",
-    "clf_score",
-    "shuffle_positions",
-    "winnow_pairs",
-    "cdc_chunks",
-    "logreg_step",
-    "blocklist",
-    "cms_freq",
-    "incremental_dedup",
-    "bpe_encode",
-    "triangles",
-    "weighted_sample",
-    "time_parse",
-    "jl_topk",
-    "typed_coercion",
-    "span_dedup",
-    "patient_split_filter",
-    "patient_id_harvest",
-    "kmeans_cells",
-    "containment",
-    "label_propagation",
-    "binned_quantiles",
-    "embedding_dim_stats",
-    "standardize_embeddings",
-    "temperature_mixture",
-    "winsorize_quantile",
-    "incremental_code_agg",
-    "code_value_trend",
-    "event_transitions",
-    "code_pmi",
-    "welch_ttest",
-    "rolling_features",
-    "target_encode",
-    "corr_matrix",
-    "code_rollup",
-    "drift_metrics",
-    "curation_v2",
-    "regex_filter",
-    "integral_values",
-    "fill_to_nans",
-    "pricing_summary",
+    "touch_attribution",
+    "session_paths",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "novelty_score",
+    "chi_square",
+    "decontaminate",
+    "hourly_event_counts",
+    "mixture_sample",
+    "hash_split",
+    "code_patients_hll",
+    "funnel_conversion",
+    "retention_cohort",
+    "orders_histogram",
+    "json_props_stats",
+    "value_percentiles",
+    "cube_revenue",
+    "pivot_status",
+    "sessionize",
+    "reorder_rank",
+    "event_user_enrich",
+    "distinct_twophase",
+    "order_restore",
+    "add_age",
+    "time_delta_days",
+    "datetime_parts",
+    "pack_sequences",
+    "corpus_curation",
+    "text_quality",
+    "quality_filter",
+    "tfidf_top_terms",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "exact_dedup",
+    "minhash_near_dup",
+    "simhash_buckets",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "lsh_topk",
+    "scrub_pii",
+    "chunk_documents",
+    "unigram_entropy",
+    "class_balanced",
+    "fuzzy_name_pairs",
+    "asof_purchase_click",
+    "sliding_window_counts",
 ]
 
 
@@ -123,7 +123,7 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
 
 
-def test_registry_pinned_at_172():
+def test_registry_pinned_at_174():
     # Round 6: the freeze condition (verification debt < window size) was
     # met by the round-6 rotation, so the registry grew 165 -> 167 with
     # the formerly-staged kneser_ney_lm + kmeans_cells (COVERAGE.md
@@ -134,11 +134,14 @@ def test_registry_pinned_at_172():
     # mid-round ledger amendment (COVERAGE.md round-10 amendment),
     # 169 -> 170. Round 11: the round-10 (session 2) staged behavioral
     # pair window_funnel + monthly_retention registered with window
-    # slots 1-2 (COVERAGE.md round-11 ledger), 170 -> 172. Any further
-    # growth must edit this pin deliberately and land with a window slot
-    # (or a fresh ledger entry), never by silently extending the backlog
-    # past the 50-row window.
-    assert len(entry.queries()) == 172
+    # slots 1-2 (COVERAGE.md round-11 ledger), 170 -> 172. Round 12: the
+    # round-11 staged sessionized-analytics pair touch_attribution +
+    # session_paths registered with window slots 1-2 (COVERAGE.md
+    # round-12 ledger), 172 -> 174. Any further growth must edit this
+    # pin deliberately and land with a window slot (or a fresh ledger
+    # entry), never by silently extending the backlog past the 50-row
+    # window.
+    assert len(entry.queries()) == 174
 
 
 def test_ledger_check_function_level_granularity():

@@ -65,19 +65,22 @@ def test_staging_area_contents_and_promotions():
     # round-11 ledger, registry 170 -> 172); staging is empty. Every
     # staged query must come WITH its oracle — a staged entry the
     # comparator cannot check verifies nothing.
-    # Round 11 stages the sessionized-analytics pair (the r10 session-2
+    # Round 11 staged the sessionized-analytics pair (the r10 session-2
     # two-staging precedent, COVERAGE.md addendum): touch_attribution
     # (first/last-touch conversion credit) and session_paths (top-k
     # session journeys), both in operators/attribution.py and both
     # registry-audited per the standing rule (see their docstrings).
+    # Round 12: BOTH registered with window slots 1-2 (COVERAGE.md
+    # round-12 ledger, registry 172 -> 174); staging is empty until
+    # this round's new staging lands.
     staged = entry.staged_queries()
-    assert set(staged) == {"touch_attribution", "session_paths"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
     for name in (
         "kneser_ney_lm", "kmeans_cells", "pq_topk_rerank", "hybrid_search",
         "mmr_topk", "window_funnel", "monthly_retention",
+        "touch_attribution", "session_paths",
     ):
         assert name in registered
         assert name in oracles
@@ -348,16 +351,18 @@ def test_monthly_retention_matches_oracle_strict(spark, con):
     _strict_compare(spark, con, "monthly_retention")
 
 
-def test_staged_touch_attribution_matches_oracle_strict(spark, con):
-    """Round-11 staged query: gap-sessionized (6 h, (ts, event_id) tie
-    order) first/last-touch conversion attribution vs the definitional
-    DuckDB replay — identical gaps-and-islands session ids, identical
-    first-conversion position, identical rn=1 / rn=fprn-1 touch picks.
-    Integer-only logic on both sides."""
-    _strict_compare_staged(spark, con, "touch_attribution")
+def test_touch_attribution_matches_oracle_strict(spark, con):
+    """Round-11 staged, round-12 REGISTERED (window slot 1):
+    gap-sessionized (6 h, (ts, event_id) tie order) first/last-touch
+    conversion attribution vs the definitional DuckDB replay —
+    identical gaps-and-islands session ids, identical first-conversion
+    position, identical rn=1 / rn=fprn-1 touch picks. Integer-only
+    logic on both sides; the oracle's channel join is NULL-safe
+    (IS NOT DISTINCT FROM, ADVICE r12 item 3)."""
+    _strict_compare(spark, con, "touch_attribution")
 
 
-def test_staged_attribution_gap_and_touch_choice_both_bind(spark):
+def test_attribution_gap_and_touch_choice_both_bind(spark):
     """Falsifiability: (a) the session gap must actually constrain the
     result — a 30-day gap merges each user into one session and changes
     the credit table; (b) the first-vs-last touch choice must matter —
@@ -370,7 +375,7 @@ def test_staged_attribution_gap_and_touch_choice_both_bind(spark):
     )
 
     ev = entry._t(spark, SF_DIR, "events")
-    rows = entry.staged_queries()["touch_attribution"](spark, SF_DIR).collect()
+    rows = entry.queries()["touch_attribution"](spark, SF_DIR).collect()
     got = {
         r["channel"]: (r["first_touch_conversions"], r["last_touch_conversions"])
         for r in rows
@@ -391,17 +396,18 @@ def test_staged_attribution_gap_and_touch_choice_both_bind(spark):
     assert n_first == n_last > 0
 
 
-def test_staged_session_paths_matches_oracle_strict(spark, con):
-    """Round-11 staged query (addendum): top-20 session journeys — the
-    same 6 h gaps-and-islands sessionization as touch_attribution, each
-    session's first 5 event types joined in (ts, event_id) order,
-    counted with the (sessions DESC, path) tie order, vs the
-    definitional DuckDB replay (ordered string_agg, same cap, same
-    LIMIT). Integer/string-only logic on both sides."""
-    _strict_compare_staged(spark, con, "session_paths")
+def test_session_paths_matches_oracle_strict(spark, con):
+    """Round-11 staged (addendum), round-12 REGISTERED (window slot 2):
+    top-20 session journeys — the same 6 h gaps-and-islands
+    sessionization as touch_attribution, each session's first 5 event
+    types joined in (ts, event_id) order, counted with the
+    (sessions DESC, path) tie order, vs the definitional DuckDB replay
+    (ordered string_agg, same cap, same LIMIT). Integer/string-only
+    logic on both sides."""
+    _strict_compare(spark, con, "session_paths")
 
 
-def test_staged_session_paths_order_and_cap_both_bind(spark):
+def test_session_paths_order_and_cap_both_bind(spark):
     """Falsifiability: (a) path ORDER binds — the sf0.001 top-20
     contains at least one pair of paths that are permutations of the
     same type multiset (a sorted-multiset grouping would merge them);
@@ -414,7 +420,7 @@ def test_staged_session_paths_order_and_cap_both_bind(spark):
     )
 
     ev = entry._t(spark, SF_DIR, "events")
-    rows = entry.staged_queries()["session_paths"](spark, SF_DIR).collect()
+    rows = entry.queries()["session_paths"](spark, SF_DIR).collect()
     got = {r["path"]: r["sessions"] for r in rows}
     # (a) order binds
     perms = [
