@@ -83,7 +83,28 @@ def attribution_events(
     """Shared JVM front-end for the batch and streaming attribution:
     ``(user_col, __tu:long µs, __eid:long, type_col)`` with the
     timestamp normalized to integer microseconds and the id cast for
-    the deterministic ``(__tu, __eid)`` tie order."""
+    the deterministic ``(__tu, __eid)`` tie order.
+
+    The id column must already be integral (ADVICE r12: a silent
+    ``cast("long")`` of a non-numeric id produces NULLs, collapsing the
+    tiebreak and making timestamp-tie ordering — and thus touch picks
+    and session paths — nondeterministic instead of erroring; the same
+    silent-type-assumption class as the r11 ``user_col`` fix). Callers
+    with string/uuid event ids must map them to a stable integer (e.g.
+    ``xxhash64``) explicitly, choosing their own tie order."""
+    from pyspark.sql import types as T
+
+    id_type = events.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"attribution id column {id_col!r} must be an integral type "
+            f"for the deterministic (ts, id) tie order; got "
+            f"{id_type.simpleString()} — cast it to a stable integer "
+            "(e.g. xxhash64) explicitly instead of relying on a silent "
+            "cast that would NULL the tiebreak"
+        )
     dtype = dict(events.dtypes).get(ts_col)
     return events.select(
         F.col(user_col),

@@ -311,6 +311,18 @@ def streaming_touch_credits(
     batches, arrival order stands in for the id tiebreak — feed ties in
     id order to match the batch operator exactly).
 
+    Drop VISIBILITY (ADVICE r12: credit rows only emit when a
+    converting session closes, so drops accrued in a batch that closes
+    nothing could stay invisible — forever, if the user never converts
+    again): any batch whose folding increments a user's drop counter
+    without emitting a credit row emits one STATUS row instead —
+    ``session_id``/``first_touch``/``last_touch`` all NULL,
+    ``dropped_events`` = the new cumulative count. A consumer asserting
+    the in-order contract (``dropped_events == 0``) therefore sees
+    every violation in the violating batch; consumers of credits filter
+    ``session_id IS NOT NULL``. In-order feeds never produce status
+    rows, so the batch-parity contract is unchanged.
+
     Shares ``attribution_events`` with the batch operator so both see
     identical (user, µs, id, type) inputs.
     """
@@ -359,6 +371,7 @@ def streaming_touch_credits(
                 NEG, 0, None, None, False, None, None, 0,
             )
 
+        dropped_at_entry = dropped
         out = {k: [] for k in ("sid", "ft", "lt")}
 
         def close_session():
@@ -392,6 +405,20 @@ def streaming_touch_credits(
             (tmax, sid, first_type, prev_type, converted, ft, lt, dropped)
         )
         n = len(out["sid"])
+        if n == 0 and dropped > dropped_at_entry:
+            # Status row: this batch dropped events but closed no
+            # converting session, so without it the violation would be
+            # invisible until (unless) the user converts again.
+            yield pd.DataFrame(
+                {
+                    user_col: [u],
+                    "session_id": pd.array([None], dtype="Int64"),
+                    "first_touch": pd.array([None], dtype=object),
+                    "last_touch": pd.array([None], dtype=object),
+                    "dropped_events": [dropped],
+                }
+            )
+            return
         yield pd.DataFrame(
             {
                 user_col: [u] * n,

@@ -30,8 +30,10 @@ def run(spark, sf_dir: str, label: str) -> None:
     timings = {}
     registered = em.queries()
     for name in ("window_funnel", "monthly_retention", "touch_attribution", "session_paths"):
-        # the first two registered in round 11 (formerly staged);
-        # touch_attribution staged in round 11 (COVERAGE.md ledger)
+        # window_funnel + monthly_retention registered in round 11;
+        # touch_attribution + session_paths BOTH staged in round 11 and
+        # registered in round 12 (COVERAGE.md ledgers) — ADVICE r12
+        # item 4: the old comment named only touch_attribution.
         q = registered.get(name) or em.staged_queries()[name]
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()

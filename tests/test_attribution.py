@@ -304,3 +304,16 @@ def test_session_paths_invalid_args_raise(spark, tiny):
         session_paths(tiny, GAP_US, max_steps=0)
     with pytest.raises(ValueError):
         session_paths(tiny, GAP_US, top_k=0)
+
+
+def test_non_integral_id_col_raises(spark):
+    """ADVICE r12: a non-integral id column must RAISE, not silently
+    cast to NULL (which would collapse the (ts, id) tiebreak and make
+    timestamp-tie ordering — and thus touch picks and session paths —
+    nondeterministic)."""
+    rows = [("e1", dt.datetime(2024, 1, 1, 10, 0), 7, "view")]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        assign_sessions(df, GAP_US)

@@ -443,3 +443,59 @@ def test_streaming_touch_credits_match_batch_on_driver_events(spark):
         assert all(r["dropped_events"] == 0 for r in rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_touch_credits_status_row_on_silent_drop(spark):
+    """ADVICE r12: drops accrued in a batch that closes no converting
+    session must still surface IN THAT BATCH — as a status row
+    (session_id/touches NULL, dropped_events = cumulative) — so a
+    consumer asserting the in-order contract sees the violation even if
+    the user never converts again. The eventual credit row then carries
+    the same cumulative count."""
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_touch_credits,
+    )
+
+    d = tempfile.mkdtemp(prefix="touch_drop_")
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = dt.timedelta(minutes=1)
+    GAP = 3600 * 1_000_000  # 1 h
+    b1 = [
+        (1, h, 7, "view", 1.0, None),
+        (2, h + 5 * m, 7, "purchase", 1.0, None),  # converts s1 (open)
+    ]
+    b2 = [
+        # below u7's high-water mark: dropped; closes nothing -> the
+        # batch would emit no rows without the status row
+        (3, h - 60 * m, 7, "click", 1.0, None),
+    ]
+    b3 = [
+        # 115 min > gap: closes s1 -> credit row, cumulative dropped=1
+        (4, h + 120 * m, 7, "view", 1.0, None),
+    ]
+    for i, b in enumerate((b1, b2, b3), 1):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+    try:
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_touch_credits(s, gap=GAP),
+            "touch_drop_out",
+            output_mode="append",
+        )
+        status = [r for r in rows if r["session_id"] is None]
+        credits = [r for r in rows if r["session_id"] is not None]
+        assert len(status) == 1
+        assert status[0]["user_id"] == 7
+        assert status[0]["first_touch"] is None
+        assert status[0]["last_touch"] is None
+        assert status[0]["dropped_events"] == 1
+        assert [
+            (r["user_id"], r["session_id"], r["first_touch"],
+             r["last_touch"], r["dropped_events"])
+            for r in credits
+        ] == [(7, 1, "view", "view", 1)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
