@@ -230,10 +230,21 @@ def changed_entry_functions(ledger_rev: str, head: str, tree: ast.Module) -> set
 
 
 def main() -> int:
-    if len(sys.argv) < 2:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
         print(__doc__)
-        return 2
+        return 0 if len(sys.argv) >= 2 else 2
     ledger_rev, head = sys.argv[1], (sys.argv[2] if len(sys.argv) > 2 else "HEAD")
+
+    # Validate the revs up front so a typo prints a message, not a
+    # subprocess traceback (VERDICT r11 item 5).
+    for rev in (ledger_rev, head):
+        probe = subprocess.run(
+            ["git", "rev-parse", "--verify", "--quiet", f"{rev}^{{commit}}"],
+            capture_output=True, text=True,
+        )
+        if probe.returncode != 0:
+            print(f"ledger_check: not a git revision: {rev!r}", file=sys.stderr)
+            return 2
 
     changed = set(sh("git", "diff", "--name-only", f"{ledger_rev}..{head}").split())
     changed_pkg = {f for f in changed if f.startswith(PKG + "/") and f.endswith(".py")}
