@@ -3962,6 +3962,126 @@ LIMIT {_PATHS_TOP_K}
 """
 
 
+_PROFILE_PERCENTILES = (0.5, 0.9, 0.99)
+_PROFILE_ACCURACY = 100  # eps = 1/100 rank error: a REAL approximation
+# regime at sf0.01 (n ~ 2000/group -> +-20-rank window), so rank_ok is
+# a live check, not a vacuous exact-path replay
+
+
+def q_approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 12: approximate-percentile latency profile
+    (operators.profiles) — per event type, the native
+    ``percentile_approx`` (Greenwald-Khanna mergeable sketch, accuracy
+    100) at p50/p90/p99 over ``events.value``, verified by an INVARIANT
+    oracle (the kmeans_cells precedent — the sketch's interior answers
+    are engine-specific, so the query emits falsifiable invariants as
+    ``(event_type, metric, value)`` rows):
+
+    - ``n``: the group's non-null count (sketch coverage) — the oracle
+      recomputes it from the raw table.
+    - ``p0`` / ``p100``: the sketch's answers at percentile 0.0/1.0,
+      which a correct GK summary returns EXACTLY (the extreme samples
+      are always retained) — the oracle recomputes min/max.
+    - ``rank_ok_p50``/``rank_ok_p90``/``rank_ok_p99`` = 1.0: the GK
+      rank guarantee — the returned value's exact rank interval
+      (one conditional-count pass) intersects
+      ``ceil(p*n) +- (ceil(n/accuracy) + 1)``; any sketch defect that
+      hands back a value from outside the guarantee window flips the
+      row (the falsifiability test swaps p99's answer into p50's row).
+
+    Registry audit (the standing rule): nearest registered names are
+    ``value_percentiles`` and ``group_median`` (EXACT interpolated
+    percentiles — native ``percentile``, per-group sort, no sketch),
+    ``binned_quantiles`` (deterministic fixed-width-histogram quantiles
+    on lineitem — resolution pinned to the bin grid, not a GK summary)
+    and ``profile_events`` (a schema/stats profile, no quantiles); no
+    registered name within edit distance 2. This row is the missing
+    SKETCH member of that family — the only one whose state is
+    partial-mergeable across shards at O(1/eps log eps*n), i.e. the
+    100 TB path (VERDICT r11 item 4's named candidate).
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.operators.profiles import (
+        approx_percentile_profile,
+        verify_percentile_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ps = [0.0, *_PROFILE_PERCENTILES, 1.0]
+    prof = approx_percentile_profile(
+        ev, "value", ["event_type"], ps, accuracy=_PROFILE_ACCURACY
+    )
+    ver = verify_percentile_profile(
+        ev, prof, "value", ["event_type"], accuracy=_PROFILE_ACCURACY
+    )
+    # Unpivot to the invariant rows the oracle replays. p0/p100 emit
+    # their (exact-by-guarantee) VALUES; interior percentiles emit the
+    # rank_ok flag; n once per group (off the p=0.0 row).
+    is_p0 = F.col("percentile") == 0.0
+    is_p100 = F.col("percentile") == 1.0
+    pct_tag = F.concat(
+        F.lit("rank_ok_p"),
+        F.round(F.col("percentile") * 100).cast("int").cast("string"),
+    )
+    rows = ver.select(
+        F.col("event_type"),
+        F.explode(
+            F.when(
+                is_p0,
+                F.array(
+                    F.struct(
+                        F.lit("p0").alias("metric"),
+                        F.col("approx_value").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("n").alias("metric"),
+                        F.col("n").cast("double").alias("value"),
+                    ),
+                ),
+            )
+            .when(
+                is_p100,
+                F.array(
+                    F.struct(
+                        F.lit("p100").alias("metric"),
+                        F.col("approx_value").alias("value"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        pct_tag.alias("metric"),
+                        F.col("rank_ok").cast("double").alias("value"),
+                    )
+                )
+            )
+        ).alias("__m"),
+    )
+    return rows.select(
+        "event_type", F.col("__m.metric").alias("metric"), F.col("__m.value").alias("value")
+    ).orderBy("event_type", "metric")
+
+
+#: Invariant oracle (the kmeans_cells precedent): n/p0/p100 are
+#: data-derived recomputes; the rank_ok_* rows pin the GK guarantee of
+#: a correct sketch at 1.0. See q_approx_percentile_profile.
+_APPROX_PERCENTILE_PROFILE_ORACLE_SQL = """
+WITH g AS (
+  SELECT event_type, count(value)::DOUBLE AS n,
+         min(value) AS mn, max(value) AS mx
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, metric, value FROM (
+  SELECT event_type, 'n' AS metric, n AS value FROM g
+  UNION ALL SELECT event_type, 'p0', mn FROM g
+  UNION ALL SELECT event_type, 'p100', mx FROM g
+  UNION ALL SELECT event_type, 'rank_ok_p50', 1.0 FROM g
+  UNION ALL SELECT event_type, 'rank_ok_p90', 1.0 FROM g
+  UNION ALL SELECT event_type, 'rank_ok_p99', 1.0 FROM g
+) ORDER BY event_type, metric
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -3998,9 +4118,15 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the standing rule (see their docstrings).
 
     Round 12: BOTH registered with window slots 1-2 (COVERAGE.md
-    round-12 ledger, registry 172 -> 174); the staging area is empty
-    until this round's new staging lands."""
-    return {}
+    round-12 ledger, registry 172 -> 174). Round 12 stages the
+    approximate-percentile profile family (VERDICT r11 item 4's named
+    candidate): the native mergeable-sketch quantile path
+    (operators/profiles.py), invariant-oracled per the kmeans_cells
+    precedent and registry-audited per the standing rule (see its
+    docstring)."""
+    return {
+        "approx_percentile_profile": q_approx_percentile_profile,
+    }
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -4072,7 +4198,9 @@ def staged_oracle_sql() -> dict[str, str]:
     sf0.001 staged tests and, on registration, the sf0.01
     ``oracle_sql()`` default. Every staged entry must appear here too:
     a staged query the comparator cannot check verifies nothing."""
-    return {}
+    return {
+        "approx_percentile_profile": _APPROX_PERCENTILE_PROFILE_ORACLE_SQL,
+    }
 
 
 # ---------------------------------------------------------------------------

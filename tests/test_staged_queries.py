@@ -71,9 +71,15 @@ def test_staging_area_contents_and_promotions():
     # session journeys), both in operators/attribution.py and both
     # registry-audited per the standing rule (see their docstrings).
     # Round 12: BOTH registered with window slots 1-2 (COVERAGE.md
-    # round-12 ledger, registry 172 -> 174); staging is empty until
-    # this round's new staging lands.
+    # round-12 ledger, registry 172 -> 174). Round 12 stages the
+    # approx-percentile profile family (VERDICT r11 item 4's named
+    # candidate): the native mergeable-sketch quantile path with an
+    # invariant oracle (operators/profiles.py), registry-audited per
+    # the standing rule (nearest names value_percentiles/group_median
+    # are EXACT sort-based percentiles, binned_quantiles is a
+    # fixed-bin histogram, profile_events has no quantiles).
     staged = entry.staged_queries()
+    assert set(staged) == {"approx_percentile_profile"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -481,3 +487,14 @@ def test_retention_matrix_is_nontrivial(spark):
         f"SELECT count(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
     ).fetchone()[0]
     assert sum(m[(c, 0)] for c in cohorts) == n_cust
+
+
+def test_staged_approx_percentile_profile_matches_oracle_strict(spark, con):
+    """Round-12 staged query: the GK-sketch percentile profile's
+    INVARIANT rows (n / p0 / p100 data-derived, rank_ok_* pinned at
+    1.0 — the kmeans_cells oracle style) vs the DuckDB recompute.
+    A sketch that loses extremes, miscounts coverage, or answers
+    outside its rank-guarantee window flips a row and fails the hash
+    compare; the window's bindingness is proven in
+    tests/test_profiles.py (swapped-answer test)."""
+    _strict_compare_staged(spark, con, "approx_percentile_profile")
