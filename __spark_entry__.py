@@ -4063,6 +4063,106 @@ def q_approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "metric")
 
 
+_BITEMPORAL_AS_OF = "1999-01-01"  # audit instant K: mid-corpus, so both
+# failure modes are live at every SF — late-recorded versions near K are
+# invisible AND post-K facts must fall back to older versions
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 12 (second staging — the r10/r11 two-staging
+    cadence): bitemporal point-in-time audit join
+    (operators.temporal.bitemporal_asof_join) — a synthetic bitemporal
+    dimension built from orders (one version per order: key o_custkey,
+    business validity valid_from = o_orderdate, knowledge time
+    recorded_at = o_orderdate + (o_orderkey % 30) days — deterministic
+    late arrival, version id o_orderkey, value o_totalprice), probed by
+    the orders themselves as facts: for each order, the customer's
+    dimension version valid at the order date AS KNOWN on the audit
+    instant K = 1999-01-01 — greatest (valid_from, recorded_at, ver)
+    among {valid_from <= t, recorded_at <= K}. Left-outer: post-K facts
+    whose customer has no pre-K-recorded version get nulls.
+
+    The "reproduce the training set as we believed it on date K" join —
+    the point-in-time-correctness primitive of feature generation
+    (leakage-proof labels against late-arriving/corrected dims).
+    Integer/timestamp-only pick logic — the DuckDB oracle replays it
+    exactly (known_ver cast ::DOUBLE on BOTH sides: it is nullable
+    through the left join, the asof_purchase_click dtype precedent).
+
+    Registry audit (the standing rule): nearest registered names are
+    `asof_purchase_click` (plain 1-D as-of: one time axis, no knowledge
+    dimension, no corrections), `scd2_priority` (BUILDS validity
+    intervals from a change stream — no audit axis, no probe), and
+    `stream_interval_join`/`range_join_events` (bounded-window pair
+    joins); no name within edit distance 2. This row adds the missing
+    SECOND time axis: the same dimension row set answers differently
+    under different audit instants.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.operators.temporal import (
+        bitemporal_asof_join,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    dim = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr(
+            "o_orderdate + make_dt_interval(cast(o_orderkey % 30 as int), 0, 0, 0)"
+        ).alias("recorded_at"),
+        F.col("o_orderkey").alias("ver"),
+        F.col("o_totalprice").alias("val"),
+    )
+    facts = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    res = bitemporal_asof_join(
+        facts,
+        dim,
+        on=["o_custkey"],
+        fact_time="o_orderdate",
+        valid_from="valid_from",
+        recorded_at="recorded_at",
+        as_of=F.to_timestamp(F.lit(_BITEMPORAL_AS_OF)),
+        value_cols=["val", "ver"],
+        dim_tie_cols=["ver"],
+        suffix="",
+    )
+    # Timestamps emitted as-is (the sessionize precedent — driver-green
+    # with raw timestamp outputs): the comparator isoformats both
+    # sides; the pandas ns-vs-us RESOLUTION skew is a toPandas
+    # artifact, not a dtype class (see _strict_compare_staged).
+    return res.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("valid_from").alias("known_from"),
+        F.col("recorded_at").alias("known_rec"),
+        F.col("val").alias("known_total"),
+        F.col("ver").cast("double").alias("known_ver"),
+    ).orderBy("o_orderkey")
+
+
+#: DuckDB replay of q_bitemporal_asof from the DEFINITION: the same
+#: synthetic dimension, the same knowledge cut at K, the same greatest-
+#: (valid_from, recorded_at, ver) pick via an ordered LATERAL LIMIT 1.
+_BITEMPORAL_ASOF_ORACLE_SQL = f"""
+WITH dim AS (
+  SELECT o_custkey AS k, o_orderdate AS vf,
+         o_orderdate + INTERVAL (o_orderkey % 30) DAY AS ra,
+         o_orderkey AS ver, o_totalprice AS val
+  FROM orders),
+snap AS (SELECT * FROM dim WHERE ra <= TIMESTAMP '{_BITEMPORAL_AS_OF}'),
+f AS (SELECT o_orderkey, o_custkey AS k, o_orderdate AS t FROM orders)
+SELECT f.o_orderkey, f.k AS o_custkey, f.t AS o_orderdate,
+       p.vf AS known_from, p.ra AS known_rec,
+       p.val AS known_total, p.ver::DOUBLE AS known_ver
+FROM f LEFT JOIN LATERAL (
+  SELECT vf, ra, val, ver FROM snap s
+  WHERE s.k = f.k AND s.vf <= f.t
+  ORDER BY s.vf DESC, s.ra DESC, s.ver DESC LIMIT 1) p ON TRUE
+ORDER BY o_orderkey
+"""
+
+
 #: Invariant oracle (the kmeans_cells precedent): n/p0/p100 are
 #: data-derived recomputes; the rank_ok_* rows pin the GK guarantee of
 #: a correct sketch at 1.0. See q_approx_percentile_profile.
@@ -4123,9 +4223,13 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidate): the native mergeable-sketch quantile path
     (operators/profiles.py), invariant-oracled per the kmeans_cells
     precedent and registry-audited per the standing rule (see its
-    docstring)."""
+    docstring). Second round-12 staging (the r10/r11 two-staging
+    cadence): the bitemporal point-in-time audit join
+    (operators/temporal.py bitemporal_asof_join) — see
+    q_bitemporal_asof's registry-audit note."""
     return {
         "approx_percentile_profile": q_approx_percentile_profile,
+        "bitemporal_asof": q_bitemporal_asof,
     }
 
 
@@ -4200,6 +4304,7 @@ def staged_oracle_sql() -> dict[str, str]:
     a staged query the comparator cannot check verifies nothing."""
     return {
         "approx_percentile_profile": _APPROX_PERCENTILE_PROFILE_ORACLE_SQL,
+        "bitemporal_asof": _BITEMPORAL_ASOF_ORACLE_SQL,
     }
 
 

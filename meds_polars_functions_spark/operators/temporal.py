@@ -32,13 +32,14 @@ are O(n·m) and fatal at 100 TB):
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expr import epoch_micros
 
 __all__ = [
     "asof_join",
+    "bitemporal_asof_join",
     "range_join",
     "bloom_prefilter",
     "locf_impute",
@@ -206,6 +207,126 @@ def asof_join(
         *left_cols,
         F.col("__match__.__t__").alias(f"{right_time}{suffix}"),
         *[F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def bitemporal_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    fact_time: str,
+    valid_from: str,
+    recorded_at: str,
+    as_of,
+    value_cols: Sequence[str],
+    dim_tie_cols: Sequence[str] = (),
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Bitemporal point-in-time lookup (the audit as-of join): for each
+    fact row at business time ``t``, attach the dimension version that
+    was VALID at ``t`` (``valid_from <= t``, latest wins) *as it was
+    KNOWN at audit time* ``as_of`` (``recorded_at <= as_of``) — the
+    "what did we believe on date K about the state at time t" join that
+    makes training-set generation reproducible against late-arriving
+    and corrected dimension data (Kimball late-arriving SCDs /
+    feature-store time travel).
+
+    Version pick, definitionally: among ``{valid_from <= t,
+    recorded_at <= as_of}`` the row with the greatest
+    ``(valid_from, recorded_at, *dim_tie_cols)``. Ordering corrections
+    AFTER originals inside one business instant means a correction
+    recorded before ``as_of`` silently supersedes its original — no
+    correction-collapse pre-pass is needed, the merge order subsumes
+    it. ``(on..., valid_from, recorded_at, *dim_tie_cols)`` should be
+    unique for a deterministic result.
+
+    Left-outer: facts with no visible version get nulls. Returns all
+    fact columns plus ``<valid_from><suffix>``, ``<recorded_at><suffix>``
+    and each of ``value_cols`` as ``<col><suffix>``.
+
+    100 TB design — the same union-merge as :func:`asof_join`, never a
+    pair expansion:
+
+    - The knowledge cut ``recorded_at <= as_of`` is a plain map-side
+      predicate on the dimension scan (pushed to parquet when
+      ``recorded_at`` is a stored column — the audit-log layout
+      typically partitions by recording date, so this also
+      partition-prunes).
+    - Both sides union into ONE hash exchange on ``on`` + one
+      per-partition sort; a running ``last(payload, ignorenulls)``
+      carries the winning version onto every fact row. O(n log n /
+      partition), zero Join nodes, zero Python.
+    - Skew: a hot key is one partition's ordered run, O(1) state per
+      row (the running last) — same bound as every window here.
+    """
+    keys = list(on)
+    vals = list(value_cols)
+    ties = list(dim_tie_cols)
+    as_of_col = as_of if isinstance(as_of, Column) else F.lit(as_of)
+
+    snap = dim.filter(F.col(recorded_at) <= as_of_col)
+    payload = F.struct(
+        F.col(valid_from).alias("__vf__"),
+        F.col(recorded_at).alias("__ra__"),
+        *[F.col(c) for c in vals],
+    )
+    r = snap.select(
+        *[F.col(c) for c in keys],
+        F.col(valid_from).alias("__time__"),
+        F.lit(0).alias("__side__"),
+        F.col(recorded_at).alias("__rec__"),
+        *[F.col(c).alias(f"__tie{i}__") for i, c in enumerate(ties)],
+        payload.alias("__payload__"),
+    )
+    fact_cols = facts.columns
+    l = facts.select(
+        *fact_cols,
+        F.col(fact_time).alias("__time__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(dict(r.dtypes)["__rec__"]).alias("__rec__"),
+        *[
+            F.lit(None).cast(dict(r.dtypes)[f"__tie{i}__"]).alias(f"__tie{i}__")
+            for i in range(len(ties))
+        ],
+        F.lit(None).cast(r.schema["__payload__"].dataType).alias("__payload__"),
+    )
+    r = r.select(
+        *[
+            F.col(c)
+            if c in keys
+            else F.lit(None).cast(facts.schema[c].dataType).alias(c)
+            for c in fact_cols
+        ],
+        "__time__",
+        "__side__",
+        "__rec__",
+        *[f"__tie{i}__" for i in range(len(ties))],
+        "__payload__",
+    )
+    unioned = l.unionByName(r)
+
+    # Within one business instant: versions (side 0) sort before the
+    # fact rows (side 1, so an equal-time version is visible), ordered
+    # by recording time then ties — the last one is the winning
+    # correction; ``last(..., ignorenulls)`` picks it in one pass.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__time__").asc(),
+            F.col("__side__").asc(),
+            F.col("__rec__").asc(),
+            *[F.col(f"__tie{i}__").asc() for i in range(len(ties))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.withColumn(
+        "__match__", F.last("__payload__", ignorenulls=True).over(w)
+    ).filter(F.col("__side__") == 1)
+    return out.select(
+        *fact_cols,
+        F.col("__match__.__vf__").alias(f"{valid_from}{suffix}"),
+        F.col("__match__.__ra__").alias(f"{recorded_at}{suffix}"),
+        *[F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in vals],
     )
 
 

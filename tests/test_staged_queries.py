@@ -78,8 +78,14 @@ def test_staging_area_contents_and_promotions():
     # the standing rule (nearest names value_percentiles/group_median
     # are EXACT sort-based percentiles, binned_quantiles is a
     # fixed-bin histogram, profile_events has no quantiles).
+    # Second round-12 staging (the r10/r11 two-staging cadence):
+    # bitemporal_asof — the point-in-time audit join (two time axes:
+    # business validity + knowledge). Registry audit: nearest names
+    # asof_purchase_click (1-D as-of, no knowledge axis),
+    # scd2_priority (interval BUILD, no audit probe),
+    # stream_interval_join/range_join_events (bounded pair joins).
     staged = entry.staged_queries()
-    assert set(staged) == {"approx_percentile_profile"}
+    assert set(staged) == {"approx_percentile_profile", "bitemporal_asof"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -247,9 +253,18 @@ def test_kmeans_cells_oracle_is_falsifiable(spark):
     assert frac < 1.0
 
 
+def _dtype_key(t) -> str:
+    # datetime64 RESOLUTION (Spark toPandas ns vs DuckDB fetchdf us) is
+    # a pandas transport artifact, not a dtype class: the comparator
+    # isoformats timestamp values, and raw-timestamp outputs are
+    # driver-green (sessionize, r8). Only the unit is collapsed;
+    # int-vs-float (the round-4 red-row class) still fails.
+    s = str(t)
+    return "datetime64" if s.startswith("datetime64") else s
+
+
 def _strict_compare_staged(spark, con, name):
-    # Unused while the staging area is empty (round-11 registrations);
-    # every future staged query's oracle test goes through this helper.
+    # Every staged query's oracle test goes through this helper.
     sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
     odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
     scols, srows = _normalize(sdf)
@@ -257,8 +272,8 @@ def _strict_compare_staged(spark, con, name):
     assert scols == ocols
     assert len(srows) == len(orows) > 0
     assert srows == orows
-    assert [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
-        str(t) for t in odf[sorted(odf.columns)].dtypes
+    assert [_dtype_key(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
+        _dtype_key(t) for t in odf[sorted(odf.columns)].dtypes
     ]
 
 
@@ -498,3 +513,15 @@ def test_staged_approx_percentile_profile_matches_oracle_strict(spark, con):
     compare; the window's bindingness is proven in
     tests/test_profiles.py (swapped-answer test)."""
     _strict_compare_staged(spark, con, "approx_percentile_profile")
+
+
+def test_staged_bitemporal_asof_matches_oracle_strict(spark, con):
+    """Round-12 staged query (second staging): the bitemporal audit
+    join — synthetic orders dimension (valid_from = order date,
+    recorded_at = order date + orderkey%30 days), probed by the orders
+    as facts at audit instant K=1999-01-01 — vs the definitional DuckDB
+    replay (same knowledge cut, same greatest-(vf, ra, ver) pick via
+    ordered LATERAL LIMIT 1). Timestamp/integer/double-only; known_ver
+    ::DOUBLE on both sides (nullable through the left join, the
+    asof_purchase_click precedent)."""
+    _strict_compare_staged(spark, con, "bitemporal_asof")
