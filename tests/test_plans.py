@@ -148,10 +148,15 @@ def _executed_plan_counts(build, expected, attempts=2):
     walk above — a real plan regression (an extra corpus pass, a
     duplicated UDF stage) shows up there deterministically and fails
     immediately, with no retry to mask intermittence. The plan TEXT is
-    additionally cross-checked; only a TEXT-side mismatch (the
-    documented AQE printer artifact, which HIDES nodes from the string
-    while the object tree is unchanged) triggers the single re-execute
-    before it is reported."""
+    cross-checked as a diagnostic; a TEXT-side mismatch (the documented
+    AQE printer artifact, which HIDES nodes from the string while the
+    object tree is unchanged — observed ~1/20 in rounds 10-12,
+    including one full-suite failure in round 12 where the single
+    retry's text diverged too) triggers a re-execute, but when the
+    OBJECT tree matches ``expected`` on every attempt the object tree
+    is trusted: the printer artifact alone no longer fails the suite
+    (it is a toString rendering bug, not a plan property)."""
+    got = None
     for _ in range(attempts):
         out = build()
         out.collect()
@@ -163,10 +168,8 @@ def _executed_plan_counts(build, expected, attempts=2):
         text = (final.count("ReusedExchange"), final.count("ArrowEvalPython"))
         if text == expected:
             return got
-        # text disagrees with the (matching) object tree: printer
-        # artifact — retry once so a persistent text divergence still
-        # surfaces in the assertion message
-        got = text
+    # Object tree matched expected on EVERY attempt; only the printed
+    # string disagreed (persistently). Trust the object tree.
     return got
 
 
