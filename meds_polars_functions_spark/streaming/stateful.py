@@ -436,3 +436,114 @@ def streaming_touch_credits(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs=(0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 200,
+) -> DataFrame:
+    """Streaming form of ``functions.sketches.binned_histogram`` +
+    ``binned_quantiles``: per-group fixed-width bin counts maintained
+    incrementally across micro-batches (state = ``n_bins`` longs per
+    group — O(bins), never O(events)), emitting the CURRENT quantile
+    estimates ``(<group_col>, q, est, n_seen)`` every batch the group
+    appears in (update mode).
+
+    Exact stream≡batch parity BY CONSTRUCTION: bin counts are a
+    commutative monoid, so after the last batch the estimates equal the
+    batch ``binned_quantiles(binned_histogram(all data))`` REGARDLESS
+    of how the stream was split or ordered — unlike the funnel/touch
+    operators there is no in-order contract and no dropped-event
+    channel at all. The estimate replays the batch formula bit-exactly:
+    upper edge of the first bin whose cumulative count reaches
+    ``q * total``, rounded HALF_UP at 9 decimals (Spark ``F.round``
+    semantics, replayed via ``decimal`` on the shortest-roundtrip repr
+    — the same BigDecimal.valueOf path Spark takes).
+
+    The output group column carries ``group_col``'s name and the input
+    schema's type (the ADVICE r11 streaming_funnel_levels rule).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("every q must be in (0, 1]")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / n_bins
+    q_list = [float(q) for q in qs]
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("est", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("counts", T.ArrayType(T.LongType()))]
+    )
+
+    def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        (g,) = key
+        if state.exists:
+            counts = np.asarray(state.get[0], dtype=np.int64)
+        else:
+            counts = np.zeros(n_bins, dtype=np.int64)
+        for pdf in pdfs:
+            v = pdf[value_col].to_numpy(dtype=float)
+            v = v[~np.isnan(v)]
+            if len(v):
+                b = np.clip(
+                    np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
+                )
+                counts += np.bincount(b, minlength=n_bins)
+        state.update((counts.tolist(),))
+        tot = int(counts.sum())
+        if tot == 0:
+            yield pd.DataFrame(
+                {group_col: [], "q": [], "est": [], "n_seen": []}
+            )
+            return
+        cum = np.cumsum(counts)
+        ests = []
+        for q in q_list:
+            # first bin with cum >= q * tot — the batch filter replayed
+            idx = int(np.argmax(cum >= q * tot))
+            raw = (idx + 1) * width + lo
+            # Spark F.round = BigDecimal.valueOf(double).setScale(9,
+            # HALF_UP); Decimal(repr(x)) is the same shortest-roundtrip
+            # decimalization
+            ests.append(
+                float(
+                    Decimal(repr(raw)).quantize(
+                        Decimal("1e-9"), rounding=ROUND_HALF_UP
+                    )
+                )
+            )
+        yield pd.DataFrame(
+            {
+                group_col: [g] * len(q_list),
+                "q": q_list,
+                "est": ests,
+                "n_seen": [tot] * len(q_list),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -499,3 +499,154 @@ def test_streaming_touch_credits_status_row_on_silent_drop(spark):
         ] == [(7, 1, "view", "view", 1)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_binned_quantiles_hand_computed(spark):
+    """Two batches into one group: 10 values 0..9 with lo=0, hi=10,
+    n_bins=10 — every bin holds one value, so the q-quantile estimate
+    is the upper edge of bin ceil(q*10)-1. Estimates update across
+    batches and n_seen accumulates."""
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    d = tempfile.mkdtemp(prefix="sbq_hand_")
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    b1 = [(i, h, 7, "x", float(i), None) for i in range(5)]
+    b2 = [(i + 5, h, 7, "x", float(i + 5), None) for i in range(5)]
+    for i, b in enumerate((b1, b2), 1):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(d, f"f{i}")
+        )
+    try:
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_binned_quantiles(
+                s, "value", "event_type", qs=(0.5, 1.0), lo=0.0, hi=10.0,
+                n_bins=10,
+            ),
+            "sbq_hand_out",
+        )
+        final = {}
+        for r in rows:
+            if r["n_seen"] >= final.get(r["q"], (0, None))[0]:
+                final[r["q"]] = (r["n_seen"], r["est"])
+        # after 10 values 0..9: median bin = first with cum >= 5 -> bin
+        # 4 (values 0-4), upper edge 5.0; q=1.0 -> bin 9, edge 10.0
+        assert final == {0.5: (10, 5.0), 1.0: (10, 10.0)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_binned_quantiles_match_batch_any_order(spark):
+    """stream≡batch parity WITHOUT an in-order contract: the sf0.001
+    events table split into three SHUFFLED micro-batches (seeded
+    permutation — deliberately not timestamp order) must land every
+    (event_type, q) on exactly the batch
+    binned_quantiles(binned_histogram(...)) estimate, because bin
+    counts commute. A reversed batch order gives the same final
+    answer."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_histogram,
+        binned_quantiles,
+    )
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    QS, LO, HI, NB = (0.5, 0.9, 0.99), 0.0, 500.0, 200
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    hist = binned_histogram(ev, "value", ["event_type"], LO, HI, NB)
+    want = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in binned_quantiles(
+            hist, QS, ["event_type"], LO, HI, NB
+        ).collect()
+    }
+    n_want = {
+        r["event_type"]: r["n"]
+        for r in hist.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    assert len(want) == 15  # 5 types x 3 qs
+
+    rows_all = ev.collect()
+    rng = random.Random(3)
+    rng.shuffle(rows_all)
+    cut = len(rows_all) // 3
+    chunks = [rows_all[:cut], rows_all[cut : 2 * cut], rows_all[2 * cut :]]
+
+    def run_order(chunks, tag):
+        d = tempfile.mkdtemp(prefix=f"sbq_{tag}_")
+        try:
+            for i, chunk in enumerate(chunks, 1):
+                spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+                    os.path.join(d, f"f{i}")
+                )
+            rows = _run(
+                spark,
+                d,
+                lambda s: streaming_binned_quantiles(
+                    s, "value", "event_type", qs=QS, lo=LO, hi=HI, n_bins=NB
+                ),
+                f"sbq_{tag}_out",
+            )
+            final = {}
+            for r in rows:
+                k = (r["event_type"], r["q"])
+                if r["n_seen"] >= final.get(k, (0, None))[0]:
+                    final[k] = (r["n_seen"], r["est"])
+            return final
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    fwd = run_order(chunks, "fwd")
+    assert {k: v[1] for k, v in fwd.items()} == want
+    assert all(fwd[(g, q)][0] == n_want[g] for g, q in fwd)
+    rev = run_order(chunks[::-1], "rev")
+    assert rev == fwd  # order independence
+
+
+def test_streaming_binned_quantiles_args_and_group_typing(spark):
+    """Invalid args raise; the output group column carries group_col's
+    name and the input type (the ADVICE r11 rule)."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "i long, g string, value double")
+    with pytest.raises(ValueError):
+        streaming_binned_quantiles(df, "value", "g", n_bins=0)
+    with pytest.raises(ValueError):
+        streaming_binned_quantiles(df, "value", "g", qs=(0.0,))
+    with pytest.raises(ValueError):
+        streaming_binned_quantiles(df, "value", "g", lo=1.0, hi=1.0)
+    d = tempfile.mkdtemp(prefix="sbq_typ_")
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    b1 = [(1, h, 7, "x", 3.0, None)]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(
+        os.path.join(d, "f1")
+    )
+    try:
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_binned_quantiles(
+                s.withColumn("uid", F.concat(F.lit("u"), F.col("user_id"))),
+                "value", "uid", qs=(0.5,), lo=0.0, hi=10.0, n_bins=10,
+            ),
+            "sbq_typ_out",
+        )
+        assert rows and isinstance(rows[0]["uid"], str) and rows[0]["uid"] == "u7"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
