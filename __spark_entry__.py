@@ -3969,7 +3969,8 @@ _PROFILE_ACCURACY = 100  # eps = 1/100 rank error: a REAL approximation
 
 
 def q_approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 12: approximate-percentile latency profile
+    """Staged round 12, REGISTERED round 13 (window slot 1, registry
+    174 -> 176): approximate-percentile latency profile
     (operators.profiles) — per event type, the native
     ``percentile_approx`` (Greenwald-Khanna mergeable sketch, accuracy
     100) at p50/p90/p99 over ``events.value``, verified by an INVARIANT
@@ -4069,8 +4070,9 @@ _BITEMPORAL_AS_OF = "1999-01-01"  # audit instant K: mid-corpus, so both
 
 
 def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 12 (second staging — the r10/r11 two-staging
-    cadence): bitemporal point-in-time audit join
+    """Staged round 12 (second staging — the r10/r11 two-staging
+    cadence), REGISTERED round 13 (window slot 2, registry 174 -> 176):
+    bitemporal point-in-time audit join
     (operators.temporal.bitemporal_asof_join) — a synthetic bitemporal
     dimension built from orders (one version per order: key o_custkey,
     business validity valid_from = o_orderdate, knowledge time
@@ -4226,11 +4228,13 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docstring). Second round-12 staging (the r10/r11 two-staging
     cadence): the bitemporal point-in-time audit join
     (operators/temporal.py bitemporal_asof_join) — see
-    q_bitemporal_asof's registry-audit note."""
-    return {
-        "approx_percentile_profile": q_approx_percentile_profile,
-        "bitemporal_asof": q_bitemporal_asof,
-    }
+    q_bitemporal_asof's registry-audit note.
+
+    Round 13: BOTH registered with window slots 1-2 (COVERAGE.md
+    round-13 ledger, registry 174 -> 176); the staging area is empty
+    until the round-13 staged family lands (added here as it reaches
+    registration grade)."""
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -4302,10 +4306,7 @@ def staged_oracle_sql() -> dict[str, str]:
     sf0.001 staged tests and, on registration, the sf0.01
     ``oracle_sql()`` default. Every staged entry must appear here too:
     a staged query the comparator cannot check verifies nothing."""
-    return {
-        "approx_percentile_profile": _APPROX_PERCENTILE_PROFILE_ORACLE_SQL,
-        "bitemporal_asof": _BITEMPORAL_ASOF_ORACLE_SQL,
-    }
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -4320,73 +4321,73 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-12 window (this round), per VERDICT r11 items 1-2 (ledger
-# pre-committed in COVERAGE.md before any round-12 code work):
-#   slots 1-2   = touch_attribution, session_paths — the round-11
-#                 STAGED sessionized-analytics pair, REGISTERED this
-#                 round (registry 172 -> 174) with the staged
-#                 sf-independent oracles promoted to the oracle_sql()
-#                 defaults; also the only round-12-dirtied queries.
-#   slots 3-26  = ALL 24 remaining r8-age greens (next_window.py queue
-#                 order) — after this window no r8-age rows remain;
-#   slots 27-50 = the 24 oldest r9-age greens (queue order).
+# Round-13 window (this round), per VERDICT r12 items 1-2 (ledger
+# pre-committed in COVERAGE.md before any round-13 code work):
+#   slots 1-2   = approx_percentile_profile, bitemporal_asof — the
+#                 round-12 STAGED pair, REGISTERED this round (registry
+#                 174 -> 176) with the staged sf-independent oracles
+#                 promoted to the oracle_sql() defaults; also the only
+#                 round-13-dirtied queries.
+#   slots 3-26  = ALL 24 remaining r9-age greens (next_window.py queue
+#                 order) — after this window no r9-age rows remain;
+#   slots 27-50 = the 24 oldest r10-age greens (queue order).
 # Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-12 registrations (staged r11; registry 172 -> 174)
-    "touch_attribution",
-    "session_paths",
-    # ALL 24 remaining r8-age greens, next_window.py queue order
-    "revenue_by_nation",
-    "top_orders_per_customer",
-    "novelty_score",
-    "chi_square",
-    "decontaminate",
-    "hourly_event_counts",
-    "mixture_sample",
-    "hash_split",
-    "code_patients_hll",
-    "funnel_conversion",
-    "retention_cohort",
-    "orders_histogram",
-    "json_props_stats",
-    "value_percentiles",
-    "cube_revenue",
-    "pivot_status",
-    "sessionize",
-    "reorder_rank",
-    "event_user_enrich",
-    "distinct_twophase",
-    "order_restore",
-    "add_age",
-    "time_delta_days",
-    "datetime_parts",
-    # the 24 oldest r9-age greens, next_window.py queue order
-    "pack_sequences",
-    "corpus_curation",
-    "text_quality",
-    "quality_filter",
-    "tfidf_top_terms",
-    "language_id",
-    "token_count",
-    "doc_fingerprint",
-    "exact_dup_groups",
-    "exact_dedup",
-    "minhash_near_dup",
-    "simhash_buckets",
-    "simhash_near_dup",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "lsh_topk",
-    "scrub_pii",
-    "chunk_documents",
-    "unigram_entropy",
-    "class_balanced",
-    "fuzzy_name_pairs",
-    "asof_purchase_click",
-    "sliding_window_counts",
+    # round-13 registrations (staged r12; registry 174 -> 176)
+    "approx_percentile_profile",
+    "bitemporal_asof",
+    # ALL 24 remaining r9-age greens, next_window.py queue order
+    "range_join_events",
+    "bloom_semi_filter",
+    "locf_impute",
+    "stream_interval_join",
+    "resample_last",
+    "topk_pruned",
+    "trailing_range_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "nation_profit",
+    "important_parts",
+    "supplier_cnt",
+    "repeated_spans",
+    "dominant_suppliers",
+    "shipping_priority",
+    "forecast_revenue",
+    "local_supplier_volume",
+    "jaccard_prefix",
+    "kneser_ney_lm",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "near_dedup",
+    "agg_code_metadata",
+    "agg_all_codes",
+    # the 24 oldest r10-age greens, next_window.py queue order
+    "mmr_topk",
+    "hybrid_search",
+    "pq_topk_rerank",
+    "pq_topk",
+    "filter_patients_min_measurements",
+    "filter_patients_min_events",
+    "filter_measurements",
+    "fit_vocabulary_indices",
+    "normalization",
+    "occlude_outliers",
+    "add_time_of_day",
+    "canonical_sort_rank",
+    "dedup_keep_first",
+    "union_by_name",
+    "dup_code_check",
+    "metadata_merge_agg",
+    "metadata_enrich_full_outer",
+    "code_construction",
+    "tokenize_schema",
+    "tokenize_event_seqs",
+    "volume_shipping",
+    "promo_revenue",
+    "ship_priority_mix",
+    "repetition_stats",
 ]
 
 
@@ -4478,6 +4479,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ledger, registry 172 -> 174)
         "touch_attribution": q_touch_attribution,
         "session_paths": q_session_paths,
+        # round-13 registrations (staged r12; COVERAGE.md round-13
+        # ledger, registry 174 -> 176)
+        "approx_percentile_profile": q_approx_percentile_profile,
+        "bitemporal_asof": q_bitemporal_asof,
         "clf_score": q_clf_score,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
@@ -6109,6 +6114,11 @@ FROM w
         # without null event types, re-checked at three SFs)
         "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE_SQL,
         "session_paths": _SESSION_PATHS_ORACLE_SQL,
+        # round-13 registrations: the staged oracles promoted verbatim
+        # (already sf-independent static SQL over the registered views;
+        # registration-grade pre-checked at three SFs in round 12)
+        "approx_percentile_profile": _APPROX_PERCENTILE_PROFILE_ORACLE_SQL,
+        "bitemporal_asof": _BITEMPORAL_ASOF_ORACLE_SQL,
         "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key

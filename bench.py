@@ -76,6 +76,10 @@ TRACKED = [
     # birth (the standing rule)
     "touch_attribution",
     "session_paths",
+    # round 13: the registered profile/bitemporal pair, tracked from
+    # birth (the standing rule)
+    "approx_percentile_profile",
+    "bitemporal_asof",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

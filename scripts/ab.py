@@ -70,6 +70,10 @@ DEFAULT_QUERIES = [
     # pair, tracked in the A/B from birth
     "touch_attribution",
     "session_paths",
+    # round-13 additions: the newly registered profile/bitemporal
+    # pair, tracked in the A/B from birth
+    "approx_percentile_profile",
+    "bitemporal_asof",
 ]
 
 

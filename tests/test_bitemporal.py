@@ -180,7 +180,7 @@ def test_staged_query_audit_instant_binds_on_real_data(spark):
     sf = "/root/testdata/sf0.001"
     rows = {
         r["o_orderkey"]: (r["known_ver"], r["known_total"])
-        for r in entry.staged_queries()["bitemporal_asof"](spark, sf).collect()
+        for r in entry.queries()["bitemporal_asof"](spark, sf).collect()
     }
     assert len(rows) == 1500
 

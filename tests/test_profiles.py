@@ -144,7 +144,7 @@ def test_full_query_plan_broadcast_verify_no_shuffle_join(spark):
     node appears anywhere in the registered query's plan."""
     import __spark_entry__ as entry
 
-    df = entry.staged_queries()["approx_percentile_profile"](
+    df = entry.queries()["approx_percentile_profile"](
         spark, "/root/testdata/sf0.001"
     )
     buf = io.StringIO()

@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-12 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-13 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "touch_attribution",
-    "session_paths",
-    "revenue_by_nation",
-    "top_orders_per_customer",
-    "novelty_score",
-    "chi_square",
-    "decontaminate",
-    "hourly_event_counts",
-    "mixture_sample",
-    "hash_split",
-    "code_patients_hll",
-    "funnel_conversion",
-    "retention_cohort",
-    "orders_histogram",
-    "json_props_stats",
-    "value_percentiles",
-    "cube_revenue",
-    "pivot_status",
-    "sessionize",
-    "reorder_rank",
-    "event_user_enrich",
-    "distinct_twophase",
-    "order_restore",
-    "add_age",
-    "time_delta_days",
-    "datetime_parts",
-    "pack_sequences",
-    "corpus_curation",
-    "text_quality",
-    "quality_filter",
-    "tfidf_top_terms",
-    "language_id",
-    "token_count",
-    "doc_fingerprint",
-    "exact_dup_groups",
-    "exact_dedup",
-    "minhash_near_dup",
-    "simhash_buckets",
-    "simhash_near_dup",
-    "embedding_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "lsh_topk",
-    "scrub_pii",
-    "chunk_documents",
-    "unigram_entropy",
-    "class_balanced",
-    "fuzzy_name_pairs",
-    "asof_purchase_click",
-    "sliding_window_counts",
+    "approx_percentile_profile",
+    "bitemporal_asof",
+    "range_join_events",
+    "bloom_semi_filter",
+    "locf_impute",
+    "stream_interval_join",
+    "resample_last",
+    "topk_pruned",
+    "trailing_range_revenue",
+    "min_cost_supplier",
+    "market_share",
+    "nation_profit",
+    "important_parts",
+    "supplier_cnt",
+    "repeated_spans",
+    "dominant_suppliers",
+    "shipping_priority",
+    "forecast_revenue",
+    "local_supplier_volume",
+    "jaccard_prefix",
+    "kneser_ney_lm",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "near_dedup",
+    "agg_code_metadata",
+    "agg_all_codes",
+    "mmr_topk",
+    "hybrid_search",
+    "pq_topk_rerank",
+    "pq_topk",
+    "filter_patients_min_measurements",
+    "filter_patients_min_events",
+    "filter_measurements",
+    "fit_vocabulary_indices",
+    "normalization",
+    "occlude_outliers",
+    "add_time_of_day",
+    "canonical_sort_rank",
+    "dedup_keep_first",
+    "union_by_name",
+    "dup_code_check",
+    "metadata_merge_agg",
+    "metadata_enrich_full_outer",
+    "code_construction",
+    "tokenize_schema",
+    "tokenize_event_seqs",
+    "volume_shipping",
+    "promo_revenue",
+    "ship_priority_mix",
+    "repetition_stats",
 ]
 
 
@@ -123,7 +123,7 @@ def test_windowed_queries_are_canonicalizer_safe(spark):
     assert not offenders, f"complex-typed columns in windowed queries: {offenders}"
 
 
-def test_registry_pinned_at_174():
+def test_registry_pinned_at_176():
     # Round 6: the freeze condition (verification debt < window size) was
     # met by the round-6 rotation, so the registry grew 165 -> 167 with
     # the formerly-staged kneser_ney_lm + kmeans_cells (COVERAGE.md
@@ -137,11 +137,13 @@ def test_registry_pinned_at_174():
     # slots 1-2 (COVERAGE.md round-11 ledger), 170 -> 172. Round 12: the
     # round-11 staged sessionized-analytics pair touch_attribution +
     # session_paths registered with window slots 1-2 (COVERAGE.md
-    # round-12 ledger), 172 -> 174. Any further growth must edit this
-    # pin deliberately and land with a window slot (or a fresh ledger
-    # entry), never by silently extending the backlog past the 50-row
-    # window.
-    assert len(entry.queries()) == 174
+    # round-12 ledger), 172 -> 174. Round 13: the round-12 staged pair
+    # approx_percentile_profile + bitemporal_asof registered with
+    # window slots 1-2 (COVERAGE.md round-13 ledger), 174 -> 176. Any
+    # further growth must edit this pin deliberately and land with a
+    # window slot (or a fresh ledger entry), never by silently
+    # extending the backlog past the 50-row window.
+    assert len(entry.queries()) == 176
 
 
 def test_ledger_check_function_level_granularity():

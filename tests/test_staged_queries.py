@@ -84,8 +84,11 @@ def test_staging_area_contents_and_promotions():
     # asof_purchase_click (1-D as-of, no knowledge axis),
     # scd2_priority (interval BUILD, no audit probe),
     # stream_interval_join/range_join_events (bounded pair joins).
+    # Round 13: BOTH registered with window slots 1-2 (COVERAGE.md
+    # round-13 ledger, registry 174 -> 176); the staging area is empty
+    # until the round-13 staged family lands.
     staged = entry.staged_queries()
-    assert set(staged) == {"approx_percentile_profile", "bitemporal_asof"}
+    assert set(staged) == set()
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -93,6 +96,7 @@ def test_staging_area_contents_and_promotions():
         "kneser_ney_lm", "kmeans_cells", "pq_topk_rerank", "hybrid_search",
         "mmr_topk", "window_funnel", "monthly_retention",
         "touch_attribution", "session_paths",
+        "approx_percentile_profile", "bitemporal_asof",
     ):
         assert name in registered
         assert name in oracles
@@ -504,24 +508,41 @@ def test_retention_matrix_is_nontrivial(spark):
     assert sum(m[(c, 0)] for c in cohorts) == n_cust
 
 
-def test_staged_approx_percentile_profile_matches_oracle_strict(spark, con):
-    """Round-12 staged query: the GK-sketch percentile profile's
-    INVARIANT rows (n / p0 / p100 data-derived, rank_ok_* pinned at
-    1.0 — the kmeans_cells oracle style) vs the DuckDB recompute.
-    A sketch that loses extremes, miscounts coverage, or answers
-    outside its rank-guarantee window flips a row and fails the hash
-    compare; the window's bindingness is proven in
-    tests/test_profiles.py (swapped-answer test)."""
-    _strict_compare_staged(spark, con, "approx_percentile_profile")
+def _strict_compare_registered_unitsafe(spark, con, name):
+    # The registered-path twin of _strict_compare_staged: same strict
+    # value/row/column compare, dtype parity through _dtype_key (the
+    # datetime64 ns/us pandas-transport collapse — raw-timestamp
+    # outputs are driver-green, sessionize r8 precedent).
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.execute(entry.oracle_sql()[name]).fetchdf()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+    assert [_dtype_key(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
+        _dtype_key(t) for t in odf[sorted(odf.columns)].dtypes
+    ]
 
 
-def test_staged_bitemporal_asof_matches_oracle_strict(spark, con):
-    """Round-12 staged query (second staging): the bitemporal audit
-    join — synthetic orders dimension (valid_from = order date,
-    recorded_at = order date + orderkey%30 days), probed by the orders
-    as facts at audit instant K=1999-01-01 — vs the definitional DuckDB
-    replay (same knowledge cut, same greatest-(vf, ra, ver) pick via
-    ordered LATERAL LIMIT 1). Timestamp/integer/double-only; known_ver
-    ::DOUBLE on both sides (nullable through the left join, the
-    asof_purchase_click precedent)."""
-    _strict_compare_staged(spark, con, "bitemporal_asof")
+def test_approx_percentile_profile_matches_oracle_strict(spark, con):
+    """Round-12 staged, round-13 registered (window slot 1): the
+    GK-sketch percentile profile's INVARIANT rows (n / p0 / p100
+    data-derived, rank_ok_* pinned at 1.0 — the kmeans_cells oracle
+    style) vs the DuckDB recompute. A sketch that loses extremes,
+    miscounts coverage, or answers outside its rank-guarantee window
+    flips a row and fails the hash compare; the window's bindingness
+    is proven in tests/test_profiles.py (swapped-answer test)."""
+    _strict_compare_registered_unitsafe(spark, con, "approx_percentile_profile")
+
+
+def test_bitemporal_asof_matches_oracle_strict(spark, con):
+    """Round-12 staged, round-13 registered (window slot 2): the
+    bitemporal audit join — synthetic orders dimension (valid_from =
+    order date, recorded_at = order date + orderkey%30 days), probed by
+    the orders as facts at audit instant K=1999-01-01 — vs the
+    definitional DuckDB replay (same knowledge cut, same greatest-(vf,
+    ra, ver) pick via ordered LATERAL LIMIT 1). Timestamp/integer/
+    double-only; known_ver ::DOUBLE on both sides (nullable through the
+    left join, the asof_purchase_click precedent)."""
+    _strict_compare_registered_unitsafe(spark, con, "bitemporal_asof")
