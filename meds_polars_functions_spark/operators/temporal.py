@@ -244,6 +244,24 @@ def bitemporal_asof_join(
     fact columns plus ``<valid_from><suffix>``, ``<recorded_at><suffix>``
     and each of ``value_cols`` as ``<col><suffix>``.
 
+    NULL contract (matches the SQL equality-join + ``vf <= t`` form the
+    oracle encodes): dimension rows with a NULL join key or NULL
+    ``valid_from`` are dropped up front — an equality join never
+    matches a NULL key, and ``vf <= t`` is never true for NULL ``vf``.
+    Without the filter, ``Window.partitionBy`` would group NULL keys
+    together (null facts matching null-key versions) and a NULL
+    ``valid_from`` would sort first ascending, turning a malformed
+    version row into a universal fallback. NULL-keyed fact rows pass
+    through with null attachments, like the SQL left join.
+
+    Raises ``ValueError`` if a reserved temp column (``__time__``,
+    ``__side__``, ``__rec__``, ``__tie<i>__``, ``__payload__``,
+    ``__match__``) is already present in ``facts``, if a value column
+    is named ``__vf__``/``__ra__`` (payload struct fields), or if a
+    suffixed output name collides with an existing fact column or
+    another output — those would otherwise produce duplicate/ambiguous
+    columns silently.
+
     100 TB design — the same union-merge as :func:`asof_join`, never a
     pair expansion:
 
@@ -264,7 +282,40 @@ def bitemporal_asof_join(
     ties = list(dim_tie_cols)
     as_of_col = as_of if isinstance(as_of, Column) else F.lit(as_of)
 
+    fact_col_set = set(facts.columns)
+    reserved = {"__time__", "__side__", "__rec__", "__payload__", "__match__"}
+    reserved |= {f"__tie{i}__" for i in range(len(ties))}
+    clash = sorted(reserved & fact_col_set)
+    if clash:
+        raise ValueError(
+            f"bitemporal_asof_join: facts already contain reserved temp "
+            f"column(s) {clash}; rename them before joining"
+        )
+    payload_clash = sorted({"__vf__", "__ra__"} & set(vals))
+    if payload_clash:
+        raise ValueError(
+            f"bitemporal_asof_join: value_cols {payload_clash} collide with "
+            f"the reserved payload struct fields __vf__/__ra__"
+        )
+    out_names = [f"{valid_from}{suffix}", f"{recorded_at}{suffix}"] + [
+        f"{c}{suffix}" for c in vals
+    ]
+    dup_out = sorted({n for n in out_names if out_names.count(n) > 1})
+    out_clash = sorted(set(out_names) & fact_col_set)
+    if dup_out or out_clash:
+        raise ValueError(
+            f"bitemporal_asof_join: suffixed output name collision "
+            f"(duplicates={dup_out}, vs fact columns={out_clash}); pick a "
+            f"different suffix or rename the colliding columns"
+        )
+
+    # NULL contract (see docstring): a null-keyed or null-valid_from
+    # version can never win under the SQL equality-join / vf<=t
+    # semantics — drop them before the union-merge.
     snap = dim.filter(F.col(recorded_at) <= as_of_col)
+    snap = snap.filter(F.col(valid_from).isNotNull())
+    for k in keys:
+        snap = snap.filter(F.col(k).isNotNull())
     payload = F.struct(
         F.col(valid_from).alias("__vf__"),
         F.col(recorded_at).alias("__ra__"),

@@ -8,6 +8,7 @@ O(events).
 """
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -451,22 +452,43 @@ def streaming_binned_quantiles(
     ``binned_quantiles``: per-group fixed-width bin counts maintained
     incrementally across micro-batches (state = ``n_bins`` longs per
     group — O(bins), never O(events)), emitting the CURRENT quantile
-    estimates ``(<group_col>, q, est, n_seen)`` every batch the group
-    appears in (update mode).
+    estimates ``(<group_col>, q, est, n_seen, dropped_events)`` every
+    batch the group appears in (update mode).
 
     Exact stream≡batch parity BY CONSTRUCTION: bin counts are a
     commutative monoid, so after the last batch the estimates equal the
     batch ``binned_quantiles(binned_histogram(all data))`` REGARDLESS
     of how the stream was split or ordered — unlike the funnel/touch
-    operators there is no in-order contract and no dropped-event
-    channel at all. The estimate replays the batch formula bit-exactly:
-    upper edge of the first bin whose cumulative count reaches
-    ``q * total``, rounded HALF_UP at 9 decimals (Spark ``F.round``
-    semantics, replayed via ``decimal`` on the shortest-roundtrip repr
-    — the same BigDecimal.valueOf path Spark takes).
+    operators there is no in-order contract. The estimate replays the
+    batch formula bit-exactly: upper edge of the first bin whose
+    cumulative count reaches ``q * total``, rounded HALF_UP at 9
+    decimals (Spark ``F.round`` semantics, replayed via ``decimal`` on
+    the shortest-roundtrip repr — the same BigDecimal.valueOf path
+    Spark takes).
+
+    Value contract, bit-matched to the batch pair (ADVICE r12):
+
+    - NULL values are excluded from the sketch, exactly like
+      ``binned_histogram``'s ``isNotNull`` filter. Exclusions are NOT
+      silent: the cumulative per-group count is surfaced in the
+      ``dropped_events`` output column — the shared drops-visible
+      convention across all three stateful ops here (funnel/touch track
+      the in-order contract, this tracks the NULL-exclusion contract; a
+      consumer asserting ``dropped_events == 0`` asserts a clean feed
+      in every case). NULL vs NaN is distinguished SPARK-side (an
+      ``__isnull__`` flag projected before the groupBy) because Arrow
+      transport collapses both to ``NaN`` in pandas.
+    - A true double ``NaN`` is NOT dropped: it counts into bin 0,
+      because that is what the batch path computes (``floor(NaN /
+      width)`` -> long ``0`` -> clamp, verified under BOTH ANSI modes;
+      Spark's ``floor`` carries no ANSI cast guard). Before this fix
+      the stream silently discarded NaN while batch binned it, so the
+      claimed parity broke exactly on NaN inputs.
 
     The output group column carries ``group_col``'s name and the input
     schema's type (the ADVICE r11 streaming_funnel_levels rule).
+    Raises ``ValueError`` if the input already carries the reserved
+    ``__isnull__`` column.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
@@ -474,8 +496,17 @@ def streaming_binned_quantiles(
         raise ValueError("every q must be in (0, 1]")
     if not hi > lo:
         raise ValueError("hi must be > lo")
+    if "__isnull__" in df.columns:
+        raise ValueError(
+            "streaming_binned_quantiles: input already carries the "
+            "reserved __isnull__ column; rename it"
+        )
     width = (hi - lo) / n_bins
     q_list = [float(q) for q in qs]
+
+    # NULL-vs-NaN is decided here, JVM-side, before Arrow transport
+    # collapses both to NaN in pandas (see docstring).
+    prepared = df.withColumn("__isnull__", F.col(value_col).isNull())
 
     out_schema = T.StructType(
         [
@@ -483,10 +514,14 @@ def streaming_binned_quantiles(
             T.StructField("q", T.DoubleType()),
             T.StructField("est", T.DoubleType()),
             T.StructField("n_seen", T.LongType()),
+            T.StructField("dropped_events", T.LongType()),
         ]
     )
     state_schema = T.StructType(
-        [T.StructField("counts", T.ArrayType(T.LongType()))]
+        [
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("dropped", T.LongType()),
+        ]
     )
 
     def update(key, pdfs, state):
@@ -498,22 +533,46 @@ def streaming_binned_quantiles(
         (g,) = key
         if state.exists:
             counts = np.asarray(state.get[0], dtype=np.int64)
+            dropped = int(state.get[1])
         else:
             counts = np.zeros(n_bins, dtype=np.int64)
+            dropped = 0
         for pdf in pdfs:
-            v = pdf[value_col].to_numpy(dtype=float)
-            v = v[~np.isnan(v)]
+            isnull = pdf["__isnull__"].to_numpy(dtype=bool)
+            dropped += int(isnull.sum())
+            v = pdf[value_col].to_numpy(dtype=float)[~isnull]
             if len(v):
-                b = np.clip(
-                    np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
-                )
+                # batch parity: floor(NaN/width) -> long 0 -> clamp, so
+                # a true NaN counts into bin 0 (never dropped)
+                b = np.floor((v - lo) / width)
+                b = np.where(np.isnan(b), 0.0, b)
+                b = np.clip(b, 0, n_bins - 1).astype(np.int64)
                 counts += np.bincount(b, minlength=n_bins)
-        state.update((counts.tolist(),))
+        state.update((counts.tolist(), dropped))
         tot = int(counts.sum())
         if tot == 0:
-            yield pd.DataFrame(
-                {group_col: [], "q": [], "est": [], "n_seen": []}
-            )
+            if dropped:
+                # a batch of only NULLs must still surface the drops
+                # (q/est null — no estimate exists yet)
+                yield pd.DataFrame(
+                    {
+                        group_col: [g],
+                        "q": [None],
+                        "est": [None],
+                        "n_seen": [0],
+                        "dropped_events": [dropped],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        group_col: [],
+                        "q": [],
+                        "est": [],
+                        "n_seen": [],
+                        "dropped_events": [],
+                    }
+                )
             return
         cum = np.cumsum(counts)
         ests = []
@@ -537,10 +596,11 @@ def streaming_binned_quantiles(
                 "q": q_list,
                 "est": ests,
                 "n_seen": [tot] * len(q_list),
+                "dropped_events": [dropped] * len(q_list),
             }
         )
 
-    return df.groupBy(group_col).applyInPandasWithState(
+    return prepared.groupBy(group_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

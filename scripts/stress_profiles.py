@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as em
 from meds_polars_functions_spark.session import get_spark
-from scripts.stress_scale import materialize
+from scripts.stress_scale import ensure_scratch
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -41,8 +41,8 @@ def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress"
     spark = get_spark()
-    if not os.path.exists(os.path.join(scratch, "events.parquet")):
-        materialize(spark, SF_DIR, scratch, n_copies)
+    # shared source+copy-count marker guard (ADVICE r12 item 4)
+    ensure_scratch(spark, SF_DIR, scratch, n_copies)
     run(spark, SF_DIR, "warm")  # JIT/codegen warmup, discarded
     run(spark, SF_DIR, "sf0.01_x1")
     run(spark, scratch, f"sf0.01_x{n_copies}")

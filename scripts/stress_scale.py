@@ -188,6 +188,25 @@ def run_suite(spark, sf_dir: str, label: str) -> None:
     )
 
 
+def ensure_scratch(spark, src_dir: str, scratch: str, n_copies: int) -> None:
+    """Materialize ``src_dir`` x ``n_copies`` into ``scratch`` unless an
+    identical materialization is already there. Identity = a marker file
+    recording BOTH the source dir and the copy count (ADVICE r12 item 4:
+    an existence-only guard silently reused stale scratch materialized
+    with a different copy count — or, worse, a different source SF,
+    since several stress scripts share the default scratch path — and
+    mislabeled the result line)."""
+    marker = os.path.join(scratch, ".materialized")
+    want = f"{src_dir}|{n_copies}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == want:
+                return
+    materialize(spark, src_dir, scratch, n_copies)
+    with open(marker, "w") as fh:
+        fh.write(want)
+
+
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress"
@@ -198,7 +217,7 @@ def main() -> None:
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
     t0 = time.time()
-    materialize(spark, src, scratch, n_copies)
+    ensure_scratch(spark, src, scratch, n_copies)
     print(json.dumps({"materialize_sec": round(time.time() - t0, 3), "copies": n_copies}), flush=True)
 
     # warm (same rationale as bench.py), then measure base and blown-up

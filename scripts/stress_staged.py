@@ -20,7 +20,7 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 import __spark_entry__ as em
 from meds_polars_functions_spark.operators.text import kneser_ney_lm_score
 from meds_polars_functions_spark.session import get_spark
-from scripts.stress_scale import materialize
+from scripts.stress_scale import ensure_scratch
 
 
 def run(spark, sf_dir: str, label: str) -> None:
@@ -52,15 +52,17 @@ def main() -> None:
     spark = get_spark("stress_staged")
     em._prep(spark)
 
-    if not os.path.exists(scratch):
-        t0 = time.time()
-        materialize(spark, src, scratch, n_copies)
-        print(
-            json.dumps(
-                {"materialize_sec": round(time.time() - t0, 3), "copies": n_copies}
-            ),
-            flush=True,
-        )
+    # shared source+copy-count marker guard (ADVICE r12 item 4): the
+    # default scratch path is shared with the sf0.01-sourced stress
+    # scripts, so identity must include the source dir
+    t0 = time.time()
+    ensure_scratch(spark, src, scratch, n_copies)
+    print(
+        json.dumps(
+            {"materialize_sec": round(time.time() - t0, 3), "copies": n_copies}
+        ),
+        flush=True,
+    )
 
     run(spark, src, "warmup@sf0.1")
     run(spark, src, "sf0.1")

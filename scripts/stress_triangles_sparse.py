@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as em
 from meds_polars_functions_spark.operators.graph import triangle_count
 from meds_polars_functions_spark.session import get_spark
-from scripts.stress_scale import materialize
+from scripts.stress_scale import ensure_scratch
 
 
 def co_part_edges(spark, sf_dir: str):
@@ -66,8 +66,8 @@ def main() -> None:
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress_cont"
     spark = get_spark("stress_tri_sparse")
     em._prep(spark)
-    if not os.path.exists(f"{scratch}/lineitem.parquet"):
-        materialize(spark, "/root/testdata/sf0.1", scratch, n_copies)
+    # shared source+copy-count marker guard (ADVICE r12 item 4)
+    ensure_scratch(spark, "/root/testdata/sf0.1", scratch, n_copies)
     run(spark, "/root/testdata/sf0.1", "warmup@sf0.1")
     run(spark, "/root/testdata/sf0.1", "sf0.1")
     run(spark, scratch, f"sf0.1x{n_copies}")

@@ -223,3 +223,61 @@ def test_staged_query_audit_instant_binds_on_real_data(spark):
     # business-valid version
     rewound = [k for k in early if early[k] != late[k]]
     assert rewound, "K=1999 never rewinds anything: the audit axis is vacuous"
+
+
+def test_null_dim_keys_and_valid_from_are_excluded(spark):
+    """ADVICE r12: the NULL contract must match the SQL equality-join +
+    vf<=t semantics the oracle encodes. A null-key version must NOT
+    match null-key facts (SQL equality never matches NULL), and a null
+    valid_from must NOT become a universal fallback version (vf <= t is
+    never true for NULL vf) — before the fix, Window.partitionBy
+    grouped NULL keys together and NULL vf sorted first ascending."""
+    dim = [
+        (None, D(2024, 1, 1), D(2024, 1, 2), 1, 10.0),  # null key
+        (1, None, D(2024, 1, 2), 2, 20.0),              # null valid_from
+        (1, D(2024, 1, 1), D(2024, 1, 2), 3, 30.0),     # the only legal row
+    ]
+    facts = [
+        (100, 1, D(2024, 2, 1)),     # must see ver 3, never ver 2
+        (101, None, D(2024, 2, 1)),  # null-key fact: left-outer nulls
+        (102, 9, D(2024, 2, 1)),     # unmatched key: left-outer nulls
+    ]
+    got = _lookup(spark, dim, facts, D(2024, 6, 1))
+    assert got == {100: (30.0, 3), 101: (None, None), 102: (None, None)}
+
+
+def test_reserved_and_suffix_collisions_raise(spark):
+    """ADVICE r12: reserved temp columns already present in facts, a
+    value column named like a payload struct field, or suffix-induced
+    output-name collisions must raise ValueError up front instead of
+    silently emitting duplicate/ambiguous columns."""
+    dim = spark.createDataFrame(
+        [(1, D(2024, 1, 1), D(2024, 1, 2), 1, 10.0)], DIM_SCHEMA
+    )
+    facts = spark.createDataFrame([(100, 1, D(2024, 2, 1))], FACT_SCHEMA)
+
+    def call(f, d, **kw):
+        args = dict(
+            on=["k"], fact_time="t", valid_from="vf", recorded_at="ra",
+            as_of=F.lit(D(2024, 6, 1)), value_cols=["val"], suffix="_dim",
+        )
+        args.update(kw)
+        return bitemporal_asof_join(f, d, **args)
+
+    # reserved temp name in facts
+    with pytest.raises(ValueError, match="reserved temp"):
+        call(facts.withColumn("__payload__", F.lit(1)), dim)
+    with pytest.raises(ValueError, match="reserved temp"):
+        call(facts.withColumn("__time__", F.lit(1)), dim)
+    # value col named like a payload struct field
+    d2 = dim.withColumnRenamed("val", "__vf__")
+    with pytest.raises(ValueError, match="payload struct"):
+        call(facts, d2, value_cols=["__vf__"])
+    # suffix="" + a fact column sharing a value_col name
+    with pytest.raises(ValueError, match="output name collision"):
+        call(facts.withColumn("val", F.lit(0.0)), dim, suffix="")
+    # duplicate suffixed outputs (vf requested twice via value_cols)
+    with pytest.raises(ValueError, match="output name collision"):
+        call(facts, dim, value_cols=["val", "vf"], suffix="")
+    # the clean call still works (guards are not over-eager)
+    assert call(facts, dim).count() == 1

