@@ -4184,6 +4184,226 @@ SELECT event_type, metric, value FROM (
 """
 
 
+#: Edge-window width for the round-13 staged overlap pair. The obvious
+#: half/half split is DEGENERATE on the synthetic events (every user
+#: hits every type in both halves -> jaccard 1.0 everywhere, so a broken
+#: intersection could never flip a row); the first-2-days vs last-2-days
+#: audiences overlap PARTIALLY (0 < n_inter < n_union) for every group
+#: at all three SFs — measured before staging, pinned by the
+#: falsifiability test.
+_AUDIENCE_WINDOW_DAYS = 2
+_AUDIENCE_WINDOW_US = _AUDIENCE_WINDOW_DAYS * 86_400_000_000
+
+
+def _audience_sides(spark: SparkSession, sf_dir: str):
+    """Shared side-builder for the round-13 staged overlap pair: side A
+    = events in the FIRST ``_AUDIENCE_WINDOW_DAYS`` days of the
+    observation window, side B = the LAST. Integer-µs bounds — exact
+    and engine-portable — computed as a one-row aggregate and broadcast
+    (the house crossJoin-of-1-row rule; never a driver collect).
+    Returns (tagged, early, late); ``tagged`` keeps the in-window flags
+    for the exact-recompute path."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_micros(F.col("ts")).alias("__us__")
+    )
+    bounds = ev.agg(
+        F.min("__us__").alias("__lo__"), F.max("__us__").alias("__hi__")
+    )
+    w = F.lit(_AUDIENCE_WINDOW_US)
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "user_id",
+        (F.col("__us__") < F.col("__lo__") + w).alias("__in_a__"),
+        (F.col("__us__") >= F.col("__hi__") - w).alias("__in_b__"),
+    )
+    early = tagged.filter("__in_a__")
+    late = tagged.filter("__in_b__")
+    return tagged, early, late
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 13: EXACT grouped audience-overlap join
+    (functions.sketches.bitmap_overlap) — per event type, the distinct
+    users active in the FIRST 2 days of the observation window vs the
+    LAST 2 days (edge windows, not halves: the half split is jaccard-
+    degenerate on this corpus — see _AUDIENCE_WINDOW_DAYS):
+    ``(event_type, n_early, n_late, n_union, n_inter,
+    jaccard)`` with the intersection by inclusion-exclusion over
+    FILTER-ed native bitmap aggregates. The retention-overlap /
+    cross-corpus-contamination primitive in its zero-error,
+    strictly-SQL-oracle-checkable form (VERDICT r12 item 3's named
+    "grouped sketch join" candidate).
+
+    100 TB shape: keys address map-side to (bucket, bit); ONE hash
+    exchange on (group, bucket) builds the A/B/all bitmaps with
+    map-side partial combine (4 KB state per populated cell, never a
+    key-pair expansion); the closing exchange carries only popcount
+    longs. Zero Python, zero SortMergeJoin — the only join anywhere is
+    the broadcast of the 1-row cutoff aggregate.
+
+    Registry audit (the standing rule): ``bitmap_distinct_users`` /
+    ``code_patients_hll`` are SINGLE-population distinct counts (no
+    second corpus, no intersection); ``ngram_jaccard`` /
+    ``jaccard_prefix`` / ``near_dedup`` are document-shingle
+    similarity (pairs of documents, not set algebra over grouped user
+    populations); ``retention_cohort``/``monthly_retention`` are
+    cohort-by-offset activity matrices (counts per (cohort, period),
+    never a set intersection between two corpora). No registered name
+    within edit distance 2 of ``audience_overlap``.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import bitmap_overlap
+
+    _, early, late = _audience_sides(spark, sf_dir)
+    out = bitmap_overlap(early, late, ["event_type"], "user_id")
+    return out.select(
+        "event_type",
+        F.col("n_a").alias("n_early"),
+        F.col("n_b").alias("n_late"),
+        "n_union",
+        "n_inter",
+        "jaccard",
+    ).orderBy("event_type")
+
+
+#: DuckDB replay of q_audience_overlap from the DEFINITION: same
+#: integer-µs midpoint cutoff (// == Spark's div on the non-negative
+#: span), per-(type, user) side membership, inclusion-exclusion closes
+#: to the same BIGINT counts and round-9 jaccard.
+_AUDIENCE_OVERLAP_ORACLE_SQL = f"""
+WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
+c AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+m AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN us < lo + {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN us >= hi - {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) AS in_b
+  FROM e, c GROUP BY event_type, user_id
+  HAVING max(CASE WHEN us < lo + {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) = 1
+      OR max(CASE WHEN us >= hi - {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) = 1)
+SELECT event_type,
+  sum(in_a)::BIGINT AS n_early,
+  sum(in_b)::BIGINT AS n_late,
+  count(*)::BIGINT AS n_union,
+  sum(in_a * in_b)::BIGINT AS n_inter,
+  round(sum(in_a * in_b)::DOUBLE / count(*), 9) AS jaccard
+FROM m GROUP BY event_type ORDER BY event_type
+"""
+
+
+#: HLL per-term tolerance for the invariant flags: sparse-mode sketches
+#: (group cardinality <= 2^12/4) are EXACT, which covers sf0.001/0.01
+#: outright; at sf0.1 the ~1500-user groups sit just past sparse, where
+#: the lgK-12 std error is ~1.6% per term — 5% is a >3-sigma envelope
+#: per term, 15%-of-union for the 3-term intersection compound.
+_HLL_OVERLAP_TOL = 0.05
+_HLL_OVERLAP_INTER_TOL = 0.15
+
+
+def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 13 (second staging — the standing two-staging
+    cadence): the grouped HLL sketch JOIN
+    (functions.sketches.hll_overlap / hll_overlap_from_sketches) on the
+    same early/late audience split as ``q_audience_overlap`` — the
+    100 TB path where the overlap of two corpora is computed from their
+    metadata-sized per-group sketch tables instead of the raw rows.
+
+    HLL estimates are engine-specific (DataSketches registers), so per
+    the kmeans_cells/approx_percentile_profile precedent the query
+    emits an INVARIANT row per event type:
+
+    - ``n_early_exact`` / ``n_late_exact`` / ``n_union_exact`` /
+      ``n_inter_exact``: the exact overlap recomputed Spark-side from
+      one (type, user) membership pass — the oracle recomputes them
+      definitionally in DuckDB (full value coverage, BIGINT).
+    - ``est_within_tol`` = 1.0: every per-term sketch estimate (A, B,
+      union) within ``_HLL_OVERLAP_TOL`` of its exact value — a broken
+      sketch build, union, or register merge flips the row.
+    - ``inter_bounded`` = 1.0: the estimated intersection is
+      non-negative, <= min(side estimates), and within
+      ``_HLL_OVERLAP_INTER_TOL`` of union of the exact intersection —
+      the inclusion-exclusion identity holds through the sketch.
+
+    Falsifiability is pinned in tests/test_sketches.py: the same flags
+    computed from a deliberately-degraded sketch (lgK 4) flip to 0.0 on
+    a high-cardinality corpus.
+
+    Registry audit: differs from ``audience_overlap`` (exact bitmap
+    twin staged alongside — this row proves the SKETCH path and its
+    merge law), from ``code_patients_hll`` (single-population HLL
+    estimate, no join/intersection), and from ``kmeans_cells`` /
+    ``approx_percentile_profile`` only in sharing the invariant-oracle
+    STYLE. No registered name within edit distance 2.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import hll_overlap
+
+    tagged, early, late = _audience_sides(spark, sf_dir)
+    est = hll_overlap(early, late, ["event_type"], "user_id")
+
+    member = (
+        tagged.groupBy("event_type", "user_id")
+        .agg(
+            F.max(F.col("__in_a__").cast("int")).alias("in_a"),
+            F.max(F.col("__in_b__").cast("int")).alias("in_b"),
+        )
+        .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    )
+    exact = member.groupBy("event_type").agg(
+        F.sum("in_a").alias("__xa__"),
+        F.sum("in_b").alias("__xb__"),
+        F.count(F.lit(1)).alias("__xu__"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("__xi__"),
+    )
+    j = est.join(F.broadcast(exact), "event_type")
+    tol = F.lit(_HLL_OVERLAP_TOL)
+    within = (
+        (F.abs(F.col("n_a") - F.col("__xa__")) <= tol * F.col("__xa__"))
+        & (F.abs(F.col("n_b") - F.col("__xb__")) <= tol * F.col("__xb__"))
+        & (F.abs(F.col("n_union") - F.col("__xu__")) <= tol * F.col("__xu__"))
+    )
+    bounded = (
+        (F.col("n_inter") >= 0)
+        & (F.col("n_inter") <= F.least(F.col("n_a"), F.col("n_b")))
+        & (
+            F.abs(F.col("n_inter") - F.col("__xi__"))
+            <= F.lit(_HLL_OVERLAP_INTER_TOL) * F.col("__xu__")
+        )
+    )
+    return j.select(
+        "event_type",
+        F.col("__xa__").cast("long").alias("n_early_exact"),
+        F.col("__xb__").cast("long").alias("n_late_exact"),
+        F.col("__xu__").cast("long").alias("n_union_exact"),
+        F.col("__xi__").cast("long").alias("n_inter_exact"),
+        within.cast("double").alias("est_within_tol"),
+        bounded.cast("double").alias("inter_bounded"),
+    ).orderBy("event_type")
+
+
+#: Invariant oracle (kmeans_cells precedent): the four exact overlap
+#: counts are data-derived recomputes; the two flags pin a correct
+#: sketch join at 1.0. See q_hll_user_overlap.
+_HLL_USER_OVERLAP_ORACLE_SQL = f"""
+WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
+c AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+m AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN us < lo + {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN us >= hi - {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) AS in_b
+  FROM e, c GROUP BY event_type, user_id
+  HAVING max(CASE WHEN us < lo + {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) = 1
+      OR max(CASE WHEN us >= hi - {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) = 1)
+SELECT event_type,
+  sum(in_a)::BIGINT AS n_early_exact,
+  sum(in_b)::BIGINT AS n_late_exact,
+  count(*)::BIGINT AS n_union_exact,
+  sum(in_a * in_b)::BIGINT AS n_inter_exact,
+  1.0::DOUBLE AS est_within_tol,
+  1.0::DOUBLE AS inter_bounded
+FROM m GROUP BY event_type ORDER BY event_type
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -4231,10 +4451,17 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_bitemporal_asof's registry-audit note.
 
     Round 13: BOTH registered with window slots 1-2 (COVERAGE.md
-    round-13 ledger, registry 174 -> 176); the staging area is empty
-    until the round-13 staged family lands (added here as it reaches
-    registration grade)."""
-    return {}
+    round-13 ledger, registry 174 -> 176). Round 13 stages the
+    grouped-sketch-join family (VERDICT r12 item 3's named candidate)
+    as the standing pair: ``audience_overlap`` (EXACT grouped set
+    overlap via FILTER-ed bitmap aggregates — strict SQL oracle) and
+    ``hll_user_overlap`` (the HLL sketch-JOIN path with an invariant
+    oracle, kmeans_cells precedent) — both registry-audited per the
+    standing rule (see their docstrings)."""
+    return {
+        "audience_overlap": q_audience_overlap,
+        "hll_user_overlap": q_hll_user_overlap,
+    }
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -4306,7 +4533,10 @@ def staged_oracle_sql() -> dict[str, str]:
     sf0.001 staged tests and, on registration, the sf0.01
     ``oracle_sql()`` default. Every staged entry must appear here too:
     a staged query the comparator cannot check verifies nothing."""
-    return {}
+    return {
+        "audience_overlap": _AUDIENCE_OVERLAP_ORACLE_SQL,
+        "hll_user_overlap": _HLL_USER_OVERLAP_ORACLE_SQL,
+    }
 
 
 # ---------------------------------------------------------------------------

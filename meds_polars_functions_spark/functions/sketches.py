@@ -126,6 +126,165 @@ def merge_bitmap_states(
     )
 
 
+def bitmap_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """EXACT per-group set-overlap join of two corpora: for each group,
+    the distinct-key counts of side A, side B, their union, their
+    intersection (inclusion-exclusion: ``|A∩B| = |A|+|B|-|A∪B|``) and
+    the Jaccard — all from ONE pass over the tagged union using
+    FILTER-ed native bitmap aggregates.
+
+    The grouped "sketch join" in its zero-error form (VERDICT r12 item
+    3's named candidate): audience overlap / retention intersection /
+    cross-corpus contamination mass per group, without ever joining or
+    shuffling raw key pairs.
+
+    100 TB shape — the :func:`bitmap_distinct` discipline twice over:
+
+    - Keys hash map-side to (bucket, bit); the tagged union flows into
+      ONE hash exchange on ``(group, bucket)`` where the three bitmaps
+      (A / B / all) build with map-side partial combine — 4 KB of state
+      per populated (group, bucket, side), NEVER a row-pair expansion
+      and never a wide distinct shuffle.
+    - The second exchange carries only per-bucket popcounts (longs) to
+      the per-group closing sum. A hot group is spread across its
+      buckets, so group skew dilutes into the bucket dimension for
+      free.
+    - Zero Python, zero Join nodes, exact integers — unlike the HLL
+      path (:func:`hll_overlap`) there is no estimator error term, so
+      the result is engine-portable and strictly oracle-checkable.
+
+    Returns one row per group present on EITHER side:
+    ``(*group_cols, n_a, n_b, n_union, n_inter, jaccard)`` with
+    ``jaccard = n_inter / n_union`` rounded at 9 (0.0 when the union is
+    empty, which only happens on empty input groups). Requires an
+    integral ``key_col`` (the bitmap address space), like
+    :func:`bitmap_distinct`.
+    """
+    a = df_a.select(*group_cols, key_col).withColumn("__side__", F.lit(0))
+    b = df_b.select(*group_cols, key_col).withColumn("__side__", F.lit(1))
+    u = a.unionByName(b)
+    addressed = u.select(
+        *group_cols,
+        "__side__",
+        F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt__"),
+        F.expr(f"bitmap_bit_position({key_col})").alias("__pos__"),
+    )
+    per_bucket = addressed.groupBy(*group_cols, "__bkt__").agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(__pos__)"
+            " FILTER (WHERE __side__ = 0))"
+        ).alias("__ca__"),
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(__pos__)"
+            " FILTER (WHERE __side__ = 1))"
+        ).alias("__cb__"),
+        F.expr("bitmap_count(bitmap_construct_agg(__pos__))").alias("__cu__"),
+    )
+    counts = per_bucket.groupBy(*group_cols).agg(
+        F.sum(F.coalesce("__ca__", F.lit(0))).alias("n_a"),
+        F.sum(F.coalesce("__cb__", F.lit(0))).alias("n_b"),
+        F.sum("__cu__").alias("n_union"),
+    )
+    inter = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    return counts.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        "n_union",
+        inter.alias("n_inter"),
+        F.round(
+            F.when(F.col("n_union") > 0, inter / F.col("n_union")).otherwise(
+                F.lit(0.0)
+            ),
+            9,
+        ).alias("jaccard"),
+    )
+
+
+def hll_overlap_from_sketches(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sk",
+) -> DataFrame:
+    """The grouped HLL sketch JOIN: two per-group sketch-state tables
+    (built by :func:`sketch_distinct`, possibly merged across shards by
+    :func:`merge_sketch_tables`) meet on the group key; per group the
+    estimates of A, B and the scalar ``hll_union`` give the
+    inclusion-exclusion intersection and Jaccard WITHOUT touching either
+    raw corpus again.
+
+    This is the 100 TB form of :func:`bitmap_overlap`: the join inputs
+    are metadata-sized (one row + one ≤2^lgK-register sketch per
+    group), so the overlap of two 100 TB corpora costs one broadcast
+    join over their already-maintained sketch tables. Trade: HLL
+    estimator error (~0.4-1.6% per term at lgK 12, exact in sparse
+    mode) compounds through the subtraction — small intersections of
+    large sets drown in it, which is why ``n_inter`` is floored at 0
+    and the exact bitmap path exists for when zero error is required.
+
+    A group present on one side only reports the other side as 0 and
+    ``n_inter = 0`` (outer semantics WITHOUT a join: the two sketch
+    tables union with a side tag and reduce in ONE metadata-sized
+    ``hll_union_agg`` exchange — a full-outer join here would compile
+    to a SortMergeJoin, since Spark cannot broadcast full outer; the
+    tagged-union form keeps the plan join-free like the bitmap twin).
+    """
+    gl = list(group_cols)
+    a = sk_a.select(
+        *gl, F.col(sketch_col).alias("__sk__"), F.lit(0).alias("__side__")
+    )
+    b = sk_b.select(
+        *gl, F.col(sketch_col).alias("__sk__"), F.lit(1).alias("__side__")
+    )
+    agg = a.unionByName(b).groupBy(*gl).agg(
+        F.expr("hll_union_agg(__sk__) FILTER (WHERE __side__ = 0)").alias(
+            "__ua__"
+        ),
+        F.expr("hll_union_agg(__sk__) FILTER (WHERE __side__ = 1)").alias(
+            "__ub__"
+        ),
+        F.expr("hll_union_agg(__sk__)").alias("__uu__"),
+    )
+    est_a = F.coalesce(F.expr("hll_sketch_estimate(__ua__)"), F.lit(0))
+    est_b = F.coalesce(F.expr("hll_sketch_estimate(__ub__)"), F.lit(0))
+    est_u = F.coalesce(F.expr("hll_sketch_estimate(__uu__)"), F.lit(0))
+    inter = F.greatest(est_a + est_b - est_u, F.lit(0))
+    return agg.select(
+        *gl,
+        est_a.alias("n_a"),
+        est_b.alias("n_b"),
+        est_u.alias("n_union"),
+        inter.alias("n_inter"),
+        F.round(
+            F.when(est_u > 0, inter / est_u).otherwise(F.lit(0.0)), 9
+        ).alias("jaccard"),
+    )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate per-group set overlap of two corpora via HLL: build
+    each side's per-group sketch (one exchange per side, map-side
+    partial sketches) and delegate to :func:`hll_overlap_from_sketches`.
+    Same output shape as :func:`bitmap_overlap`; see there for the
+    exact alternative and here for when to prefer this one (non-integer
+    keys, pre-existing sketch tables, or corpora too large to bitmap)."""
+    sa = sketch_distinct(df_a, group_cols, key_col, "sk", lgk)
+    sb = sketch_distinct(df_b, group_cols, key_col, "sk", lgk)
+    return hll_overlap_from_sketches(sa, sb, group_cols, "sk")
+
+
 def _cms_bucket(col: F.Column, row: int, width: int) -> F.Column:
     """Row-``row``'s CMS bucket for a value: engine-portable md5 bucket
     of the salted value (DuckDB: ``('0x' || substr(md5(row || ':' ||

@@ -590,3 +590,30 @@ def test_mmr_corpus_join_broadcast_single_pandas_stage(spark):
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # the groupBy only
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1  # ONE corpus read
+
+
+def test_audience_overlap_bitmap_join_no_pairs_no_python(spark, entry_mod):
+    """Round-13 staged grouped-sketch join, the 100 TB pin: the tagged
+    union flows into FILTER-ed bitmap aggregates — the only Join
+    anywhere is the broadcast of the 1-row window-bounds aggregate
+    (BroadcastNestedLoopJoin of a single row), never a SortMergeJoin or
+    a key-pair expansion; both aggregate stages carry partials
+    map-side; zero Python nodes."""
+    plan = plan_of(entry_mod.staged_queries()["audience_overlap"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Python" not in plan
+    assert "bitmap_construct_agg" in plan
+    assert "partial_" in plan
+
+
+def test_hll_user_overlap_sketch_join_is_metadata_sized(spark, entry_mod):
+    """The HLL sketch-join path: per-side sketches reduce each corpus
+    to one row per group BEFORE any join, so every Join node in the
+    plan is a broadcast (sketch tables + the 1-row bounds + the 5-row
+    exact recompute); zero SortMergeJoin, zero Python."""
+    plan = plan_of(entry_mod.staged_queries()["hll_user_overlap"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Python" not in plan
+    assert "hll_sketch_agg" in plan

@@ -306,3 +306,151 @@ def test_binned_drift_metrics_one_sided_group_ks_one(spark):
     assert got["only_a"]["ks"] == 1.0
     assert got["only_a"]["psi"] is not None  # smoothing keeps PSI finite
     assert got["g"]["ks"] == 1.0  # disjoint supports, both sides present
+
+
+def test_bitmap_overlap_exact_vs_brute_force(spark):
+    """bitmap_overlap == plain distinct-set arithmetic on every group,
+    including groups present on one side only and zero-intersection
+    groups."""
+    from meds_polars_functions_spark.functions.sketches import bitmap_overlap
+
+    a = spark.range(900).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 50).alias("k")
+    )
+    b = spark.range(900).select(
+        (F.col("id") % 4).alias("g"), ((F.col("id") % 40) + 30).alias("k")
+    )
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["n_union"], r["n_inter"], r["jaccard"])
+        for r in bitmap_overlap(a, b, ["g"], "k").collect()
+    }
+    sa = {g: set() for g in range(4)}
+    sb = {g: set() for g in range(4)}
+    for i in range(900):
+        sa[i % 3].add(i % 50)
+        sb[i % 4].add((i % 40) + 30)
+    for g in range(4):
+        A, B = sa[g], sb[g]
+        if not A and not B:
+            assert g not in got
+            continue
+        u = len(A | B)
+        want = (
+            len(A), len(B), u, len(A & B),
+            round(len(A & B) / u, 9) if u else 0.0,
+        )
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_bitmap_overlap_one_pass_two_exchanges_no_join(spark):
+    """The 100 TB pin: tagged-union + FILTER-ed bitmap aggregates —
+    exactly TWO exchanges ((group,bucket) then group), ZERO Join nodes,
+    zero Python, never a row-pair expansion."""
+    from meds_polars_functions_spark.functions.sketches import bitmap_overlap
+
+    a = spark.range(200).select((F.col("id") % 2).alias("g"), F.col("id").alias("k"))
+    b = spark.range(200).select((F.col("id") % 2).alias("g"), (F.col("id") + 100).alias("k"))
+    plan = bitmap_overlap(a, b, ["g"], "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_hll_overlap_tracks_exact_within_bounds(spark):
+    """HLL inclusion-exclusion vs the exact bitmap path on overlapping
+    ranges: per-term error is ~1% at lgK 12, so union/side estimates
+    must sit within 2% and the intersection inside the compounded
+    3-term envelope."""
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_overlap,
+        hll_overlap,
+    )
+
+    a = spark.range(60_000).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    b = spark.range(40_000, 120_000).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    exact = bitmap_overlap(a, b, ["g"], "k").collect()[0]
+    est = hll_overlap(a, b, ["g"], "k").collect()[0]
+    assert abs(est["n_a"] - exact["n_a"]) / exact["n_a"] < 0.05
+    assert abs(est["n_b"] - exact["n_b"]) / exact["n_b"] < 0.05
+    assert abs(est["n_union"] - exact["n_union"]) / exact["n_union"] < 0.05
+    # 3-term compounding on |A∩B| = 20_000 out of 120_000 union
+    assert abs(est["n_inter"] - exact["n_inter"]) <= 0.15 * exact["n_union"]
+
+
+def test_hll_overlap_sparse_mode_exact_and_outer_groups(spark):
+    """Sparse-mode sketches are exact, so small-cardinality overlaps
+    must be EXACT through the sketch join; a group on one side only
+    reports (n, 0, n, 0, 0.0) through the full-outer."""
+    from meds_polars_functions_spark.functions.sketches import hll_overlap
+
+    a = spark.createDataFrame(
+        [("x", i) for i in range(20)] + [("solo", i) for i in range(5)],
+        "g string, k long",
+    )
+    b = spark.createDataFrame([("x", i) for i in range(10, 40)], "g string, k long")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["n_union"], r["n_inter"], r["jaccard"])
+        for r in hll_overlap(a, b, ["g"], "k").collect()
+    }
+    assert got["x"] == (20, 30, 40, 10, 0.25)
+    assert got["solo"] == (5, 0, 5, 0, 0.0)
+
+
+def test_hll_overlap_from_sketches_merges_shards(spark):
+    """The sketch-JOIN property that matters at 100 TB: per-shard
+    sketch states merged via merge_sketch_tables feed
+    hll_overlap_from_sketches and give the SAME overlap as sketching
+    each whole corpus — the raw corpora are never re-read."""
+    from meds_polars_functions_spark.functions.sketches import (
+        hll_overlap,
+        hll_overlap_from_sketches,
+        merge_sketch_tables,
+        sketch_distinct,
+    )
+
+    a = spark.range(3000).select((F.col("id") % 2).alias("g"), (F.col("id") % 500).alias("k"))
+    b = spark.range(3000).select((F.col("id") % 2).alias("g"), ((F.col("id") % 400) + 300).alias("k"))
+    whole = {
+        (r["g"]): (r["n_a"], r["n_b"], r["n_union"], r["n_inter"])
+        for r in hll_overlap(a, b, ["g"], "k").collect()
+    }
+    sa = merge_sketch_tables(
+        [sketch_distinct(a.filter(F.col("k") % 3 == i), ["g"], "k", "sk") for i in range(3)],
+        ["g"], "sk",
+    )
+    sb = merge_sketch_tables(
+        [sketch_distinct(b.filter(F.col("k") % 2 == i), ["g"], "k", "sk") for i in range(2)],
+        ["g"], "sk",
+    )
+    merged = {
+        (r["g"]): (r["n_a"], r["n_b"], r["n_union"], r["n_inter"])
+        for r in hll_overlap_from_sketches(sa, sb, ["g"], "sk").collect()
+    }
+    assert merged == whole
+
+
+def test_hll_overlap_flags_flip_on_degraded_sketch(spark):
+    """Falsifiability for the q_hll_user_overlap invariant flags: the
+    SAME flag predicate computed from a deliberately-degraded sketch
+    (lgK 4 -> ~26% std error) on a 50k-cardinality corpus must flip to
+    False for the side/union tolerance — i.e. the flag genuinely reacts
+    to sketch defects and 1.0 is not vacuous."""
+    from meds_polars_functions_spark.functions.sketches import hll_overlap
+
+    a = spark.range(50_000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    b = spark.range(25_000, 75_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    exact = (50_000, 50_000, 75_000)
+
+    def flags(lgk):
+        r = hll_overlap(a, b, ["g"], "k", lgk=lgk).collect()[0]
+        tol = 0.05
+        return (
+            abs(r["n_a"] - exact[0]) <= tol * exact[0]
+            and abs(r["n_b"] - exact[1]) <= tol * exact[1]
+            and abs(r["n_union"] - exact[2]) <= tol * exact[2]
+        )
+
+    assert flags(12) is True
+    assert flags(4) is False

@@ -85,10 +85,17 @@ def test_staging_area_contents_and_promotions():
     # scd2_priority (interval BUILD, no audit probe),
     # stream_interval_join/range_join_events (bounded pair joins).
     # Round 13: BOTH registered with window slots 1-2 (COVERAGE.md
-    # round-13 ledger, registry 174 -> 176); the staging area is empty
-    # until the round-13 staged family lands.
+    # round-13 ledger, registry 174 -> 176). Round 13 stages the
+    # grouped-sketch-join pair: audience_overlap (exact bitmap set
+    # overlap, strict SQL oracle) + hll_user_overlap (HLL sketch join,
+    # invariant oracle). Registry audit in their docstrings (nearest
+    # concepts: bitmap_distinct_users/code_patients_hll are
+    # single-population counts; ngram_jaccard/jaccard_prefix are
+    # document similarity; retention_cohort/monthly_retention are
+    # cohort activity matrices — none computes a grouped set
+    # intersection between two corpora).
     staged = entry.staged_queries()
-    assert set(staged) == set()
+    assert set(staged) == {"audience_overlap", "hll_user_overlap"}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -546,3 +553,63 @@ def test_bitemporal_asof_matches_oracle_strict(spark, con):
     double-only; known_ver ::DOUBLE on both sides (nullable through the
     left join, the asof_purchase_click precedent)."""
     _strict_compare_registered_unitsafe(spark, con, "bitemporal_asof")
+
+
+def test_staged_audience_overlap_matches_oracle_strict(spark, con):
+    """Round-13 staged query: the exact grouped audience-overlap join
+    (FILTER-ed bitmap aggregates, inclusion-exclusion) vs the
+    definitional DuckDB replay (same integer-µs midpoint cutoff, same
+    per-(type,user) membership fold). BIGINT counts + round-9 jaccard
+    on both sides."""
+    _strict_compare_staged(spark, con, "audience_overlap")
+
+
+def test_staged_audience_overlap_windows_and_groups_bind(spark):
+    """Falsifiability: (i) EVERY group sits in the interesting regime
+    (0 < n_inter < n_union) — the reason the staging uses 2-day edge
+    windows instead of the jaccard-degenerate half split, so a broken
+    intersection (always 0 / always union) flips every row; (ii) the
+    window width binds — 1-day windows give a different answer on at
+    least one group; (iii) inclusion-exclusion identity and the
+    intersection bound hold row-wise."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.functions.sketches import bitmap_overlap
+
+    rows = entry.staged_queries()["audience_overlap"](spark, SF_DIR).collect()
+    assert rows and all(0 < r["n_inter"] < r["n_union"] for r in rows)
+    for r in rows:
+        assert r["n_inter"] == r["n_early"] + r["n_late"] - r["n_union"]
+        assert 0 <= r["n_inter"] <= min(r["n_early"], r["n_late"])
+
+    ev = entry._t(spark, SF_DIR, "events").select(
+        "event_type", "user_id", F.unix_micros(F.col("ts")).alias("__us__")
+    )
+    bounds = ev.agg(
+        F.min("__us__").alias("__lo__"), F.max("__us__").alias("__hi__")
+    )
+    day = F.lit(86_400_000_000)
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    alt = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["n_inter"])
+        for r in bitmap_overlap(
+            tagged.filter(F.col("__us__") < F.col("__lo__") + day),
+            tagged.filter(F.col("__us__") >= F.col("__hi__") - day),
+            ["event_type"],
+            "user_id",
+        ).collect()
+    }
+    staged = {
+        r["event_type"]: (r["n_early"], r["n_late"], r["n_inter"]) for r in rows
+    }
+    assert alt != staged, "1-day windows give the same answer: width is vacuous"
+
+
+def test_staged_hll_user_overlap_matches_oracle_strict(spark, con):
+    """Round-13 staged query (second staging): the HLL sketch-join
+    invariants — four exact overlap counts (data-derived) + the
+    est_within_tol / inter_bounded flags pinned at 1.0 — vs the DuckDB
+    recompute. A broken sketch build/union/estimate flips a flag row;
+    the flag's bindingness is proven in test_sketches.py
+    (degraded-lgK test)."""
+    _strict_compare_staged(spark, con, "hll_user_overlap")
