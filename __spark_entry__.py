@@ -4404,6 +4404,120 @@ FROM m GROUP BY event_type ORDER BY event_type
 """
 
 
+_STRATIFIED_FRACTION = 0.05
+_STRATIFIED_MIN = 3
+_STRATIFIED_SALT = "r13"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 13 (second staged family — the r10-session-2
+    double-staging precedent): deterministic PROPORTIONAL stratified
+    sampling (operators.packing.stratified_sample) — every event type
+    contributes exactly ``max(ceil(0.05 * n_s), min(3, n_s))`` events,
+    chosen by engine-portable md5 order of (event_id, salt). The
+    corpus-downsampling contract that PRESERVES the strata mix while
+    bounding volume (per-source/per-language budgets), vs the
+    registered ``class_balanced`` which FLATTENS it (fixed 10 per
+    class) — the two allocations are the named distinction in the
+    operator docstring, and the falsifiability test pins that the
+    per-stratum targets here actually track stratum sizes.
+
+    Registry audit (the standing rule): ``class_balanced`` (fixed-n
+    md5 balancing), ``mixture_sample`` (per-source Bernoulli rates —
+    row counts are binomial, not exact), ``weighted_sample`` (global
+    weighted race), ``hash_split`` (partition assignment, not
+    sampling), ``temperature_mixture`` (rate computation, no rows
+    picked). None computes exact proportional per-stratum targets. No
+    registered name within edit distance 2 of ``stratified_sample``.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        ev,
+        ["event_type"],
+        "event_id",
+        _STRATIFIED_FRACTION,
+        salt=_STRATIFIED_SALT,
+        min_per_stratum=_STRATIFIED_MIN,
+    )
+    return out.select("event_id", "event_type", "user_id").orderBy("event_id")
+
+
+#: DuckDB replay of q_stratified_sample from the DEFINITION: the same
+#: per-stratum ceil(fraction*n) floor-at-min target and the same md5
+#: rank (md5(event_id || salt), event_id tiebreak).
+_STRATIFIED_SAMPLE_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT event_type,
+         greatest(ceil(count(*) * {_STRATIFIED_FRACTION}),
+                  least(count(*), {_STRATIFIED_MIN}))::BIGINT AS k
+  FROM events GROUP BY event_type),
+r AS (
+  SELECT event_id, event_type, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(event_id::VARCHAR || '{_STRATIFIED_SALT}'), event_id
+         ) AS rn
+  FROM events)
+SELECT r.event_id, r.event_type, r.user_id
+FROM r JOIN t USING (event_type) WHERE r.rn <= t.k
+ORDER BY r.event_id
+"""
+
+
+_WGS_K = 12
+_WGS_SALT = "w13"
+
+
+def q_weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 13 (second member of the sampling pair): per-group
+    weighted sampling without replacement
+    (operators.packing.weighted_group_sample) — the Efraimidis-Spirakis
+    exponential race of the registered ``weighted_sample`` run INSIDE
+    each event type: 12 events per type, weighted by ``value``, md5
+    u-draws, ``-ln(u)/w`` race keys, round(9) + id tiebreak, zero- and
+    negative-weight rows excluded (key = +inf never wins).
+
+    Registry audit: ``weighted_sample`` is the GLOBAL race (one winner
+    set; a heavy group can monopolize it — the falsifiability test
+    pins that the grouped winners differ from the global top-k
+    restricted to each group, i.e. the partitioned race genuinely
+    changes who wins); ``class_balanced``/``stratified_sample`` are
+    UNWEIGHTED md5 ranks; ``topk_pruned`` ranks by a data column, not
+    a race key. No registered name within edit distance 2.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.operators.packing import (
+        weighted_group_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = weighted_group_sample(
+        ev, ["event_type"], "event_id", "value", k=_WGS_K, salt=_WGS_SALT
+    )
+    return out.select("event_id", "event_type", "value").orderBy("event_id")
+
+
+#: DuckDB replay of q_weighted_group_sample: the weighted_sample oracle
+#: idiom (same md5 u-draw, exponential-race key, round(9) + id
+#: tiebreak) with the race PARTITIONED by event_type.
+_WEIGHTED_GROUP_SAMPLE_ORACLE_SQL = f"""
+WITH s AS (
+  SELECT event_id, event_type, value,
+    round(-ln(((('0x' || substr(md5(event_id::VARCHAR || ':{_WGS_SALT}'), 1, 15))::BIGINT
+                % 2147483647) + 1)::DOUBLE / 2147483648.0) / value, 9) AS sk
+  FROM events WHERE value > 0),
+r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY sk, event_id) AS rn
+  FROM s)
+SELECT event_id, event_type, value FROM r WHERE rn <= {_WGS_K}
+ORDER BY event_id
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -4457,10 +4571,20 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     overlap via FILTER-ed bitmap aggregates — strict SQL oracle) and
     ``hll_user_overlap`` (the HLL sketch-JOIN path with an invariant
     oracle, kmeans_cells precedent) — both registry-audited per the
-    standing rule (see their docstrings)."""
+    standing rule (see their docstrings). Round 13 also stages the
+    OTHER candidate VERDICT r12 item 3 named, as a second family (the
+    r10-session-2 double-staging precedent): the deterministic
+    distributed-sampling pair ``stratified_sample`` (proportional
+    per-stratum targets, md5 rank — preserves the strata mix, vs the
+    registered class_balanced which flattens it) and
+    ``weighted_group_sample`` (the Efraimidis-Spirakis race of the
+    registered weighted_sample, partitioned per group), both with
+    strict seeded-replay oracles."""
     return {
         "audience_overlap": q_audience_overlap,
         "hll_user_overlap": q_hll_user_overlap,
+        "stratified_sample": q_stratified_sample,
+        "weighted_group_sample": q_weighted_group_sample,
     }
 
 
@@ -4536,6 +4660,8 @@ def staged_oracle_sql() -> dict[str, str]:
     return {
         "audience_overlap": _AUDIENCE_OVERLAP_ORACLE_SQL,
         "hll_user_overlap": _HLL_USER_OVERLAP_ORACLE_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_ORACLE_SQL,
+        "weighted_group_sample": _WEIGHTED_GROUP_SAMPLE_ORACLE_SQL,
     }
 
 

@@ -14,6 +14,8 @@ are shard-local so no coordination crosses shards).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -127,6 +129,115 @@ def class_balanced_sample(
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= n_per_class)
         .drop("__rn__")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+    min_per_stratum: int = 0,
+) -> DataFrame:
+    """Deterministic PROPORTIONAL stratified sampling: every stratum
+    contributes exactly ``max(ceil(fraction * n_s), min(min_per_stratum,
+    n_s))`` rows, chosen by md5 order of ``(id, salt)`` — the
+    engine-portable rank, so the same (data, fraction, salt) yields the
+    same sample on any engine that can md5 (the class_balanced_sample /
+    hash_split replay discipline).
+
+    Differs from :func:`class_balanced_sample` (FIXED n per class —
+    balancing flattens the class distribution) exactly where it
+    matters: proportional allocation PRESERVES the strata mix while
+    bounding total volume, the standard corpus-downsampling contract
+    (per-source/per-language budgets that track corpus shares), with
+    ``min_per_stratum`` as the small-strata floor (capped at the
+    stratum size, so tiny strata are kept whole, never upsampled).
+
+    100 TB shape: the per-stratum targets are ONE metadata-sized
+    aggregate (|strata| rows) broadcast onto the corpus — the corpus
+    itself moves through exactly ONE hash exchange on the strata key
+    for the rank window. A hot stratum is one partition's ordered run
+    (the same bound as every window op here); for network-bound
+    shuffles the map-side bottom-k prune (functions/skew.py
+    topk_per_group with k = max target) composes in front without
+    changing the result — any row a local prune drops is provably
+    outside its stratum's target under the same total order.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    strata = list(strata_cols)
+    targets = df.groupBy(*strata).agg(
+        F.greatest(
+            F.ceil(F.count(F.lit(1)) * F.lit(float(fraction))),
+            F.least(F.count(F.lit(1)), F.lit(int(min_per_stratum))),
+        )
+        .cast("long")
+        .alias("__k__")
+    )
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*strata).orderBy(order, id_col)
+    return (
+        df.join(F.broadcast(targets), strata)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= F.col("__k__"))
+        .drop("__rn__", "__k__")
+    )
+
+
+def weighted_group_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement —
+    :func:`weighted_sample`'s Efraimidis-Spirakis exponential race run
+    INSIDE each group: every row draws the same engine-portable md5
+    u-value and races with key ``-ln(u) / w``; the k smallest keys PER
+    GROUP are a correctly-distributed weighted sample of that group.
+
+    Differs from :func:`weighted_sample` (GLOBAL top-k — one winner set
+    for the whole corpus) in the partitioning of the race, which is the
+    whole point: per-source/per-class weighted budgets in one pass.
+    Same key arithmetic bit-for-bit (md5 u-draw, ``-ln(u)/w``, round(9)
+    + id tiebreak, ``w <= 0`` never wins), so the DuckDB replay oracle
+    carries over per group.
+
+    100 TB shape: the key is a pure map-side expression; selection is
+    one hash exchange on the group key + a rank window (k rows kept per
+    group). The map-side prune (topk_per_group ascending on the key)
+    composes in front for network-bound shuffles, provably
+    output-identical.
+    """
+    p = 2147483647
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(p)
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(p + 1))
+    wgt = F.col(weight_col).cast("double")
+    key = F.when(wgt > 0, -F.log(u) / wgt).otherwise(F.lit(float("inf")))
+    win = Window.partitionBy(*group_cols).orderBy(F.asc("__sk__"), F.asc(id_col))
+    return (
+        df.withColumn("__sk__", F.round(key, 9))
+        .filter(F.col("__sk__") != float("inf"))
+        .withColumn("__rn__", F.row_number().over(win))
+        .filter(F.col("__rn__") <= k)
+        .drop("__sk__", "__rn__")
     )
 
 

@@ -617,3 +617,23 @@ def test_hll_user_overlap_sketch_join_is_metadata_sized(spark, entry_mod):
     assert "ShuffledHashJoin" not in plan
     assert "Python" not in plan
     assert "hll_sketch_agg" in plan
+
+
+def test_stratified_sample_targets_broadcast_one_corpus_exchange(spark, entry_mod):
+    """Round-13 staged sampling pair: the per-stratum target table
+    (|strata| rows) joins by BROADCAST; the corpus moves through
+    exactly one hash exchange on the strata key for the rank window —
+    no SortMergeJoin, no Python."""
+    plan = plan_of(entry_mod.staged_queries()["stratified_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_weighted_group_sample_key_is_map_side_no_join(spark, entry_mod):
+    """The race key is a pure map-side expression: zero Join nodes of
+    any kind, zero Python; one corpus exchange on the group key feeds
+    the rank window."""
+    plan = plan_of(entry_mod.staged_queries()["weighted_group_sample"](spark, SF))
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -94,8 +94,18 @@ def test_staging_area_contents_and_promotions():
     # document similarity; retention_cohort/monthly_retention are
     # cohort activity matrices — none computes a grouped set
     # intersection between two corpora).
+    # Round 13 also stages the second family VERDICT r12 item 3 named
+    # (the r10-session-2 double-staging precedent): the deterministic
+    # sampling pair stratified_sample (proportional per-stratum md5
+    # rank; class_balanced is the fixed-n flattening allocation,
+    # mixture_sample is Bernoulli/inexact, hash_split is partition
+    # assignment) + weighted_group_sample (per-group E-S race;
+    # weighted_sample is the GLOBAL race).
     staged = entry.staged_queries()
-    assert set(staged) == {"audience_overlap", "hll_user_overlap"}
+    assert set(staged) == {
+        "audience_overlap", "hll_user_overlap",
+        "stratified_sample", "weighted_group_sample",
+    }
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -613,3 +623,81 @@ def test_staged_hll_user_overlap_matches_oracle_strict(spark, con):
     the flag's bindingness is proven in test_sketches.py
     (degraded-lgK test)."""
     _strict_compare_staged(spark, con, "hll_user_overlap")
+
+
+def test_staged_stratified_sample_matches_oracle_strict(spark, con):
+    """Round-13 staged (second family): proportional stratified
+    sampling vs the definitional DuckDB replay — same per-stratum
+    ceil(fraction*n) floor-at-min target, same md5(id||salt) rank,
+    same id tiebreak."""
+    _strict_compare_staged(spark, con, "stratified_sample")
+
+
+def test_staged_stratified_sample_proportionality_binds(spark):
+    """Falsifiability vs the registered class_balanced allocation: the
+    per-stratum sample sizes must EQUAL the proportional targets
+    computed from the true stratum sizes (not a constant), and the
+    fraction binds — doubling it changes the sample."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import stratified_sample
+
+    ev = entry._t(spark, SF_DIR, "events")
+    sizes = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = entry.staged_queries()["stratified_sample"](spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got[r["event_type"]] = got.get(r["event_type"], 0) + 1
+    want = {
+        t: max(math.ceil(n * entry._STRATIFIED_FRACTION), min(n, entry._STRATIFIED_MIN))
+        for t, n in sizes.items()
+    }
+    assert got == want
+    bigger = stratified_sample(
+        ev, ["event_type"], "event_id", entry._STRATIFIED_FRACTION * 2,
+        salt=entry._STRATIFIED_SALT, min_per_stratum=entry._STRATIFIED_MIN,
+    ).count()
+    assert bigger > len(rows), "fraction is vacuous"
+
+
+def test_staged_weighted_group_sample_matches_oracle_strict(spark, con):
+    """Round-13 staged (second family, second member): the per-group
+    E-S exponential race vs the DuckDB replay (weighted_sample's
+    oracle idiom partitioned by event_type)."""
+    _strict_compare_staged(spark, con, "weighted_group_sample")
+
+
+def test_staged_weighted_group_race_is_per_group_not_global(spark):
+    """Falsifiability vs the registered weighted_sample: the grouped
+    winners must NOT equal the global race's winners restricted to
+    each group (same key arithmetic, same salt) — if they always did,
+    the partitioned race would re-prove the global query. Also pins
+    k-per-group exactness and the w<=0 exclusion."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import (
+        weighted_group_sample,
+        weighted_sample,
+    )
+
+    ev = entry._t(spark, SF_DIR, "events")
+    grouped = entry.staged_queries()["weighted_group_sample"](spark, SF_DIR)
+    per_group = {}
+    for r in grouped.collect():
+        per_group.setdefault(r["event_type"], set()).add(r["event_id"])
+    n_types = len(per_group)
+    assert all(len(v) == entry._WGS_K for v in per_group.values())
+    # global race, same salt/key arithmetic, same TOTAL budget
+    glob = weighted_sample(
+        ev, "event_id", "value", k=entry._WGS_K * n_types, salt=entry._WGS_SALT
+    )
+    glob_by_type = {}
+    for r in glob.select("event_id", "event_type").collect():
+        glob_by_type.setdefault(r["event_type"], set()).add(r["event_id"])
+    assert glob_by_type != per_group, (
+        "global and grouped races picked identical winners: partitioning vacuous"
+    )
+    # zero/negative weights never win
+    assert grouped.filter(F.col("value") <= 0).count() == 0
