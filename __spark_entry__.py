@@ -4252,10 +4252,18 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     within edit distance 2 of ``audience_overlap``.
     """
     _prep(spark)
-    from meds_polars_functions_spark.functions.sketches import bitmap_overlap
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_overlap_flags,
+    )
 
-    _, early, late = _audience_sides(spark, sf_dir)
-    out = bitmap_overlap(early, late, ["event_type"], "user_id")
+    tagged, _, _ = _audience_sides(spark, sf_dir)
+    # single-pass flagged form: both memberships come from ONE scan of
+    # events (the two-sided API would plan the tagged subtree twice —
+    # the round-13 executed-plan audit read 4 scans; this one reads 2:
+    # the window-bounds aggregate + the data pass)
+    out = bitmap_overlap_flags(
+        tagged, ["event_type"], "user_id", "__in_a__", "__in_b__"
+    )
     return out.select(
         "event_type",
         F.col("n_a").alias("n_early"),
@@ -4335,10 +4343,17 @@ def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     STYLE. No registered name within edit distance 2.
     """
     _prep(spark)
-    from meds_polars_functions_spark.functions.sketches import hll_overlap
+    from meds_polars_functions_spark.functions.sketches import (
+        hll_overlap_flags,
+    )
 
-    tagged, early, late = _audience_sides(spark, sf_dir)
-    est = hll_overlap(early, late, ["event_type"], "user_id")
+    tagged, _, _ = _audience_sides(spark, sf_dir)
+    # single-pass flagged form (identical estimates — HLL register
+    # state depends only on each side's value SET): one corpus pass
+    # with map-side partial sketches instead of two side subtrees
+    est = hll_overlap_flags(
+        tagged, ["event_type"], "user_id", "__in_a__", "__in_b__"
+    )
 
     member = (
         tagged.groupBy("event_type", "user_id")

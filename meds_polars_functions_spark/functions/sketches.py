@@ -185,6 +185,12 @@ def bitmap_overlap(
         ).alias("__cb__"),
         F.expr("bitmap_count(bitmap_construct_agg(__pos__))").alias("__cu__"),
     )
+    return _overlap_close(per_bucket, group_cols)
+
+
+def _overlap_close(per_bucket: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared closing for the bitmap overlap forms: per-bucket popcounts
+    -> per-group counts -> inclusion-exclusion + round-9 jaccard."""
     counts = per_bucket.groupBy(*group_cols).agg(
         F.sum(F.coalesce("__ca__", F.lit(0))).alias("n_a"),
         F.sum(F.coalesce("__cb__", F.lit(0))).alias("n_b"),
@@ -202,6 +208,94 @@ def bitmap_overlap(
                 F.lit(0.0)
             ),
             9,
+        ).alias("jaccard"),
+    )
+
+
+def bitmap_overlap_flags(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    in_a_col: str,
+    in_b_col: str,
+) -> DataFrame:
+    """:func:`bitmap_overlap` when both memberships are boolean FLAGS on
+    ONE frame (e.g. "active in window A / window B" computed from the
+    same scan) — the single-pass form: the two-sided API unions two
+    filtered branches of the same subtree, which Spark plans as TWO
+    corpus scans; here the corpus is scanned ONCE, rows in neither side
+    are dropped map-side, and the same (group, bucket) exchange builds
+    all three bitmaps via FILTER-ed aggregates. Output is identical to
+    ``bitmap_overlap(df.filter(a), df.filter(b), ...)`` by construction
+    (same memberships, same bitmap algebra). Flag columns must be bare
+    column names (they are spliced into FILTER clauses)."""
+    d = df.filter(F.col(in_a_col) | F.col(in_b_col))
+    addressed = d.select(
+        *group_cols,
+        F.col(in_a_col),
+        F.col(in_b_col),
+        F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt__"),
+        F.expr(f"bitmap_bit_position({key_col})").alias("__pos__"),
+    )
+    per_bucket = addressed.groupBy(*group_cols, "__bkt__").agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(__pos__)"
+            f" FILTER (WHERE {in_a_col}))"
+        ).alias("__ca__"),
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(__pos__)"
+            f" FILTER (WHERE {in_b_col}))"
+        ).alias("__cb__"),
+        F.expr("bitmap_count(bitmap_construct_agg(__pos__))").alias("__cu__"),
+    )
+    return _overlap_close(per_bucket, group_cols)
+
+
+def hll_overlap_flags(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    in_a_col: str,
+    in_b_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """:func:`hll_overlap`'s single-pass flagged form: one corpus scan,
+    one (group)-keyed exchange with MAP-SIDE PARTIAL SKETCHES building
+    all three HLL states via FILTER-ed ``hll_sketch_agg`` — no sketch
+    tables, no union step, zero joins. Estimates are identical to the
+    two-sided path: an HLL register state depends only on the SET of
+    inserted values (hashing is idempotent), and each FILTER admits
+    exactly the side's value set. Use this when both memberships derive
+    from one frame; use :func:`hll_overlap_from_sketches` when the
+    sides are pre-maintained sketch tables."""
+    d = df.filter(F.col(in_a_col) | F.col(in_b_col))
+    agg = d.groupBy(*group_cols).agg(
+        F.expr(
+            f"hll_sketch_agg({key_col}, {lgk}) FILTER (WHERE {in_a_col})"
+        ).alias("__ua__"),
+        F.expr(
+            f"hll_sketch_agg({key_col}, {lgk}) FILTER (WHERE {in_b_col})"
+        ).alias("__ub__"),
+        F.expr(f"hll_sketch_agg({key_col}, {lgk})").alias("__uu__"),
+    )
+    return _estimate_overlap(agg, group_cols)
+
+
+def _estimate_overlap(agg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared estimator closing for the HLL overlap forms: three sketch
+    columns -> estimates -> floored inclusion-exclusion + jaccard."""
+    est_a = F.coalesce(F.expr("hll_sketch_estimate(__ua__)"), F.lit(0))
+    est_b = F.coalesce(F.expr("hll_sketch_estimate(__ub__)"), F.lit(0))
+    est_u = F.coalesce(F.expr("hll_sketch_estimate(__uu__)"), F.lit(0))
+    inter = F.greatest(est_a + est_b - est_u, F.lit(0))
+    return agg.select(
+        *group_cols,
+        est_a.alias("n_a"),
+        est_b.alias("n_b"),
+        est_u.alias("n_union"),
+        inter.alias("n_inter"),
+        F.round(
+            F.when(est_u > 0, inter / est_u).otherwise(F.lit(0.0)), 9
         ).alias("jaccard"),
     )
 
@@ -251,20 +345,7 @@ def hll_overlap_from_sketches(
         ),
         F.expr("hll_union_agg(__sk__)").alias("__uu__"),
     )
-    est_a = F.coalesce(F.expr("hll_sketch_estimate(__ua__)"), F.lit(0))
-    est_b = F.coalesce(F.expr("hll_sketch_estimate(__ub__)"), F.lit(0))
-    est_u = F.coalesce(F.expr("hll_sketch_estimate(__uu__)"), F.lit(0))
-    inter = F.greatest(est_a + est_b - est_u, F.lit(0))
-    return agg.select(
-        *gl,
-        est_a.alias("n_a"),
-        est_b.alias("n_b"),
-        est_u.alias("n_union"),
-        inter.alias("n_inter"),
-        F.round(
-            F.when(est_u > 0, inter / est_u).otherwise(F.lit(0.0)), 9
-        ).alias("jaccard"),
-    )
+    return _estimate_overlap(agg, gl)
 
 
 def hll_overlap(

@@ -454,3 +454,36 @@ def test_hll_overlap_flags_flip_on_degraded_sketch(spark):
 
     assert flags(12) is True
     assert flags(4) is False
+
+
+def test_flagged_overlap_forms_equal_two_sided(spark):
+    """The single-pass flagged forms are output-IDENTICAL to the
+    two-sided APIs on the same memberships — bitmap exactly, HLL
+    register-exactly (sketch state depends only on each side's value
+    set). This is the identity that let the round-13 staged queries
+    drop from 4 (resp. 6) corpus scans to one data pass."""
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_overlap,
+        bitmap_overlap_flags,
+        hll_overlap,
+        hll_overlap_flags,
+    )
+
+    base = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 211).alias("k"),
+        ((F.col("id") % 7) < 4).alias("fa"),
+        ((F.col("id") % 5) < 2).alias("fb"),
+    )
+    a = base.filter("fa")
+    b = base.filter("fb")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(bitmap_overlap_flags(base, ["g"], "k", "fa", "fb")) == rows(
+        bitmap_overlap(a, b, ["g"], "k")
+    )
+    assert rows(hll_overlap_flags(base, ["g"], "k", "fa", "fb")) == rows(
+        hll_overlap(a, b, ["g"], "k")
+    )
