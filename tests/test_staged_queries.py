@@ -701,3 +701,89 @@ def test_staged_weighted_group_race_is_per_group_not_global(spark):
     )
     # zero/negative weights never win
     assert grouped.filter(F.col("value") <= 0).count() == 0
+
+
+def test_stratified_sample_shard_merge_law(spark):
+    """The distributed-reservoir property that makes the md5 rank a
+    MERGEABLE per-stratum state: with the per-stratum targets k_s fixed
+    from GLOBAL counts, pruning each shard to its local bottom-k_s (by
+    the same md5 order) and re-ranking the union of the prunes yields
+    EXACTLY the direct sample — any row a shard-local prune drops is
+    provably outside the global bottom-k_s. This is the map-side /
+    incremental-shard form at 100 TB (new shard arrives -> prune it,
+    merge rank with the kept state; no global re-scan)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import stratified_sample
+
+    ev = entry._t(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    frac, mn, salt = 0.07, 2, "mrg"
+    direct = stratified_sample(
+        ev, ["event_type"], "event_id", frac, salt=salt, min_per_stratum=mn
+    )
+    want = sorted((r["event_type"], r["event_id"]) for r in direct.collect())
+
+    # global targets once
+    sizes = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ks = {t: max(math.ceil(n * frac), min(n, mn)) for t, n in sizes.items()}
+    kmax = max(ks.values())
+    order = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt)))
+    w = Window.partitionBy("event_type").orderBy(order, "event_id")
+    pruned = []
+    for i in range(3):  # three disjoint shards
+        shard = ev.filter(F.col("event_id") % 3 == i)
+        pruned.append(
+            shard.withColumn("__r__", F.row_number().over(w))
+            .filter(F.col("__r__") <= kmax)  # local prune at max target
+            .drop("__r__")
+        )
+    merged = pruned[0].unionByName(pruned[1]).unionByName(pruned[2])
+    refinal = merged.withColumn("__r__", F.row_number().over(w))
+    got = sorted(
+        (r["event_type"], r["event_id"])
+        for r in refinal.collect()
+        if r["__r__"] <= ks[r["event_type"]]
+    )
+    assert got == want
+
+
+def test_weighted_group_sample_shard_merge_law(spark):
+    """Same merge law for the per-group E-S race: per-shard bottom-k by
+    the race key, merged and re-ranked, equals the direct grouped
+    sample — the race key is a pure row property, so the winner set is
+    shard-decomposable (the classic distributed weighted reservoir)."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import (
+        weighted_group_sample,
+    )
+
+    ev = entry._t(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    k, salt = 7, "mrg2"
+    direct = weighted_group_sample(
+        ev, ["event_type"], "event_id", "value", k=k, salt=salt
+    )
+    want = sorted((r["event_type"], r["event_id"]) for r in direct.collect())
+    shards = [
+        weighted_group_sample(
+            ev.filter(F.col("event_id") % 3 == i),
+            ["event_type"], "event_id", "value", k=k, salt=salt,
+        )
+        for i in range(3)
+    ]
+    merged = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    refinal = weighted_group_sample(
+        merged, ["event_type"], "event_id", "value", k=k, salt=salt
+    )
+    got = sorted((r["event_type"], r["event_id"]) for r in refinal.collect())
+    assert got == want
