@@ -112,3 +112,54 @@ def streaming_dedup(
             key_cols
         )
     return stream.dropDuplicates(key_cols)
+
+
+def streaming_hll_overlap(
+    stream: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    in_a_col: str,
+    in_b_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming twin of ``functions.sketches.hll_overlap_flags``: live
+    per-group set-overlap estimates (``n_a, n_b, n_union, n_inter,
+    jaccard``) over an unbounded feed, in update mode.
+
+    Spark-first state design — NO custom stateful code: the three
+    FILTER-ed ``hll_sketch_agg`` aggregates run inside the native
+    streaming-aggregation operator, whose merge buffer IS the HLL
+    register state (O(2^lgk) bytes per group, never O(events)). Because
+    the registers are the SAME DataSketches state the batch path
+    builds, the final per-group estimates equal
+    ``hll_overlap_flags(all data)`` EXACTLY — not approximately —
+    regardless of micro-batch split or order (register merge is a
+    commutative monoid; pinned by the shuffled/reversed parity test).
+
+    Contrast with the applyInPandasWithState suite (stateful.py): those
+    ops need per-event ordering or custom emit logic; a mergeable
+    sketch needs neither, so the declarative form is both simpler and
+    exactly-parity. Works identically on a batch DataFrame (the
+    aggregate is the same expression), which is how the parity oracle
+    exercises it.
+
+    No watermark: overlap is a running whole-history statistic (state
+    is bounded by |groups| x 2^lgk regardless of retention). For
+    windowed overlap, compose ``F.window`` into ``group_cols`` and add
+    a watermark upstream — the aggregate itself is unchanged.
+    """
+    from meds_polars_functions_spark.functions.sketches import (
+        _estimate_overlap,
+    )
+
+    d = stream.filter(F.col(in_a_col) | F.col(in_b_col))
+    agg = d.groupBy(*group_cols).agg(
+        F.expr(
+            f"hll_sketch_agg({key_col}, {lgk}) FILTER (WHERE {in_a_col})"
+        ).alias("__ua__"),
+        F.expr(
+            f"hll_sketch_agg({key_col}, {lgk}) FILTER (WHERE {in_b_col})"
+        ).alias("__ub__"),
+        F.expr(f"hll_sketch_agg({key_col}, {lgk})").alias("__uu__"),
+    )
+    return _estimate_overlap(agg, list(group_cols))

@@ -131,3 +131,105 @@ def test_streaming_dedup_matches_batch_keys(spark, event_stream_dir):
     )
     assert got == batch
     assert got == [(100, "click"), (100, "view"), (200, "click"), (200, "view")]
+
+
+def test_streaming_hll_overlap_exact_parity_any_order(spark):
+    """streaming_hll_overlap == batch hll_overlap_flags EXACTLY (same
+    DataSketches registers, merged in the native streaming-agg buffer),
+    over THREE SHUFFLED micro-batches of the sf0.001 events split into
+    first/last-2-day audience flags — and a reversed batch order gives
+    the same final rows. No custom state code anywhere: the declarative
+    aggregate IS the state."""
+    import os
+    import random
+
+    from meds_polars_functions_spark.functions.sketches import hll_overlap_flags
+    from meds_polars_functions_spark.streaming.events import streaming_hll_overlap
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.select(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    day2 = 2 * 86_400_000_000
+    flagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "user_id",
+        (us < F.col("lo") + day2).alias("fa"),
+        (us >= F.col("hi") - day2).alias("fb"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in hll_overlap_flags(
+            flagged, ["event_type"], "user_id", "fa", "fb"
+        ).collect()
+    )
+    assert want and any(r[4] not in (0.0, 1.0) for r in want)  # non-degenerate
+
+    rows_all = flagged.collect()
+    rng = random.Random(5)
+    rng.shuffle(rows_all)
+    cut = len(rows_all) // 3
+    chunks = [rows_all[:cut], rows_all[cut : 2 * cut], rows_all[2 * cut :]]
+
+    def run_order(chunks, tag):
+        d = tempfile.mkdtemp(prefix=f"shllov_{tag}_")
+        ckpt = tempfile.mkdtemp(prefix=f"shllov_ck_{tag}_")
+        try:
+            for i, chunk in enumerate(chunks, 1):
+                spark.createDataFrame(chunk, flagged.schema).coalesce(1).write.parquet(
+                    os.path.join(d, f"f{i}")
+                )
+            stream = (
+                spark.readStream.schema(flagged.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(d, "*"))
+            )
+            out = streaming_hll_overlap(
+                stream, ["event_type"], "user_id", "fa", "fb"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"shllov_{tag}")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            rows = spark.table(f"shllov_{tag}").collect()
+            final = {}
+            for r in rows:  # last update per group wins
+                if r["n_union"] >= final.get(r["event_type"], (0,))[0]:
+                    final[r["event_type"]] = (
+                        r["n_union"], r["n_a"], r["n_b"], r["n_inter"], r["jaccard"],
+                    )
+            return {
+                g: (v[1], v[2], v[0], v[3], v[4]) for g, v in final.items()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    fwd = run_order(chunks, "fwd")
+    assert sorted((g, *v) for g, v in fwd.items()) == want
+    rev = run_order(chunks[::-1], "rev")
+    assert rev == fwd
+
+
+def test_streaming_hll_overlap_same_expression_on_batch(spark):
+    """The operator applied to a plain batch DataFrame is exactly
+    hll_overlap_flags — one code path, which is what lets the oracle
+    exercise the streaming aggregate in batch."""
+    from meds_polars_functions_spark.functions.sketches import hll_overlap_flags
+    from meds_polars_functions_spark.streaming.events import streaming_hll_overlap
+
+    df = spark.range(500).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") % 97).alias("k"),
+        ((F.col("id") % 3) < 2).alias("fa"),
+        ((F.col("id") % 4) < 2).alias("fb"),
+    )
+    a = sorted(tuple(r) for r in streaming_hll_overlap(df, ["g"], "k", "fa", "fb").collect())
+    b = sorted(tuple(r) for r in hll_overlap_flags(df, ["g"], "k", "fa", "fb").collect())
+    assert a == b
