@@ -163,3 +163,38 @@ def streaming_hll_overlap(
         F.expr(f"hll_sketch_agg({key_col}, {lgk})").alias("__uu__"),
     )
     return _estimate_overlap(agg, list(group_cols))
+
+
+def streaming_percentile_profile(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percentiles: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Streaming twin of ``operators.profiles.approx_percentile_profile``
+    (the round-13-registered GK-sketch quantile profile) — and
+    deliberately a ONE-LINE delegation: the profile is a declarative
+    aggregation, so on an unbounded feed the native streaming-agg
+    operator keeps the Greenwald-Khanna summary as its merge buffer
+    (O(1/eps log eps*n) per group) and update mode emits the current
+    ``(group, percentile, n, approx_value)`` rows every batch. No
+    custom state code, same expression batch and stream — the
+    streaming_hll_overlap pattern.
+
+    Parity contract (pinned by test): GK merge is order-sensitive in
+    its retained samples, so interior answers may differ from the
+    batch run by compression history — but every emitted answer
+    satisfies the SAME rank guarantee
+    (``operators.profiles.verify_percentile_profile`` holds against
+    the full data), ``p0``/``p100`` are the exact extremes, and ``n``
+    is the exact count. Running whole-history profile; for windowed
+    profiles compose ``F.window`` into ``group_cols`` with an upstream
+    watermark."""
+    from meds_polars_functions_spark.operators.profiles import (
+        approx_percentile_profile,
+    )
+
+    return approx_percentile_profile(
+        stream, value_col, group_cols, percentiles, accuracy
+    )

@@ -233,3 +233,95 @@ def test_streaming_hll_overlap_same_expression_on_batch(spark):
     a = sorted(tuple(r) for r in streaming_hll_overlap(df, ["g"], "k", "fa", "fb").collect())
     b = sorted(tuple(r) for r in hll_overlap_flags(df, ["g"], "k", "fa", "fb").collect())
     assert a == b
+
+
+def test_streaming_percentile_profile_holds_gk_guarantee_any_order(spark):
+    """The GK profile as a REAL multi-batch stream (3 shuffled
+    micro-batches of sf0.001 events): the final per-group rows must
+    (i) carry the exact n and exact p0/p100 extremes, and (ii) satisfy
+    the GK rank guarantee against the FULL data
+    (verify_percentile_profile rank_ok on every row). Interior answers
+    may legally differ from the batch run's (merge order changes the
+    retained samples) — the guarantee, not bit-equality, is the
+    streaming contract."""
+    import os
+    import random
+
+    from meds_polars_functions_spark.operators.profiles import (
+        verify_percentile_profile,
+    )
+    from meds_polars_functions_spark.streaming.events import (
+        streaming_percentile_profile,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = ev.select("event_type", "value")
+    PS, ACC = [0.0, 0.5, 0.9, 1.0], 100
+
+    rows_all = ev.collect()
+    rng = random.Random(11)
+    rng.shuffle(rows_all)
+    cut = len(rows_all) // 3
+    chunks = [rows_all[:cut], rows_all[cut : 2 * cut], rows_all[2 * cut :]]
+    d = tempfile.mkdtemp(prefix="sppf_")
+    ckpt = tempfile.mkdtemp(prefix="sppf_ck_")
+    try:
+        for i, chunk in enumerate(chunks, 1):
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+                os.path.join(d, f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        out = streaming_percentile_profile(
+            stream, "value", ["event_type"], PS, accuracy=ACC
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sppf")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.table("sppf").collect()
+        final = {}
+        for r in rows:  # last update (largest n) per (group, percentile)
+            k = (r["event_type"], r["percentile"])
+            if r["n"] >= final.get(k, (0, None))[0]:
+                final[k] = (r["n"], r["approx_value"])
+        # exact n everywhere
+        n_want = {
+            r["event_type"]: r["n"]
+            for r in ev.filter(F.col("value").isNotNull())
+            .groupBy("event_type").agg(F.count("value").alias("n")).collect()
+        }
+        assert {g for g, _ in final} == set(n_want)
+        assert all(v[0] == n_want[g] for (g, _), v in final.items())
+        # exact extremes
+        ext = {
+            r["event_type"]: (r["mn"], r["mx"])
+            for r in ev.groupBy("event_type")
+            .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+            .collect()
+        }
+        for g, (mn, mx) in ext.items():
+            assert final[(g, 0.0)][1] == mn and final[(g, 1.0)][1] == mx
+        # GK rank guarantee for every final row, checked against FULL data
+        prof = spark.createDataFrame(
+            [(g, p, n, v) for (g, p), (n, v) in final.items()],
+            "event_type string, percentile double, n long, approx_value double",
+        )
+        ver = verify_percentile_profile(
+            ev, prof, "value", ["event_type"], accuracy=ACC
+        )
+        bad = [tuple(r) for r in ver.filter(~F.col("rank_ok")).collect()]
+        assert not bad, f"streamed answers outside the GK window: {bad}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
