@@ -4533,6 +4533,86 @@ ORDER BY event_id
 """
 
 
+#: Unroll depth for the k-core oracle: the H-iteration reaches its
+#: fixpoint in 1/3/5 changing rounds at sf0.001/0.01/0.1 (measured; the
+#: +1 confirmation round is Spark-side only), so 10 unrolled rounds
+#: hold 4+ rounds of headroom at every tested SF. The Spark side runs
+#: to the TRUE fixpoint (early stop), which equals any >=fixpoint-depth
+#: unroll by idempotence of the H-operator at its fixpoint.
+_KCORE_ORACLE_ROUNDS = 10
+
+
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 13 (third staged family — graph axis growth, a
+    VERDICT r12 candidate list member): EXACT k-core decomposition of
+    the supplier-customer trade graph (operators.graph
+    k_core_decomposition) — coreness per node via the distributed
+    H-index fixpoint iteration (Lü et al. 2016), the standard
+    "dense-engagement tier" signal for corpus/domain pruning (drop
+    low-core periphery, keep the dense core).
+
+    FULL-VALUE strict oracle (not invariant-style): the H-iteration
+    from degree init is unrollable — the DuckDB replay chains
+    ``_KCORE_ORACLE_ROUNDS`` join+rank rounds (the label_propagation
+    unrolled-CTE precedent), which exceeds the measured fixpoint depth
+    at every SF, and the fixpoint is idempotent, so exact (node,
+    coreness) equality is checkable. Brute-force peeling equality and
+    the corruption-flip falsifiability live in tests/test_graph.py.
+
+    Registry audit (the standing rule): ``pagerank_trade`` (importance
+    scores, float power iteration), ``label_propagation``
+    (communities, argmax label rule), ``triangles`` (closed-triple
+    counting), ``dedup_clusters``/``semantic_dedup`` (connected
+    components — coreness is NOT a component id: components answer
+    "connected at all", coreness answers "how densely embedded"). No
+    registered name within edit distance 2 of ``kcore_trade``.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.operators.graph import (
+        k_core_decomposition,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core_decomposition(edges).orderBy("node")
+
+
+def _kcore_oracle_sql(rounds: int = _KCORE_ORACLE_ROUNDS) -> str:
+    """DuckDB replay of q_kcore_trade from the DEFINITION: same trade
+    edges, same degree init, ``rounds`` unrolled H-index rounds (rank
+    neighbors by value desc, H = max(least(rank, value)))."""
+    parts = [
+        """WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 10000000 AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+und AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+c0 AS (SELECT s AS node, count(*)::BIGINT AS c FROM und GROUP BY s)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT u.s AS node,
+         least(c.c, row_number() OVER (PARTITION BY u.s
+                                       ORDER BY c.c DESC, u.d)) AS h
+  FROM und u JOIN c{i - 1} c ON c.node = u.d),
+c{i} AS (SELECT node, max(h)::BIGINT AS c FROM r{i} GROUP BY node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, c AS coreness FROM c{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -4600,6 +4680,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap": q_hll_user_overlap,
         "stratified_sample": q_stratified_sample,
         "weighted_group_sample": q_weighted_group_sample,
+        "kcore_trade": q_kcore_trade,
     }
 
 
@@ -4677,6 +4758,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "hll_user_overlap": _HLL_USER_OVERLAP_ORACLE_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE_SQL,
         "weighted_group_sample": _WEIGHTED_GROUP_SAMPLE_ORACLE_SQL,
+        "kcore_trade": _kcore_oracle_sql(),
     }
 
 

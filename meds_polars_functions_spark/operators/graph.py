@@ -226,3 +226,131 @@ def label_propagation(
         if (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core_decomposition(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Exact k-core decomposition (coreness per node) by the distributed
+    H-index fixpoint iteration (Lü/Chen/Ren/Zhang/Zhou/Stanley 2016:
+    the H-operator ``c(v) <- H({c(u): u in N(v)})`` started from
+    ``c = degree`` converges monotonically DOWN to the coreness —
+    no peeling, no global ordering, pure neighbor propagation).
+
+    Returns ``(node, coreness)`` over the undirected simple graph
+    (direction and self-loops dropped). Isolated nodes never appear in
+    the edge list and are out of scope, like label_propagation above.
+
+    Scale design (the LPA skeleton): the undirected edge table is
+    materialized once, pre-partitioned on the neighbor-side join key
+    and persisted; each iteration is ONE join (coreness is
+    |nodes|-sized, edges reuse their exchange) + one per-node H-index.
+    The H-index avoids any collect: with neighbor values ranked
+    descending per node, ``H = max(min(rank, value))`` — a window +
+    map-side min + a declarative max aggregate. A hub node is one
+    partition's ordered run (the standard window bound). The update is
+    monotone non-increasing and integer-valued, so the fixpoint check
+    is exact: the loop stops the first round NOTHING changes (one
+    driver-side count per iteration — the same O(1)-rows round-trip
+    class as the kmeans trainer's convergence test), with ``max_iter``
+    as a backstop (convergence is typically O(graph "depth"), tens of
+    rounds on real graphs). Lineage cut with localCheckpoint.
+    """
+    from pyspark.sql import Window
+
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    und = (
+        e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition("d")
+        .persist()
+    )
+    cores = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("coreness"))
+        .persist()
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("__nc__").desc(), F.col("__nbr__")
+    )
+    for it in range(max_iter):
+        nbr = und.join(
+            cores.select(F.col("node").alias("d"), F.col("coreness").alias("__nc__")),
+            "d",
+        ).select(F.col("s").alias("node"), F.col("d").alias("__nbr__"), "__nc__")
+        new = (
+            nbr.select(
+                "node",
+                F.least(F.col("__nc__"), F.row_number().over(w)).alias("__h__"),
+            )
+            .groupBy("node")
+            .agg(F.max("__h__").alias("coreness"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
+        changed = (
+            new.join(
+                cores.select("node", F.col("coreness").alias("__old__")), "node"
+            )
+            .filter(F.col("coreness") != F.col("__old__"))
+            .limit(1)
+            .count()
+        )
+        old = cores
+        cores = new
+        old.unpersist()
+        if changed == 0:
+            break
+    und.unpersist()
+    return cores
+
+
+def verify_k_core(edges: DataFrame, cores: DataFrame) -> DataFrame:
+    """Adversarial fixpoint check of a coreness table against the raw
+    edges, for the invariant-oracle style: one more H-pass over the
+    graph plus the core property, emitted as per-node booleans:
+
+    - ``fixpoint_ok``: ``coreness(v) == H({coreness(u): u in N(v)})`` —
+      coreness is the unique degree-initialized fixpoint of the
+      H-operator, so ANY perturbation of a correct table flips this
+      somewhere (pinned by the corruption test).
+    - ``core_prop_ok``: v has >= coreness(v) neighbors with coreness >=
+      coreness(v) (the defining k-core membership property).
+    """
+    from pyspark.sql import Window
+
+    e0 = edges.select(F.col(edges.columns[0]).alias("s"), F.col(edges.columns[1]).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    und = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    nbr = und.join(
+        cores.select(F.col("node").alias("d"), F.col("coreness").alias("__nc__")), "d"
+    ).select(F.col("s").alias("node"), F.col("d").alias("__nbr__"), "__nc__")
+    w = Window.partitionBy("node").orderBy(F.col("__nc__").desc(), F.col("__nbr__"))
+    h = (
+        nbr.select("node", F.least(F.col("__nc__"), F.row_number().over(w)).alias("__h__"))
+        .groupBy("node")
+        .agg(F.max("__h__").alias("__hidx__"))
+    )
+    ge = nbr.join(cores, "node").filter(F.col("__nc__") >= F.col("coreness")).groupBy(
+        "node"
+    ).agg(F.count(F.lit(1)).alias("__ge__"))
+    return (
+        cores.join(h, "node", "left")
+        .join(ge, "node", "left")
+        .select(
+            "node",
+            "coreness",
+            (F.coalesce("__hidx__", F.lit(0)) == F.col("coreness")).alias("fixpoint_ok"),
+            (F.coalesce("__ge__", F.lit(0)) >= F.col("coreness")).alias("core_prop_ok"),
+        )
+    )

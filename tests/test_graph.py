@@ -117,3 +117,96 @@ def test_label_propagation_string_node_ids(spark):
     assert got["x"] == got["y"] == got["z"] == "c"
     again = {r["node"]: r["label"] for r in label_propagation(df, n_iter=4).collect()}
     assert got == again
+
+
+def _peel_coreness(edges):
+    """Reference coreness by textbook iterative peeling."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    core = {}
+    live = {v: set(ns) for v, ns in adj.items()}
+    k = 0
+    while live:
+        k += 1
+        while True:
+            doom = [v for v, ns in live.items() if len(ns) < k]
+            if not doom:
+                break
+            for v in doom:
+                core[v] = k - 1
+                for u in live[v]:
+                    live[u].discard(v)
+                del live[v]
+    return core
+
+
+def test_k_core_matches_peeling_known_graph(spark):
+    """Triangle (core 2) + tail (core 1) + a 4-clique (core 3), joined
+    by bridges — the classic mixed-core shape."""
+    from meds_polars_functions_spark.operators.graph import k_core_decomposition
+
+    edges = (
+        [(0, 1), (1, 2), (2, 0)]          # triangle
+        + [(2, 3), (3, 4)]                # tail
+        + [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]  # 4-clique
+        + [(4, 5)]                        # bridge
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["coreness"] for r in k_core_decomposition(df).collect()}
+    assert got == _peel_coreness(edges)
+
+
+def test_k_core_matches_peeling_random_graphs(spark):
+    """Seeded Erdos-Renyi-ish graphs (including duplicate and reversed
+    edges, which the simple-graph normalization must absorb) vs the
+    peeling reference."""
+    import random
+
+    from meds_polars_functions_spark.operators.graph import k_core_decomposition
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(200 + 60 * trial)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["coreness"]
+            for r in k_core_decomposition(df).collect()
+        }
+        assert got == _peel_coreness(edges), f"trial {trial}"
+
+
+def test_verify_k_core_flags_flip_on_corruption(spark):
+    """The invariant-oracle teeth: a correct table verifies all-true;
+    bumping ONE node's coreness (or the whole table) flips fixpoint_ok
+    somewhere — coreness is the unique degree-initialized H-fixpoint."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.graph import (
+        k_core_decomposition,
+        verify_k_core,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    cores = k_core_decomposition(df)
+    ver = verify_k_core(df, cores)
+    assert ver.filter(~F.col("fixpoint_ok") | ~F.col("core_prop_ok")).count() == 0
+
+    bumped = cores.withColumn(
+        "coreness",
+        F.when(F.col("node") == 0, F.col("coreness") + 1).otherwise(
+            F.col("coreness")
+        ),
+    )
+    assert verify_k_core(df, bumped).filter(~F.col("fixpoint_ok")).count() > 0
+    all_up = cores.withColumn("coreness", F.col("coreness") + 1)
+    bad = verify_k_core(df, all_up)
+    assert bad.filter(~F.col("fixpoint_ok") | ~F.col("core_prop_ok")).count() > 0

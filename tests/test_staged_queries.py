@@ -101,10 +101,16 @@ def test_staging_area_contents_and_promotions():
     # mixture_sample is Bernoulli/inexact, hash_split is partition
     # assignment) + weighted_group_sample (per-group E-S race;
     # weighted_sample is the GLOBAL race).
+    # Third round-13 staging (graph axis): kcore_trade — exact k-core
+    # decomposition with a FULL-VALUE unrolled-CTE oracle (the
+    # label_propagation precedent). Registry audit: pagerank_trade is
+    # float importance, label_propagation is argmax communities,
+    # triangles is closed-triple counting, dedup_clusters/semantic_dedup
+    # are connected components (connectivity, not density tiers).
     staged = entry.staged_queries()
     assert set(staged) == {
         "audience_overlap", "hll_user_overlap",
-        "stratified_sample", "weighted_group_sample",
+        "stratified_sample", "weighted_group_sample", "kcore_trade",
     }
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
@@ -787,3 +793,62 @@ def test_weighted_group_sample_shard_merge_law(spark):
     )
     got = sorted((r["event_type"], r["event_id"]) for r in refinal.collect())
     assert got == want
+
+
+def test_staged_kcore_trade_matches_oracle_strict(spark, con):
+    """Round-13 staged (third family, graph axis): exact coreness per
+    trade-graph node vs the 10-round unrolled H-iteration DuckDB
+    replay. Full-value strict compare — the fixpoint is idempotent, so
+    any >=depth unroll equals the early-stopped Spark fixpoint."""
+    _strict_compare_staged(spark, con, "kcore_trade")
+
+
+def test_staged_kcore_iteration_binds(spark):
+    """Falsifiability: the fixpoint differs from both the degree init
+    and the single-H-pass table on this graph — the iteration (not
+    just the init) determines the answer; plus coreness <= degree
+    everywhere and the max-core tier is non-trivial (>= 2)."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.graph import k_core_decomposition
+
+    li = entry._t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = entry._t(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    fix = {r["node"]: r["coreness"] for r in k_core_decomposition(edges).collect()}
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = {
+        r["node"]: r["d"]
+        for r in und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    assert fix != deg, "fixpoint equals degree init: iteration vacuous"
+    assert all(fix[n] <= deg[n] for n in fix)
+    assert max(fix.values()) >= 2
+    # The trade graph at sf0.001 converges in ONE changing round (3 at
+    # sf0.01, 5 at sf0.1 — the oracle's 10-round unroll note), so the
+    # multi-round bindingness is pinned on a path graph, where the
+    # H-iteration provably needs ~len/2 rounds (coreness-1 information
+    # walks inward one hop per round):
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"]
+    )
+    fix_p = {
+        r["node"]: r["coreness"] for r in k_core_decomposition(path).collect()
+    }
+    one_p = {
+        r["node"]: r["coreness"]
+        for r in k_core_decomposition(path, max_iter=1).collect()
+    }
+    assert all(v == 1 for v in fix_p.values())  # a path is pure 1-core
+    assert fix_p != one_p, "one H pass already at fixpoint on a 10-path"
