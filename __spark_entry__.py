@@ -4613,6 +4613,124 @@ SELECT node, c AS coreness FROM c{rounds} ORDER BY node"""
     return "".join(parts)
 
 
+_STRESS_N_SOURCES = 4
+_STRESS_SALT = "bc13"
+#: Forward-BFS unroll depth: the sampled eccentricity is 3/4/4 at
+#: sf0.001/0.01/0.1 (measured before staging), so 6 layers hold
+#: headroom; deeper layers are empty on both engines.
+_STRESS_DEPTH = 6
+
+
+def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 13 (fourth staged family — the centrality member of
+    the graph axis; VERDICT r12's candidate lists name
+    "betweenness-sketch", and stress centrality is its INTEGER-credit
+    sibling: betweenness divides each s->t credit by sigma_st, stress
+    counts raw shortest paths, so every quantity is an integer and the
+    oracle can be a FULL-VALUE engine-exact replay instead of a
+    float-tolerance invariant): the number of shortest paths from
+    ``_STRESS_N_SOURCES`` md5-sampled sources that pass through each
+    trade-graph node (operators.graph.stress_centrality — batched
+    multi-source BFS forward, integer continuation counts backward).
+
+    Oracle: the same sampled-Brandes computation unrolled as chained
+    CTEs (forward sigma layers with anti-join first-discovery,
+    backward h layers, tau = sigma * (h - 1) summed over sources) at
+    ``_STRESS_DEPTH`` layers — the kcore_trade unroll precedent;
+    deeper layers are empty at every tested SF. Brute-force BFS
+    equality and the hub-dominance sanity live in tests/test_graph.py.
+
+    Registry audit (the standing rule): ``pagerank_trade`` (float
+    eigen-importance), ``kcore_trade`` (density tiers — staged
+    alongside), ``label_propagation`` (communities), ``triangles``
+    (local clustering). Centrality-through-paths is none of these. No
+    registered name within edit distance 2 of ``stress_centrality``.
+    """
+    _prep(spark)
+    from meds_polars_functions_spark.operators.graph import stress_centrality
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return stress_centrality(
+        edges,
+        n_sources=_STRESS_N_SOURCES,
+        salt=_STRESS_SALT,
+        max_depth=_STRESS_DEPTH,
+    ).orderBy("node")
+
+
+def _stress_oracle_sql(
+    depth: int = _STRESS_DEPTH,
+    n_sources: int = _STRESS_N_SOURCES,
+    salt: str = _STRESS_SALT,
+) -> str:
+    """DuckDB replay of q_stress_centrality from the DEFINITION: same
+    md5 source pick, ``depth`` unrolled forward sigma layers (anti-join
+    keeps first discoveries), backward integer h layers, stress =
+    sum of sigma * (h - 1) over interior occurrences."""
+    # every CTE is MATERIALIZED: the layer chain references each l{i}
+    # and vis{i} several times (next layer, h pass, closing unions) and
+    # DuckDB's default CTE inlining re-evaluates per reference — the
+    # unmaterialized form exploded exponentially with depth
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS u, o_custkey + 10000000 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+und AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+nds AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+srcs AS MATERIALIZED (SELECT node AS s FROM nds
+         ORDER BY md5(node::VARCHAR || '{salt}'), node LIMIT {n_sources}),
+l0 AS MATERIALIZED (SELECT s, s AS node, 1::BIGINT AS sigma FROM srcs),
+vis0 AS MATERIALIZED (SELECT s, node FROM l0)"""
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f""",
+l{i} AS MATERIALIZED (
+  SELECT c.s, c.node, c.sigma FROM (
+    SELECT l.s, u.v AS node, sum(l.sigma)::BIGINT AS sigma
+    FROM l{i - 1} l JOIN und u ON u.u = l.node GROUP BY l.s, u.v) c
+  ANTI JOIN vis{i - 1} x ON x.s = c.s AND x.node = c.node),
+vis{i} AS MATERIALIZED (SELECT s, node FROM vis{i - 1}
+           UNION ALL SELECT s, node FROM l{i})"""
+        )
+    parts.append(
+        f""",
+h{depth} AS MATERIALIZED (SELECT s, node, 1::BIGINT AS h FROM l{depth})"""
+    )
+    for d in range(depth - 1, 0, -1):
+        parts.append(
+            f""",
+h{d} AS MATERIALIZED (
+  SELECT l.s, l.node, (1 + coalesce(sum(x.h), 0))::BIGINT AS h
+  FROM l{d} l
+  LEFT JOIN (SELECT hn.s, u.u AS node, hn.h
+             FROM und u JOIN h{d + 1} hn ON hn.node = u.v) x
+    ON x.s = l.s AND x.node = l.node
+  GROUP BY l.s, l.node)"""
+        )
+    lu = " UNION ALL ".join(f"SELECT * FROM l{i}" for i in range(1, depth + 1))
+    hu = " UNION ALL ".join(f"SELECT * FROM h{i}" for i in range(1, depth + 1))
+    parts.append(
+        f""",
+tau AS (
+  SELECT l.node, l.sigma * (h.h - 1) AS t
+  FROM ({lu}) l JOIN ({hu}) h USING (s, node))
+SELECT n.node, coalesce(sum(t.t), 0)::BIGINT AS stress
+FROM nds n LEFT JOIN tau t ON t.node = n.node
+GROUP BY n.node ORDER BY n.node"""
+    )
+    return "".join(parts)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -4681,6 +4799,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_group_sample": q_weighted_group_sample,
         "kcore_trade": q_kcore_trade,
+        "stress_centrality": q_stress_centrality,
     }
 
 
@@ -4759,6 +4878,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE_SQL,
         "weighted_group_sample": _WEIGHTED_GROUP_SAMPLE_ORACLE_SQL,
         "kcore_trade": _kcore_oracle_sql(),
+        "stress_centrality": _stress_oracle_sql(),
     }
 
 

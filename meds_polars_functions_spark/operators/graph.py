@@ -354,3 +354,127 @@ def verify_k_core(edges: DataFrame, cores: DataFrame) -> DataFrame:
             (F.coalesce("__ge__", F.lit(0)) >= F.col("coreness")).alias("core_prop_ok"),
         )
     )
+
+
+def stress_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_sources: int = 4,
+    salt: str = "",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Sampled stress centrality (Shimbel): for each node v, the NUMBER
+    of shortest paths (from a deterministic sample of source nodes to
+    anywhere) that pass THROUGH v — the integer-credit sibling of
+    betweenness (betweenness divides each s→t credit by σ_st; stress
+    counts raw paths), which is why it admits an EXACT engine-portable
+    oracle: every quantity here is an integer (σ path counts, h(v)
+    continuation counts), no fractional accumulation anywhere.
+
+    Sampling: the ``n_sources`` nodes first in md5(node||salt) order —
+    the hash_split/stratified_sample replay discipline, so the sample
+    (and therefore the whole answer) is deterministic on any engine.
+
+    Algorithm (Brandes-style, all sources batched in ONE state table):
+
+    - Forward BFS by layers over the undirected simple graph: the
+      (source, node) frontier joins the d-partitioned persisted edge
+      table once per layer, σ accumulates by integer sum, an anti-join
+      against the visited set keeps first discoveries only. All
+      sampled sources advance together — state is |reached| x
+      n_sources rows, NOT a per-source loop of jobs.
+    - Backward by layers: h(v) = 1 + Σ h(w) over v's successors on the
+      shortest-path DAG (neighbors one layer deeper); then the through
+      count is τ_s(v) = σ_s(v) · (h(v) − 1) for v ≠ s (the −1 drops
+      paths ENDING at v; d > 0 drops v = s), summed over sources.
+    - Layer count is the sampled eccentricity (measured 3-4 on the
+      trade graph at every SF); ``max_depth`` bounds the unroll and
+      the loop early-stops on an empty frontier.
+
+    Returns ``(node, stress)`` for EVERY node of the graph (unreached
+    nodes get 0). Edges are undirected/simple like the other ops here.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    und = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .persist()
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct().persist()
+    srcs = (
+        nodes.orderBy(
+            F.md5(F.concat(F.col("node").cast("string"), F.lit(salt))), "node"
+        )
+        .limit(int(n_sources))
+        .select(F.col("node").alias("s"))
+    )
+    # every layer is localCheckpoint-ed: the visited set is a union of
+    # ALL prior layers and each new layer references it, so without
+    # lineage cuts the plan tree grows exponentially with depth (the
+    # pagerank/kcore lesson, but per-layer here because the dependency
+    # is cumulative, not just sequential)
+    layer = srcs.select(
+        "s", F.col("s").alias("node"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    layers = [layer]  # index = depth
+    visited = layer.select("s", "node").localCheckpoint(eager=True)
+    for _ in range(int(max_depth)):
+        cand = (
+            layers[-1]
+            .join(und.withColumnRenamed("u", "node"), "node")
+            .groupBy("s", F.col("v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = cand.join(visited, ["s", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        layers.append(nxt)
+        visited = visited.union(nxt.select("s", "node")).localCheckpoint(
+            eager=True
+        )
+    # backward: h per layer, deepest first
+    hs: list[DataFrame] = [None] * len(layers)
+    hs[-1] = layers[-1].select("s", "node", F.lit(1).cast("long").alias("h"))
+    for d in range(len(layers) - 2, -1, -1):
+        # successors of v at depth d are exactly the (s, w) rows of the
+        # d+1 h-table reachable over one edge; joining edges to that
+        # table on w and re-keying by u scopes h to the right source,
+        # and the closing join with layers[d] restricts to layer-d v's
+        succ_h = und.join(
+            hs[d + 1].select(
+                "s", F.col("node").alias("v"), F.col("h").alias("__hn__")
+            ),
+            "v",
+        ).select("s", F.col("u").alias("node"), "__hn__")
+        agg = succ_h.groupBy("s", "node").agg(F.sum("__hn__").alias("__sh__"))
+        hs[d] = (
+            layers[d]
+            .join(agg, ["s", "node"], "left")
+            .select(
+                "s",
+                "node",
+                (F.lit(1) + F.coalesce("__sh__", F.lit(0))).cast("long").alias("h"),
+            )
+        )
+    # tau over interior occurrences (d > 0), summed across sources
+    tau = None
+    for d in range(1, len(layers)):
+        t = layers[d].join(hs[d], ["s", "node"]).select(
+            "node", (F.col("sigma") * (F.col("h") - F.lit(1))).alias("__t__")
+        )
+        tau = t if tau is None else tau.unionByName(t)
+    if tau is None:
+        out = nodes.select("node", F.lit(0).cast("long").alias("stress"))
+    else:
+        agg_t = tau.groupBy("node").agg(F.sum("__t__").cast("long").alias("stress"))
+        out = nodes.join(agg_t, "node", "left").select(
+            "node", F.coalesce("stress", F.lit(0).cast("long")).alias("stress")
+        )
+    return out

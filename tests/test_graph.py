@@ -210,3 +210,113 @@ def test_verify_k_core_flags_flip_on_corruption(spark):
     all_up = cores.withColumn("coreness", F.col("coreness") + 1)
     bad = verify_k_core(df, all_up)
     assert bad.filter(~F.col("fixpoint_ok") | ~F.col("core_prop_ok")).count() > 0
+
+
+def _brute_stress(edges, sources):
+    """Reference sampled stress: for each source, BFS sigma + explicit
+    shortest-path continuation counts; stress(v) = sum over s != v of
+    sigma_s(v) * (h_s(v) - 1)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    stress = defaultdict(int)
+    for s in sources:
+        dist, sigma = {s: 0}, {s: 1}
+        order = [s]
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    order.append(w)
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        h = {v: 1 for v in dist}
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    h[v] += h[w]
+        for v in dist:
+            if v != s:
+                stress[v] += sigma[v] * (h[v] - 1)
+    for v in adj:
+        stress.setdefault(v, 0)
+    return dict(stress)
+
+
+def _md5_sources(nodes, salt, n):
+    import hashlib
+
+    return [
+        v for _, v in sorted(
+            (hashlib.md5(f"{v}{salt}".encode()).hexdigest(), v) for v in nodes
+        )
+    ][:n]
+
+
+def test_stress_centrality_matches_brute_force_known_graph(spark):
+    from meds_polars_functions_spark.operators.graph import stress_centrality
+
+    edges = (
+        [(0, 1), (1, 2), (2, 0)]
+        + [(2, 3), (3, 4)]
+        + [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+        + [(4, 5)]
+    )
+    nodes = sorted({x for e in edges for x in e})
+    for salt, n in (("a", 3), ("b", 5)):
+        srcs = _md5_sources(nodes, salt, n)
+        got = {
+            r["node"]: r["stress"]
+            for r in stress_centrality(
+                spark.createDataFrame(edges, ["src", "dst"]),
+                n_sources=n, salt=salt, max_depth=10,
+            ).collect()
+        }
+        assert got == _brute_stress(edges, srcs), (salt, n)
+
+
+def test_stress_centrality_matches_brute_force_random(spark):
+    import random
+
+    from meds_polars_functions_spark.operators.graph import stress_centrality
+
+    rng = random.Random(31)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
+    srcs = _md5_sources(nodes, "r", 4)
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            n_sources=4, salt="r", max_depth=12,
+        ).collect()
+    }
+    assert got == _brute_stress(edges, srcs)
+
+
+def test_stress_centrality_hub_dominates_path(spark):
+    """Semantics sanity: on a star-plus-path, the hub carries every
+    cross-leaf shortest path — its stress must strictly dominate every
+    leaf's from any source sample."""
+    from meds_polars_functions_spark.operators.graph import stress_centrality
+
+    edges = [(0, i) for i in range(1, 7)] + [(6, 7), (7, 8)]
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            n_sources=3, salt="h", max_depth=10,
+        ).collect()
+    }
+    hub = got[0]
+    assert hub > 0
+    assert all(hub >= v for k, v in got.items() if k != 0)

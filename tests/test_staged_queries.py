@@ -107,10 +107,16 @@ def test_staging_area_contents_and_promotions():
     # float importance, label_propagation is argmax communities,
     # triangles is closed-triple counting, dedup_clusters/semantic_dedup
     # are connected components (connectivity, not density tiers).
+    # Fourth round-13 staging (centrality member of the graph axis):
+    # stress_centrality — integer-credit sampled-Brandes, full-value
+    # unrolled oracle. Registry audit: pagerank_trade float importance,
+    # kcore_trade density tiers, label_propagation communities,
+    # triangles local clustering — none counts paths THROUGH a node.
     staged = entry.staged_queries()
     assert set(staged) == {
         "audience_overlap", "hll_user_overlap",
         "stratified_sample", "weighted_group_sample", "kcore_trade",
+        "stress_centrality",
     }
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
@@ -852,3 +858,49 @@ def test_staged_kcore_iteration_binds(spark):
     }
     assert all(v == 1 for v in fix_p.values())  # a path is pure 1-core
     assert fix_p != one_p, "one H pass already at fixpoint on a 10-path"
+
+
+def test_staged_stress_centrality_matches_oracle_strict(spark, con):
+    """Round-13 staged (fourth family): sampled stress centrality vs
+    the unrolled sampled-Brandes DuckDB replay — integer-exact both
+    sides (sigma path counts, h continuation counts), full-value
+    strict compare."""
+    _strict_compare_staged(spark, con, "stress_centrality")
+
+
+def test_staged_stress_sources_and_sample_bind(spark):
+    """Falsifiability: a different source salt changes the answer (the
+    sample binds), and the answer is non-trivial (some node has
+    stress > 0; sources themselves can carry interior credit from
+    OTHER sources' paths)."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.graph import stress_centrality
+
+    li = entry._t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = entry._t(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    base = {
+        r["node"]: r["stress"]
+        for r in entry.staged_queries()["stress_centrality"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert any(v > 0 for v in base.values())
+    other = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges,
+            n_sources=entry._STRESS_N_SOURCES,
+            salt="other-salt",
+            max_depth=entry._STRESS_DEPTH,
+        ).collect()
+    }
+    assert other != base, "source sample is vacuous: salt changed nothing"
