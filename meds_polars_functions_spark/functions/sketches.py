@@ -24,6 +24,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _require_identifiers(fn: str, **cols: str) -> None:
+    """The *_flags forms splice column names into SQL FILTER clauses
+    (FILTER (WHERE <col>)), so they accept bare column IDENTIFIERS
+    only — reject anything expression-shaped up front instead of
+    letting it parse as SQL (ADVICE r12 collision-guard class)."""
+    for role, name in cols.items():
+        if not isinstance(name, str) or not name.isidentifier():
+            raise ValueError(
+                f"{fn}: {role} must be a bare column identifier, got {name!r}"
+            )
+
+
 def sketch_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -228,7 +240,14 @@ def bitmap_overlap_flags(
     all three bitmaps via FILTER-ed aggregates. Output is identical to
     ``bitmap_overlap(df.filter(a), df.filter(b), ...)`` by construction
     (same memberships, same bitmap algebra). Flag columns must be bare
-    column names (they are spliced into FILTER clauses)."""
+    column names (they are spliced into FILTER clauses; anything
+    expression-shaped raises ValueError)."""
+    _require_identifiers(
+        "bitmap_overlap_flags",
+        key_col=key_col,
+        in_a_col=in_a_col,
+        in_b_col=in_b_col,
+    )
     d = df.filter(F.col(in_a_col) | F.col(in_b_col))
     addressed = d.select(
         *group_cols,
@@ -267,7 +286,14 @@ def hll_overlap_flags(
     inserted values (hashing is idempotent), and each FILTER admits
     exactly the side's value set. Use this when both memberships derive
     from one frame; use :func:`hll_overlap_from_sketches` when the
-    sides are pre-maintained sketch tables."""
+    sides are pre-maintained sketch tables. Flag/key columns must be
+    bare identifiers (spliced into FILTER clauses; raises otherwise)."""
+    _require_identifiers(
+        "hll_overlap_flags",
+        key_col=key_col,
+        in_a_col=in_a_col,
+        in_b_col=in_b_col,
+    )
     d = df.filter(F.col(in_a_col) | F.col(in_b_col))
     agg = d.groupBy(*group_cols).agg(
         F.expr(

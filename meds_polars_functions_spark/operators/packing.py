@@ -167,6 +167,12 @@ def stratified_sample(
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError("fraction must be in [0, 1]")
+    clash = sorted({"__rn__", "__k__"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"stratified_sample: input already carries reserved column(s) "
+            f"{clash}; rename them (they would be silently overwritten)"
+        )
     strata = list(strata_cols)
     targets = df.groupBy(*strata).agg(
         F.greatest(
@@ -213,6 +219,13 @@ def weighted_group_sample(
     composes in front for network-bound shuffles, provably
     output-identical.
     """
+    clash = sorted({"__sk__", "__rn__"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"weighted_group_sample: input already carries reserved "
+            f"column(s) {clash}; rename them (they would be silently "
+            f"overwritten)"
+        )
     p = 2147483647
     h = (
         F.conv(

@@ -150,8 +150,15 @@ def streaming_hll_overlap(
     """
     from meds_polars_functions_spark.functions.sketches import (
         _estimate_overlap,
+        _require_identifiers,
     )
 
+    _require_identifiers(
+        "streaming_hll_overlap",
+        key_col=key_col,
+        in_a_col=in_a_col,
+        in_b_col=in_b_col,
+    )
     d = stream.filter(F.col(in_a_col) | F.col(in_b_col))
     agg = d.groupBy(*group_cols).agg(
         F.expr(

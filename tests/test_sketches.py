@@ -487,3 +487,31 @@ def test_flagged_overlap_forms_equal_two_sided(spark):
     assert rows(hll_overlap_flags(base, ["g"], "k", "fa", "fb")) == rows(
         hll_overlap(a, b, ["g"], "k")
     )
+
+
+def test_flagged_forms_reject_expression_shaped_columns(spark):
+    """The *_flags forms splice column names into SQL FILTER clauses;
+    anything expression-shaped must raise, not parse as SQL (the
+    ADVICE r12 collision-guard class, applied proactively)."""
+    import pytest
+
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_overlap_flags,
+        hll_overlap_flags,
+    )
+    from meds_polars_functions_spark.streaming.events import (
+        streaming_hll_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", True, False)], "k long, g string, fa boolean, fb boolean"
+    )
+    for fn in (bitmap_overlap_flags, hll_overlap_flags):
+        with pytest.raises(ValueError, match="bare column identifier"):
+            fn(df, ["g"], "k", "fa OR true", "fb")
+        with pytest.raises(ValueError, match="bare column identifier"):
+            fn(df, ["g"], "k; DROP TABLE x", "fa", "fb")
+    with pytest.raises(ValueError, match="bare column identifier"):
+        streaming_hll_overlap(df, ["g"], "k", "fa", "fb = fb")
+    # clean identifiers still work
+    assert bitmap_overlap_flags(df, ["g"], "k", "fa", "fb").count() == 1

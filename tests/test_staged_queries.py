@@ -904,3 +904,28 @@ def test_staged_stress_sources_and_sample_bind(spark):
         ).collect()
     }
     assert other != base, "source sample is vacuous: salt changed nothing"
+
+
+def test_sampling_ops_reject_reserved_columns(spark):
+    """Reserved temp columns already present in the input must raise
+    (ADVICE r12 collision-guard class, applied proactively): the rank
+    and race-key temps would silently overwrite user data."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.operators.packing import (
+        stratified_sample,
+        weighted_group_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, g string, w double")
+    with pytest.raises(ValueError, match="reserved column"):
+        stratified_sample(df.withColumn("__rn__", F.lit(1)), ["g"], "id", 0.5)
+    with pytest.raises(ValueError, match="reserved column"):
+        stratified_sample(df.withColumn("__k__", F.lit(1)), ["g"], "id", 0.5)
+    with pytest.raises(ValueError, match="reserved column"):
+        weighted_group_sample(
+            df.withColumn("__sk__", F.lit(1.0)), ["g"], "id", "w", 1
+        )
+    # clean inputs still work
+    assert stratified_sample(df, ["g"], "id", 1.0).count() == 1
+    assert weighted_group_sample(df, ["g"], "id", "w", 1).count() == 1
