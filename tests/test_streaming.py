@@ -325,3 +325,73 @@ def test_streaming_percentile_profile_holds_gk_guarantee_any_order(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_hll_overlap_windowed_composition(spark):
+    """The docstring's windowed form, pinned: F.window composed into
+    group_cols with an upstream watermark gives per-(window, group)
+    overlap state, and final estimates equal the batch recompute of
+    the same windowed aggregate (same registers, same monoid)."""
+    import datetime as dt
+    import os
+
+    from meds_polars_functions_spark.streaming.events import (
+        streaming_hll_overlap,
+    )
+
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    rows = []
+    for i in range(40):
+        ts = h + dt.timedelta(minutes=i * 7)  # spans ~5 hours
+        rows.append((ts, "x", i % 13, i % 3 < 2, i % 4 < 2))
+    schema = "ts timestamp, g string, k long, fa boolean, fb boolean"
+    batch = spark.createDataFrame(rows, schema)
+
+    def transform(df):
+        win = df.withWatermark("ts", "10 minutes") if df.isStreaming else df
+        return streaming_hll_overlap(
+            win.withColumn("w", F.window("ts", "1 hour")).withColumn(
+                "ws", F.col("w.start")
+            ),
+            ["ws", "g"],
+            "k", "fa", "fb",
+        )
+
+    want = sorted(tuple(r) for r in transform(batch).collect())
+    assert len({r[0] for r in want}) >= 4  # several hourly windows
+
+    d = tempfile.mkdtemp(prefix="shllw_")
+    ckpt = tempfile.mkdtemp(prefix="shllw_ck_")
+    try:
+        half = len(rows) // 2
+        for i, chunk in enumerate((rows[:half], rows[half:]), 1):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                os.path.join(d, f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName("shllw")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = {}
+        for r in spark.table("shllw").collect():
+            key = (r["ws"], r["g"])
+            if r["n_union"] >= final.get(key, (0,))[0]:
+                final[key] = (r["n_union"], r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+        got = sorted(
+            (ws, g, v[1], v[2], v[0], v[3], v[4]) for (ws, g), v in final.items()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
