@@ -630,3 +630,69 @@ def test_prefix_paths_equal_baselines_on_random_corpora(spark, docs, t):
             "containment",
         )
         assert got == base_c, (t, cut)
+
+
+ov_row = st.tuples(
+    st.integers(0, 2),        # group
+    st.integers(0, 60),       # key
+    st.booleans(),            # in A
+    st.booleans(),            # in B
+)
+
+
+@given(st.lists(ov_row, min_size=1, max_size=60))
+def test_bitmap_overlap_flags_equals_set_algebra(spark, rows):
+    """bitmap_overlap_flags is EXACT set algebra on arbitrary flagged
+    multisets: counts and inclusion-exclusion intersection equal plain
+    Python set arithmetic per group; groups with no flagged rows never
+    appear."""
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_overlap_flags,
+    )
+
+    df = spark.createDataFrame(rows, "g long, k long, fa boolean, fb boolean")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["n_union"], r["n_inter"])
+        for r in bitmap_overlap_flags(df, ["g"], "k", "fa", "fb").collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        A = {k for gg, k, fa, fb in rows if gg == g and fa}
+        B = {k for gg, k, fa, fb in rows if gg == g and fb}
+        if A or B:
+            want[g] = (len(A), len(B), len(A | B), len(A & B))
+    assert got == want
+
+
+strat_row = st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 500))
+
+
+@given(
+    st.lists(strat_row, min_size=1, max_size=60, unique_by=lambda t: t[1]),
+    st.floats(0.0, 1.0),
+)
+def test_stratified_sample_exact_targets_any_fraction(spark, rows, frac):
+    """For ANY fraction, every stratum contributes exactly
+    max(ceil(frac*n_s), min(2, n_s)) rows and the selection is the md5
+    bottom-k (prefix-stability: the chosen ids are the k smallest under
+    the salt order, so raising the fraction only ADDS rows)."""
+    import hashlib
+    import math as m
+
+    from meds_polars_functions_spark.operators.packing import stratified_sample
+
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = stratified_sample(df, ["g"], "id", frac, salt="p", min_per_stratum=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], set()).add(r["id"])
+    sizes = {}
+    for g, i in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    for g, n in sizes.items():
+        k = max(m.ceil(n * frac), min(n, 2))
+        ids = sorted(
+            (i for gg, i in rows if gg == g),
+            key=lambda i: (hashlib.md5(f"{i}p".encode()).hexdigest(), i),
+        )
+        assert got.get(g, set()) == set(ids[:k]), (g, frac)
