@@ -4222,7 +4222,8 @@ def _audience_sides(spark: SparkSession, sf_dir: str):
 
 
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 13: EXACT grouped audience-overlap join
+    """Staged round 13, REGISTERED round 14 (window slot 1, registry
+    176 -> 182): EXACT grouped audience-overlap join
     (functions.sketches.bitmap_overlap) — per event type, the distinct
     users active in the FIRST 2 days of the observation window vs the
     LAST 2 days (edge windows, not halves: the half split is jaccard-
@@ -4275,8 +4276,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB replay of q_audience_overlap from the DEFINITION: same
-#: integer-µs midpoint cutoff (// == Spark's div on the non-negative
-#: span), per-(type, user) side membership, inclusion-exclusion closes
+#: integer-µs first/last edge windows (in_a: us < lo + W, in_b:
+#: us >= hi - W, W = _AUDIENCE_WINDOW_US — no division anywhere),
+#: per-(type, user) side membership, inclusion-exclusion closes
 #: to the same BIGINT counts and round-9 jaccard.
 _AUDIENCE_OVERLAP_ORACLE_SQL = f"""
 WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
@@ -4308,8 +4310,9 @@ _HLL_OVERLAP_INTER_TOL = 0.15
 
 
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 13 (second staging — the standing two-staging
-    cadence): the grouped HLL sketch JOIN
+    """Staged round 13, REGISTERED round 14 (window slot 2, registry
+    176 -> 182) — second staging, the standing two-staging
+    cadence: the grouped HLL sketch JOIN
     (functions.sketches.hll_overlap / hll_overlap_from_sketches) on the
     same early/late audience split as ``q_audience_overlap`` — the
     100 TB path where the overlap of two corpora is computed from their
@@ -4425,8 +4428,9 @@ _STRATIFIED_SALT = "r13"
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 13 (second staged family — the r10-session-2
-    double-staging precedent): deterministic PROPORTIONAL stratified
+    """Staged round 13, REGISTERED round 14 (window slot 3, registry
+    176 -> 182) — second staged family, the r10-session-2
+    double-staging precedent: deterministic PROPORTIONAL stratified
     sampling (operators.packing.stratified_sample) — every event type
     contributes exactly ``max(ceil(0.05 * n_s), min(3, n_s))`` events,
     chosen by engine-portable md5 order of (event_id, salt). The
@@ -4487,7 +4491,8 @@ _WGS_SALT = "w13"
 
 
 def q_weighted_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 13 (second member of the sampling pair): per-group
+    """Staged round 13, REGISTERED round 14 (window slot 4, registry
+    176 -> 182; second member of the sampling pair): per-group
     weighted sampling without replacement
     (operators.packing.weighted_group_sample) — the Efraimidis-Spirakis
     exponential race of the registered ``weighted_sample`` run INSIDE
@@ -4543,8 +4548,9 @@ _KCORE_ORACLE_ROUNDS = 10
 
 
 def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 13 (third staged family — graph axis growth, a
-    VERDICT r12 candidate list member): EXACT k-core decomposition of
+    """Staged round 13, REGISTERED round 14 (window slot 5, registry
+    176 -> 182) — third staged family: graph axis growth, a
+    VERDICT r12 candidate list member: EXACT k-core decomposition of
     the supplier-customer trade graph (operators.graph
     k_core_decomposition) — coreness per node via the distributed
     H-index fixpoint iteration (Lü et al. 2016), the standard
@@ -4622,7 +4628,8 @@ _STRESS_DEPTH = 6
 
 
 def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round 13 (fourth staged family — the centrality member of
+    """Staged round 13, REGISTERED round 14 (window slot 6, registry
+    176 -> 182) — fourth staged family: the centrality member of
     the graph axis; VERDICT r12's candidate lists name
     "betweenness-sketch", and stress centrality is its INTEGER-credit
     sibling: betweenness divides each s->t credit by sigma_st, stress
@@ -4731,6 +4738,324 @@ GROUP BY n.node ORDER BY n.node"""
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Streaming-twin driver rows (VERDICT r13 item 4): the two declarative
+# streaming sketch operators get driver-grade visibility by executing a
+# REAL micro-batch stream inside the query — file source over a scratch
+# copy of the driver table, maxFilesPerTrigger=1 (so state merges across
+# >= 2 micro-batches, not one degenerate batch), availableNow trigger,
+# memory sink in complete mode. The invariant-row style follows the
+# sessionize / approx_percentile_profile precedents; the streaming-
+# specific falsifiable claims are (a) the stream actually split into
+# multiple micro-batches and (b) the merged sketch state equals / bounds
+# the batch answer.
+# ---------------------------------------------------------------------------
+
+
+def _stream_to_memory(spark, fed, build, prefix, files=3, timeout=300):
+    """Run ``build(stream)`` over ``fed``'s rows as a REAL micro-batch
+    stream and return ``(final_rows_df, n_data_batches)``.
+
+    ``fed`` is written to a scratch dir as ``files`` parquet files; a
+    file-source stream with ``maxFilesPerTrigger=1`` replays them one
+    micro-batch each under ``Trigger.AvailableNow`` into a memory sink
+    in COMPLETE mode, so the sink table holds exactly the final
+    aggregate state (no last-update-wins reconstruction). The memory
+    sink is driver-resident, so the scratch/checkpoint dirs are removed
+    before returning — the returned DataFrame has no file dependency.
+    Scratch is per-call (uuid name): re-running a driver query never
+    collides with a previous memory table or checkpoint."""
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    scratch = tempfile.mkdtemp(prefix=f"{name}_src_")
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ck_")
+    try:
+        fed.repartition(files).write.mode("overwrite").parquet(scratch)
+        stream = (
+            spark.readStream.schema(fed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(scratch)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        n_batches = 0
+        for p in q.recentProgress:
+            rows = p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+            if rows and int(rows) > 0:
+                n_batches += 1
+        # Materialize the sink rows eagerly (they are driver-resident
+        # already; this pins them independent of the dropped scratch).
+        out = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+        return out, n_batches
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_streaming_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED round 14 (window slot 7, registry 182 -> 184; VERDICT
+    r13 item 4): the streaming twin of the grouped HLL overlap
+    (streaming.events.streaming_hll_overlap) run as a REAL micro-batch
+    stream — the same early/late audience split as ``hll_user_overlap``
+    replayed through a file source one file per trigger, so the
+    DataSketches register state is built by the STREAMING aggregation
+    operator and merged across micro-batches.
+
+    Invariant rows per event type (kmeans_cells precedent), each
+    falsifiable:
+
+    - ``n_early_exact`` / ``n_late_exact`` / ``n_union_exact`` /
+      ``n_inter_exact``: exact overlap recomputed batch-side; the
+      oracle recomputes them definitionally (full value coverage).
+    - ``est_within_tol`` / ``inter_bounded`` = 1.0: the STREAMED
+      estimates satisfy the same tolerance/inclusion-exclusion
+      invariants the batch row claims (``_HLL_OVERLAP_TOL`` /
+      ``_HLL_OVERLAP_INTER_TOL``) — a defect in the streaming state
+      merge (dropped micro-batch, double-counted file, wrong buffer
+      merge) moves the estimates ~|lost fraction| and flips the
+      tolerance row (pinned by the dropped-batch falsifiability test).
+      NOTE measured at registration: streamed and batch estimates are
+      bit-equal only while the sketch is in exact (coupon) mode — at
+      sf0.1 cardinalities (~1.2k) the DataSketches estimator output
+      depends on merge history by well under 1%, so the row claims the
+      TOLERANCE contract, not bit-equality (the shuffled/reversed
+      parity test in tests/test_streaming.py pins order-invariance on
+      exact-mode corpora).
+    - ``multi_batch`` = 1.0: the source really split into >= 2
+      non-empty micro-batches (guarded by ``_stream_to_memory``'s
+      progress log) — without this the row would silently degrade to
+      a batch re-run.
+
+    Registry audit (standing rule): nearest names are
+    ``hll_user_overlap`` (the BATCH sketch row — this row proves the
+    STREAMING execution path over the same contract) and
+    ``audience_overlap`` (exact bitmap twin); no registered name within
+    edit distance 2 ('streaming_' prefix). Scale: state is |groups| x
+    2^lgk register bytes inside the native streaming-agg buffer — the
+    100 TB/day live-overlap path (SCALE.md mergeable-sketch lesson)."""
+    _prep(spark)
+    from meds_polars_functions_spark.streaming.events import streaming_hll_overlap
+
+    tagged, _, _ = _audience_sides(spark, sf_dir)
+    fed = tagged.filter(F.col("__in_a__") | F.col("__in_b__"))
+    streamed, n_batches = _stream_to_memory(
+        spark,
+        fed,
+        lambda s: streaming_hll_overlap(
+            s, ["event_type"], "user_id", "__in_a__", "__in_b__"
+        ),
+        "q_shll",
+    )
+    member = (
+        tagged.groupBy("event_type", "user_id")
+        .agg(
+            F.max(F.col("__in_a__").cast("int")).alias("in_a"),
+            F.max(F.col("__in_b__").cast("int")).alias("in_b"),
+        )
+        .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    )
+    exact = member.groupBy("event_type").agg(
+        F.sum("in_a").alias("__xa__"),
+        F.sum("in_b").alias("__xb__"),
+        F.count(F.lit(1)).alias("__xu__"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("__xi__"),
+    )
+    j = streamed.join(F.broadcast(exact), "event_type")
+    tol = F.lit(_HLL_OVERLAP_TOL)
+    within = (
+        (F.abs(F.col("n_a") - F.col("__xa__")) <= tol * F.col("__xa__"))
+        & (F.abs(F.col("n_b") - F.col("__xb__")) <= tol * F.col("__xb__"))
+        & (F.abs(F.col("n_union") - F.col("__xu__")) <= tol * F.col("__xu__"))
+    )
+    bounded = (
+        (F.col("n_inter") >= 0)
+        & (F.col("n_inter") <= F.least(F.col("n_a"), F.col("n_b")))
+        & (
+            F.abs(F.col("n_inter") - F.col("__xi__"))
+            <= F.lit(_HLL_OVERLAP_INTER_TOL) * F.col("__xu__")
+        )
+    )
+    return j.select(
+        "event_type",
+        F.col("__xa__").cast("long").alias("n_early_exact"),
+        F.col("__xb__").cast("long").alias("n_late_exact"),
+        F.col("__xu__").cast("long").alias("n_union_exact"),
+        F.col("__xi__").cast("long").alias("n_inter_exact"),
+        within.cast("double").alias("est_within_tol"),
+        bounded.cast("double").alias("inter_bounded"),
+        F.lit(float(n_batches >= 2)).alias("multi_batch"),
+    ).orderBy("event_type")
+
+
+#: Invariant oracle for the streaming HLL twin: the four exact counts
+#: are definitional recomputes (same as hll_user_overlap); the three
+#: flags pin a correct streamed sketch at 1.0. See q_streaming_hll_overlap.
+_STREAMING_HLL_OVERLAP_ORACLE_SQL = f"""
+WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
+c AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+m AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN us < lo + {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN us >= hi - {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) AS in_b
+  FROM e, c GROUP BY event_type, user_id
+  HAVING max(CASE WHEN us < lo + {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) = 1
+      OR max(CASE WHEN us >= hi - {_AUDIENCE_WINDOW_US} THEN 1 ELSE 0 END) = 1)
+SELECT event_type,
+  sum(in_a)::BIGINT AS n_early_exact,
+  sum(in_b)::BIGINT AS n_late_exact,
+  count(*)::BIGINT AS n_union_exact,
+  sum(in_a * in_b)::BIGINT AS n_inter_exact,
+  1.0::DOUBLE AS est_within_tol,
+  1.0::DOUBLE AS inter_bounded,
+  1.0::DOUBLE AS multi_batch
+FROM m GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_streaming_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED round 14 (window slot 8, registry 182 -> 184; VERDICT
+    r13 item 4): the streaming twin of the GK-sketch quantile profile
+    (streaming.events.streaming_percentile_profile) run as a REAL
+    micro-batch stream — events.value replayed through a file source
+    one file per trigger, so the Greenwald-Khanna summary is the
+    native streaming-aggregation merge buffer, merged across
+    micro-batches.
+
+    Invariant rows per event type (the approx_percentile_profile
+    style, adapted to the streamed summary's merge contract):
+
+    - ``n``: exact non-null count through the streaming agg — any
+      dropped/duplicated micro-batch flips it (oracle recomputes).
+    - ``p0`` / ``p100``: exact extremes — GK retains the extreme
+      samples through every compress AND merge (oracle recomputes
+      min/max).
+    - ``rank_ok_p50``/``rank_ok_p90``/``rank_ok_p99`` = 1.0: the
+      returned value's exact rank interval intersects the MERGED-
+      summary guarantee window. Cross-batch merge is one-way
+      mergeable at a relaxed bound (Agarwal et al., "Mergeable
+      Summaries"): verified at ``accuracy/2`` — i.e. a 2-eps window
+      (``ceil(n/(accuracy/2)) + 1``) — which still binds hard: the
+      falsifiability test swaps p99's streamed answer into p50's row
+      and the flag flips at every SF.
+    - ``multi_batch`` = 1.0: the source really split into >= 2
+      non-empty micro-batches.
+
+    Registry audit (standing rule): nearest name is
+    ``approx_percentile_profile`` (the BATCH sketch profile — this row
+    proves the STREAMING execution of the same aggregate; it shares
+    the metric framing deliberately so the two rows are comparable)
+    plus ``value_percentiles``/``group_median``/``binned_quantiles``
+    per that row's audit; no registered name within edit distance 2
+    ('streaming_' prefix). Scale: O(accuracy * log(eps * n)) summary
+    bytes per group inside the native streaming-agg buffer — the live
+    latency-profile path."""
+    _prep(spark)
+    from meds_polars_functions_spark.operators.profiles import (
+        verify_percentile_profile,
+    )
+    from meds_polars_functions_spark.streaming.events import (
+        streaming_percentile_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fed = ev.filter(F.col("value").isNotNull()).select("event_type", "value")
+    ps = [0.0, *_PROFILE_PERCENTILES, 1.0]
+    streamed, n_batches = _stream_to_memory(
+        spark,
+        fed,
+        lambda s: streaming_percentile_profile(
+            s, "value", ["event_type"], ps, accuracy=_PROFILE_ACCURACY
+        ),
+        "q_spct",
+    )
+    # 2-eps guarantee window for the cross-batch merged summary (the
+    # one-way-mergeability bound); p0/p100/n stay exact regardless.
+    ver = verify_percentile_profile(
+        ev, streamed, "value", ["event_type"], accuracy=_PROFILE_ACCURACY // 2
+    )
+    is_p0 = F.col("percentile") == 0.0
+    is_p100 = F.col("percentile") == 1.0
+    pct_tag = F.concat(
+        F.lit("rank_ok_p"),
+        F.round(F.col("percentile") * 100).cast("int").cast("string"),
+    )
+    rows = ver.select(
+        F.col("event_type"),
+        F.explode(
+            F.when(
+                is_p0,
+                F.array(
+                    F.struct(
+                        F.lit("p0").alias("metric"),
+                        F.col("approx_value").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("n").alias("metric"),
+                        F.col("n").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("multi_batch").alias("metric"),
+                        F.lit(float(n_batches >= 2)).alias("value"),
+                    ),
+                ),
+            )
+            .when(
+                is_p100,
+                F.array(
+                    F.struct(
+                        F.lit("p100").alias("metric"),
+                        F.col("approx_value").alias("value"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        pct_tag.alias("metric"),
+                        F.col("rank_ok").cast("double").alias("value"),
+                    )
+                )
+            )
+        ).alias("__m"),
+    )
+    return rows.select(
+        "event_type", F.col("__m.metric").alias("metric"), F.col("__m.value").alias("value")
+    ).orderBy("event_type", "metric")
+
+
+#: Invariant oracle for the streaming profile twin: n/p0/p100 are
+#: definitional recomputes; the rank_ok and multi_batch flags pin a
+#: correct merged summary at 1.0. See q_streaming_percentile_profile.
+_STREAMING_PERCENTILE_PROFILE_ORACLE_SQL = """
+WITH g AS (
+  SELECT event_type, count(value)::DOUBLE AS n,
+         min(value) AS mn, max(value) AS mx
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, metric, value FROM (
+  SELECT event_type, 'n' AS metric, n AS value FROM g
+  UNION ALL SELECT event_type, 'p0', mn FROM g
+  UNION ALL SELECT event_type, 'p100', mx FROM g
+  UNION ALL SELECT event_type, 'multi_batch', 1.0 FROM g
+  UNION ALL SELECT event_type, 'rank_ok_p50', 1.0 FROM g
+  UNION ALL SELECT event_type, 'rank_ok_p90', 1.0 FROM g
+  UNION ALL SELECT event_type, 'rank_ok_p99', 1.0 FROM g
+) ORDER BY event_type, metric
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -4792,15 +5117,18 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registered class_balanced which flattens it) and
     ``weighted_group_sample`` (the Efraimidis-Spirakis race of the
     registered weighted_sample, partitioned per group), both with
-    strict seeded-replay oracles."""
-    return {
-        "audience_overlap": q_audience_overlap,
-        "hll_user_overlap": q_hll_user_overlap,
-        "stratified_sample": q_stratified_sample,
-        "weighted_group_sample": q_weighted_group_sample,
-        "kcore_trade": q_kcore_trade,
-        "stress_centrality": q_stress_centrality,
-    }
+    strict seeded-replay oracles. Third round-13 staging (explicit
+    COVERAGE.md addendum): the graph pair ``kcore_trade`` +
+    ``stress_centrality``.
+
+    Round 14: the ENTIRE six-row round-13 queue registered with window
+    slots 1-6 (COVERAGE.md round-14 ledger, registry 176 -> 182), plus
+    the two streaming twins built AND registered this round per the
+    ledger's conditional clause (slots 7-8, registry 182 -> 184,
+    VERDICT r13 item 4). The staging area is empty until the round-14
+    staged family (watermarked windowed grouped sketch state) reaches
+    registration grade."""
+    return {}
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -4872,14 +5200,7 @@ def staged_oracle_sql() -> dict[str, str]:
     sf0.001 staged tests and, on registration, the sf0.01
     ``oracle_sql()`` default. Every staged entry must appear here too:
     a staged query the comparator cannot check verifies nothing."""
-    return {
-        "audience_overlap": _AUDIENCE_OVERLAP_ORACLE_SQL,
-        "hll_user_overlap": _HLL_USER_OVERLAP_ORACLE_SQL,
-        "stratified_sample": _STRATIFIED_SAMPLE_ORACLE_SQL,
-        "weighted_group_sample": _WEIGHTED_GROUP_SAMPLE_ORACLE_SQL,
-        "kcore_trade": _kcore_oracle_sql(),
-        "stress_centrality": _stress_oracle_sql(),
-    }
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -4894,73 +5215,80 @@ def staged_oracle_sql() -> dict[str, str]:
 # the intended first-50 set so an insertion can never silently evict a query
 # awaiting verification (the round-2 regression).
 #
-# Round-13 window (this round), per VERDICT r12 items 1-2 (ledger
-# pre-committed in COVERAGE.md before any round-13 code work):
-#   slots 1-2   = approx_percentile_profile, bitemporal_asof — the
-#                 round-12 STAGED pair, REGISTERED this round (registry
-#                 174 -> 176) with the staged sf-independent oracles
-#                 promoted to the oracle_sql() defaults; also the only
-#                 round-13-dirtied queries.
-#   slots 3-26  = ALL 24 remaining r9-age greens (next_window.py queue
-#                 order) — after this window no r9-age rows remain;
-#   slots 27-50 = the 24 oldest r10-age greens (queue order).
+# Round-14 window (this round), per VERDICT r13 items 1-2-4 (ledger
+# pre-committed in COVERAGE.md before any round-14 code work):
+#   slots 1-6   = the ENTIRE round-13 staged queue, REGISTERED this
+#                 round (registry 176 -> 182) with the staged
+#                 sf-independent oracles promoted to the oracle_sql()
+#                 defaults.
+#   slots 7-8   = streaming_hll_overlap, streaming_percentile_profile —
+#                 built AND registered this round per the ledger's
+#                 conditional clause (registry 182 -> 184; VERDICT r13
+#                 item 4), after passing the staged-grade three-SF
+#                 strict pre-check on a default ANSI session.
+#   slots 9-34  = ALL 26 r10-age greens (next_window.py queue order) —
+#                 after this window no registered row's last green
+#                 predates r11;
+#   slots 35-50 = the 16 oldest r11-age greens (queue order).
 # Ever-green coverage ledger: COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW: list[str] = [
-    # round-13 registrations (staged r12; registry 174 -> 176)
-    "approx_percentile_profile",
-    "bitemporal_asof",
-    # ALL 24 remaining r9-age greens, next_window.py queue order
-    "range_join_events",
-    "bloom_semi_filter",
-    "locf_impute",
-    "stream_interval_join",
-    "resample_last",
-    "topk_pruned",
-    "trailing_range_revenue",
-    "min_cost_supplier",
-    "market_share",
-    "nation_profit",
-    "important_parts",
-    "supplier_cnt",
-    "repeated_spans",
-    "dominant_suppliers",
-    "shipping_priority",
-    "forecast_revenue",
-    "local_supplier_volume",
-    "jaccard_prefix",
-    "kneser_ney_lm",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "near_dedup",
-    "agg_code_metadata",
-    "agg_all_codes",
-    # the 24 oldest r10-age greens, next_window.py queue order
-    "mmr_topk",
-    "hybrid_search",
-    "pq_topk_rerank",
-    "pq_topk",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "repetition_stats",
+    # round-14 registrations: the round-13 staged queue (registry
+    # 176 -> 182) ...
+    "audience_overlap",
+    "hll_user_overlap",
+    "stratified_sample",
+    "weighted_group_sample",
+    "kcore_trade",
+    "stress_centrality",
+    # ... plus the streaming twins (registry 182 -> 184)
+    "streaming_hll_overlap",
+    "streaming_percentile_profile",
+    # ALL 26 r10-age greens, next_window.py queue order
+    "pagerank_trade",
+    "profile_events",
+    "embedding_topk_vectorized",
+    "ivf_topk",
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    # the 16 oldest r11-age greens, next_window.py queue order
+    "window_funnel",
+    "monthly_retention",
+    "repeat_buyers_setop",
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
 ]
 
 
@@ -5056,6 +5384,17 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ledger, registry 174 -> 176)
         "approx_percentile_profile": q_approx_percentile_profile,
         "bitemporal_asof": q_bitemporal_asof,
+        # round-14 registrations (the full round-13 staged queue +
+        # the two streaming twins of VERDICT r13 item 4; COVERAGE.md
+        # round-14 ledger, registry 176 -> 184)
+        "audience_overlap": q_audience_overlap,
+        "hll_user_overlap": q_hll_user_overlap,
+        "stratified_sample": q_stratified_sample,
+        "weighted_group_sample": q_weighted_group_sample,
+        "kcore_trade": q_kcore_trade,
+        "stress_centrality": q_stress_centrality,
+        "streaming_hll_overlap": q_streaming_hll_overlap,
+        "streaming_percentile_profile": q_streaming_percentile_profile,
         "clf_score": q_clf_score,
         "shuffle_positions": q_shuffle_positions,
         "near_dedup": q_near_dedup,
@@ -6692,6 +7031,18 @@ FROM w
         # registration-grade pre-checked at three SFs in round 12)
         "approx_percentile_profile": _APPROX_PERCENTILE_PROFILE_ORACLE_SQL,
         "bitemporal_asof": _BITEMPORAL_ASOF_ORACLE_SQL,
+        # round-14 registrations: the round-13 staged oracles promoted
+        # verbatim (sf-independent static SQL, three-SF pre-checked by
+        # scripts/check_staged.py 18/18 in round 13 and re-run on this
+        # commit), plus the streaming-twin invariant oracles.
+        "audience_overlap": _AUDIENCE_OVERLAP_ORACLE_SQL,
+        "hll_user_overlap": _HLL_USER_OVERLAP_ORACLE_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_ORACLE_SQL,
+        "weighted_group_sample": _WEIGHTED_GROUP_SAMPLE_ORACLE_SQL,
+        "kcore_trade": _kcore_oracle_sql(),
+        "stress_centrality": _stress_oracle_sql(),
+        "streaming_hll_overlap": _STREAMING_HLL_OVERLAP_ORACLE_SQL,
+        "streaming_percentile_profile": _STREAMING_PERCENTILE_PROFILE_ORACLE_SQL,
         "jl_topk": _jl_topk_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         # Weighted-sample replay: same md5 u-draw, exponential-race key

@@ -80,6 +80,16 @@ TRACKED = [
     # birth (the standing rule)
     "approx_percentile_profile",
     "bitemporal_asof",
+    # round 14: the six round-13 staged registrations plus the two
+    # streaming twins, all tracked from birth (the standing rule)
+    "audience_overlap",
+    "hll_user_overlap",
+    "stratified_sample",
+    "weighted_group_sample",
+    "kcore_trade",
+    "stress_centrality",
+    "streaming_hll_overlap",
+    "streaming_percentile_profile",
     "winnow_pairs",
     "jaccard_prefix",
     "span_dedup",

@@ -74,6 +74,16 @@ DEFAULT_QUERIES = [
     # pair, tracked in the A/B from birth
     "approx_percentile_profile",
     "bitemporal_asof",
+    # round-14 additions: the six round-13 staged registrations plus
+    # the two streaming twins, tracked in the A/B from birth
+    "audience_overlap",
+    "hll_user_overlap",
+    "stratified_sample",
+    "weighted_group_sample",
+    "kcore_trade",
+    "stress_centrality",
+    "streaming_hll_overlap",
+    "streaming_percentile_profile",
 ]
 
 

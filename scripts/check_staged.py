@@ -6,6 +6,10 @@ consolidates the inline per-round heredocs used through round 13).
 
 Usage: python scripts/check_staged.py [name ...]
   No names = every entry in __spark_entry__.staged_queries().
+  Explicit names may also resolve from the FULL registry (round 14:
+  lets a registration commit re-run the exact three-SF pre-check on
+  just-registered rows, and lets build-and-register-in-one-round rows
+  like the streaming twins pre-check before taking their slot).
   SFs checked: 0.001, 0.01, 0.1 (override with CHECK_STAGED_SFS, a
   comma list like "0.001,0.01").
 
@@ -33,8 +37,8 @@ def main() -> None:
         .appName("check_staged")
         .getOrCreate()
     )
-    staged = em.staged_queries()
-    oracles = em.staged_oracle_sql()
+    staged = {**em._registry(), **em.staged_queries()}
+    oracles = {**em.oracle_sql(), **em.staged_oracle_sql()}
     n_fail = 0
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf.strip()}"
@@ -45,11 +49,11 @@ def main() -> None:
             )
         for name in names:
             if name not in staged:
-                print(f"FAIL {sf} {name}: not in staged_queries()")
+                print(f"FAIL {sf} {name}: not staged and not registered")
                 n_fail += 1
                 continue
             if name not in oracles:
-                print(f"FAIL {sf} {name}: no staged oracle (verifies nothing)")
+                print(f"FAIL {sf} {name}: no oracle (verifies nothing)")
                 n_fail += 1
                 continue
             try:

@@ -15,59 +15,59 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
-# The exact round-13 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
+# The exact round-14 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
 # __spark_entry__.CORRECTNESS_WINDOW) when rotating queries for a new round.
 EXPECTED_WINDOW = [
-    "approx_percentile_profile",
-    "bitemporal_asof",
-    "range_join_events",
-    "bloom_semi_filter",
-    "locf_impute",
-    "stream_interval_join",
-    "resample_last",
-    "topk_pruned",
-    "trailing_range_revenue",
-    "min_cost_supplier",
-    "market_share",
-    "nation_profit",
-    "important_parts",
-    "supplier_cnt",
-    "repeated_spans",
-    "dominant_suppliers",
-    "shipping_priority",
-    "forecast_revenue",
-    "local_supplier_volume",
-    "jaccard_prefix",
-    "kneser_ney_lm",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "near_dedup",
-    "agg_code_metadata",
-    "agg_all_codes",
-    "mmr_topk",
-    "hybrid_search",
-    "pq_topk_rerank",
-    "pq_topk",
-    "filter_patients_min_measurements",
-    "filter_patients_min_events",
-    "filter_measurements",
-    "fit_vocabulary_indices",
-    "normalization",
-    "occlude_outliers",
-    "add_time_of_day",
-    "canonical_sort_rank",
-    "dedup_keep_first",
-    "union_by_name",
-    "dup_code_check",
-    "metadata_merge_agg",
-    "metadata_enrich_full_outer",
-    "code_construction",
-    "tokenize_schema",
-    "tokenize_event_seqs",
-    "volume_shipping",
-    "promo_revenue",
-    "ship_priority_mix",
-    "repetition_stats",
+    "audience_overlap",
+    "hll_user_overlap",
+    "stratified_sample",
+    "weighted_group_sample",
+    "kcore_trade",
+    "stress_centrality",
+    "streaming_hll_overlap",
+    "streaming_percentile_profile",
+    "pagerank_trade",
+    "profile_events",
+    "embedding_topk_vectorized",
+    "ivf_topk",
+    "heavy_hitters",
+    "image_features",
+    "audio_features",
+    "late_order_priority",
+    "returned_item_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "brand_predicate_revenue",
+    "dormant_customers",
+    "moving_avg_revenue",
+    "ntile_acctbal",
+    "unpivot_nation_metrics",
+    "only_late_supplier",
+    "user_streaks",
+    "bitmap_distinct_users",
+    "argmax_customer",
+    "group_median",
+    "grouping_sets_revenue",
+    "interpolate_values",
+    "scd2_priority",
+    "snapshot_diff",
+    "window_funnel",
+    "monthly_retention",
+    "repeat_buyers_setop",
+    "dedup_clusters_star",
+    "lm_score",
+    "semantic_dedup",
+    "bigram_lm",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "bm25_search",
+    "clf_score",
+    "shuffle_positions",
+    "winnow_pairs",
+    "cdc_chunks",
+    "logreg_step",
+    "blocklist",
 ]
 
 
@@ -139,11 +139,18 @@ def test_registry_pinned_at_176():
     # session_paths registered with window slots 1-2 (COVERAGE.md
     # round-12 ledger), 172 -> 174. Round 13: the round-12 staged pair
     # approx_percentile_profile + bitemporal_asof registered with
-    # window slots 1-2 (COVERAGE.md round-13 ledger), 174 -> 176. Any
+    # window slots 1-2 (COVERAGE.md round-13 ledger), 174 -> 176.
+    # Round 14: the ENTIRE round-13 staged queue (audience_overlap,
+    # hll_user_overlap, stratified_sample, weighted_group_sample,
+    # kcore_trade, stress_centrality) registered with window slots 1-6
+    # (COVERAGE.md round-14 ledger), 176 -> 182, plus the two streaming
+    # twins streaming_hll_overlap + streaming_percentile_profile built
+    # and registered per the ledger's conditional clause (slots 7-8),
+    # 182 -> 184. Any
     # further growth must edit this pin deliberately and land with a
     # window slot (or a fresh ledger entry), never by silently
     # extending the backlog past the 50-row window.
-    assert len(entry.queries()) == 176
+    assert len(entry.queries()) == 184
 
 
 def test_ledger_check_function_level_granularity():

@@ -112,12 +112,18 @@ def test_staging_area_contents_and_promotions():
     # unrolled oracle. Registry audit: pagerank_trade float importance,
     # kcore_trade density tiers, label_propagation communities,
     # triangles local clustering — none counts paths THROUGH a node.
+    # Round 14: the ENTIRE round-13 staged queue registered with window
+    # slots 1-6 (COVERAGE.md round-14 ledger, registry 176 -> 182),
+    # plus the streaming twins streaming_hll_overlap +
+    # streaming_percentile_profile built AND registered per the
+    # ledger's conditional clause (slots 7-8, 182 -> 184; VERDICT r13
+    # item 4 — registry audit in their docstrings: the nearest names
+    # hll_user_overlap / approx_percentile_profile are the BATCH rows;
+    # the twins prove the STREAMING execution of the same aggregates
+    # over a real multi-micro-batch file-source replay). Staging is
+    # empty until the round-14 family lands.
     staged = entry.staged_queries()
-    assert set(staged) == {
-        "audience_overlap", "hll_user_overlap",
-        "stratified_sample", "weighted_group_sample", "kcore_trade",
-        "stress_centrality",
-    }
+    assert staged == {}
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -126,6 +132,10 @@ def test_staging_area_contents_and_promotions():
         "mmr_topk", "window_funnel", "monthly_retention",
         "touch_attribution", "session_paths",
         "approx_percentile_profile", "bitemporal_asof",
+        "audience_overlap", "hll_user_overlap",
+        "stratified_sample", "weighted_group_sample",
+        "kcore_trade", "stress_centrality",
+        "streaming_hll_overlap", "streaming_percentile_profile",
     ):
         assert name in registered
         assert name in oracles
@@ -297,9 +307,13 @@ def _dtype_key(t) -> str:
 
 
 def _strict_compare_staged(spark, con, name):
-    # Every staged query's oracle test goes through this helper.
-    sdf = entry.staged_queries()[name](spark, SF_DIR).toPandas()
-    odf = con.execute(entry.staged_oracle_sql()[name]).fetchdf()
+    # Every staged query's oracle test goes through this helper; a name
+    # keeps using it after promotion (round-14 registration emptied the
+    # staging area), so resolution falls back to the full registry.
+    qs = {**entry._registry(), **entry.staged_queries()}
+    os_ = {**entry.oracle_sql(), **entry.staged_oracle_sql()}
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    odf = con.execute(os_[name]).fetchdf()
     scols, srows = _normalize(sdf)
     ocols, orows = _normalize(odf)
     assert scols == ocols
@@ -580,9 +594,9 @@ def test_bitemporal_asof_matches_oracle_strict(spark, con):
 def test_staged_audience_overlap_matches_oracle_strict(spark, con):
     """Round-13 staged query: the exact grouped audience-overlap join
     (FILTER-ed bitmap aggregates, inclusion-exclusion) vs the
-    definitional DuckDB replay (same integer-µs midpoint cutoff, same
-    per-(type,user) membership fold). BIGINT counts + round-9 jaccard
-    on both sides."""
+    definitional DuckDB replay (same integer-µs first/last edge-window
+    flags — lo+W / hi-W, no division — same per-(type,user) membership
+    fold). BIGINT counts + round-9 jaccard on both sides."""
     _strict_compare_staged(spark, con, "audience_overlap")
 
 
@@ -598,7 +612,7 @@ def test_staged_audience_overlap_windows_and_groups_bind(spark):
 
     from meds_polars_functions_spark.functions.sketches import bitmap_overlap
 
-    rows = entry.staged_queries()["audience_overlap"](spark, SF_DIR).collect()
+    rows = entry._registry()["audience_overlap"](spark, SF_DIR).collect()
     assert rows and all(0 < r["n_inter"] < r["n_union"] for r in rows)
     for r in rows:
         assert r["n_inter"] == r["n_early"] + r["n_late"] - r["n_union"]
@@ -658,7 +672,7 @@ def test_staged_stratified_sample_proportionality_binds(spark):
 
     ev = entry._t(spark, SF_DIR, "events")
     sizes = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
-    rows = entry.staged_queries()["stratified_sample"](spark, SF_DIR).collect()
+    rows = entry._registry()["stratified_sample"](spark, SF_DIR).collect()
     got = {}
     for r in rows:
         got[r["event_type"]] = got.get(r["event_type"], 0) + 1
@@ -695,7 +709,7 @@ def test_staged_weighted_group_race_is_per_group_not_global(spark):
     )
 
     ev = entry._t(spark, SF_DIR, "events")
-    grouped = entry.staged_queries()["weighted_group_sample"](spark, SF_DIR)
+    grouped = entry._registry()["weighted_group_sample"](spark, SF_DIR)
     per_group = {}
     for r in grouped.collect():
         per_group.setdefault(r["event_type"], set()).add(r["event_id"])
@@ -889,7 +903,7 @@ def test_staged_stress_sources_and_sample_bind(spark):
     )
     base = {
         r["node"]: r["stress"]
-        for r in entry.staged_queries()["stress_centrality"](
+        for r in entry._registry()["stress_centrality"](
             spark, SF_DIR
         ).collect()
     }
