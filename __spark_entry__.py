@@ -4528,7 +4528,7 @@ WITH s AS (
   SELECT event_id, event_type, value,
     round(-ln(((('0x' || substr(md5(event_id::VARCHAR || ':{_WGS_SALT}'), 1, 15))::BIGINT
                 % 2147483647) + 1)::DOUBLE / 2147483648.0) / value, 9) AS sk
-  FROM events WHERE value > 0),
+  FROM events WHERE value > 0 AND NOT isnan(value)),
 r AS (
   SELECT event_id, event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY sk, event_id) AS rn

@@ -177,6 +177,7 @@ def bitmap_overlap(
     integral ``key_col`` (the bitmap address space), like
     :func:`bitmap_distinct`.
     """
+    _require_identifiers("bitmap_overlap", key_col=key_col)
     a = df_a.select(*group_cols, key_col).withColumn("__side__", F.lit(0))
     b = df_b.select(*group_cols, key_col).withColumn("__side__", F.lit(1))
     u = a.unionByName(b)
@@ -387,6 +388,7 @@ def hll_overlap(
     Same output shape as :func:`bitmap_overlap`; see there for the
     exact alternative and here for when to prefer this one (non-integer
     keys, pre-existing sketch tables, or corpora too large to bitmap)."""
+    _require_identifiers("hll_overlap", key_col=key_col)
     sa = sketch_distinct(df_a, group_cols, key_col, "sk", lgk)
     sb = sketch_distinct(df_b, group_cols, key_col, "sk", lgk)
     return hll_overlap_from_sketches(sa, sb, group_cols, "sk")

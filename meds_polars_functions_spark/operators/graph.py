@@ -97,6 +97,11 @@ def pagerank(
     e_deg.unpersist()
     dangling_nodes.unpersist()
     nodes.unpersist()
+    # The final iteration always localCheckpoints (it == n_iter - 1),
+    # so the loop-carried persist on top of it is redundant for the
+    # caller — release it too (same cache-lifetime class as ADVICE r13
+    # item 5); the returned frame stays materialized by the checkpoint.
+    ranks.unpersist()
     return ranks
 
 
@@ -310,8 +315,16 @@ def k_core_decomposition(
         old.unpersist()
         if changed == 0:
             break
+    # Materialize the fixpoint before releasing the caches (ADVICE r13
+    # item 5): returning the still-persisted frame accumulated cached
+    # RDDs across calls in long-lived sessions, and unpersisting a lazy
+    # result would re-run up to checkpoint_every H-iterations on first
+    # use. localCheckpoint is |nodes|-sized — metadata next to the edge
+    # exchange it frees.
+    final = cores.localCheckpoint(eager=True)
+    cores.unpersist()
     und.unpersist()
-    return cores
+    return final
 
 
 def verify_k_core(edges: DataFrame, cores: DataFrame) -> DataFrame:
@@ -477,4 +490,12 @@ def stress_centrality(
         out = nodes.join(agg_t, "node", "left").select(
             "node", F.coalesce("stress", F.lit(0).cast("long")).alias("stress")
         )
-    return out
+    # Materialize before releasing the caches (ADVICE r13 item 5): the
+    # lazy hs/tau chain re-reads `und` once per layer, so unpersisting
+    # without the eager cut would re-derive the edge exchange that many
+    # times on first evaluation; and returning without unpersisting
+    # accumulated cached RDDs across calls. |nodes|-sized checkpoint.
+    final = out.localCheckpoint(eager=True)
+    und.unpersist()
+    nodes.unpersist()
+    return final

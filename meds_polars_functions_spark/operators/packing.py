@@ -211,7 +211,11 @@ def weighted_group_sample(
     whole point: per-source/per-class weighted budgets in one pass.
     Same key arithmetic bit-for-bit (md5 u-draw, ``-ln(u)/w``, round(9)
     + id tiebreak, ``w <= 0`` never wins), so the DuckDB replay oracle
-    carries over per group.
+    carries over per group. NaN weights are excluded like ``w <= 0``
+    (ADVICE r13 item 4: without the explicit guard a NaN weight races
+    with a NaN key, which sorts LAST instead of being dropped — visible
+    only in groups with fewer than k positive-weight rows, and
+    engine-divergent because DuckDB's NaN orders differently).
 
     100 TB shape: the key is a pure map-side expression; selection is
     one hash exchange on the group key + a rank window (k rows kept per
@@ -243,7 +247,9 @@ def weighted_group_sample(
     )
     u = (h + F.lit(1)).cast("double") / F.lit(float(p + 1))
     wgt = F.col(weight_col).cast("double")
-    key = F.when(wgt > 0, -F.log(u) / wgt).otherwise(F.lit(float("inf")))
+    key = F.when(
+        (wgt > 0) & ~F.isnan(wgt), -F.log(u) / wgt
+    ).otherwise(F.lit(float("inf")))
     win = Window.partitionBy(*group_cols).orderBy(F.asc("__sk__"), F.asc(id_col))
     return (
         df.withColumn("__sk__", F.round(key, 9))

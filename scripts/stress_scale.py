@@ -11,7 +11,6 @@ Prints one JSON line per dataset scale with per-query seconds.
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -214,8 +213,10 @@ def main() -> None:
     spark = get_spark("stress")
     em._prep(spark)  # nanos-timestamp reads + non-ANSI semantics
 
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch)
+    # No pre-rmtree: ensure_scratch's source+copy-count marker already
+    # detects staleness and rebuilds, so a matching scratch is REUSED
+    # across runs (ADVICE r13 item 3 — the rmtree made the marker dead
+    # code and re-materialized every run).
     t0 = time.time()
     ensure_scratch(spark, src, scratch, n_copies)
     print(json.dumps({"materialize_sec": round(time.time() - t0, 3), "copies": n_copies}), flush=True)

@@ -607,7 +607,7 @@ def test_audience_overlap_bitmap_join_no_pairs_no_python(spark, entry_mod):
     (BroadcastNestedLoopJoin of a single row), never a SortMergeJoin or
     a key-pair expansion; both aggregate stages carry partials
     map-side; zero Python nodes."""
-    plan = plan_of(entry_mod.staged_queries()["audience_overlap"](spark, SF))
+    plan = plan_of(entry_mod._registry()["audience_overlap"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Python" not in plan
@@ -620,7 +620,7 @@ def test_hll_user_overlap_sketch_join_is_metadata_sized(spark, entry_mod):
     to one row per group BEFORE any join, so every Join node in the
     plan is a broadcast (sketch tables + the 1-row bounds + the 5-row
     exact recompute); zero SortMergeJoin, zero Python."""
-    plan = plan_of(entry_mod.staged_queries()["hll_user_overlap"](spark, SF))
+    plan = plan_of(entry_mod._registry()["hll_user_overlap"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Python" not in plan
@@ -632,7 +632,7 @@ def test_stratified_sample_targets_broadcast_one_corpus_exchange(spark, entry_mo
     (|strata| rows) joins by BROADCAST; the corpus moves through
     exactly one hash exchange on the strata key for the rank window —
     no SortMergeJoin, no Python."""
-    plan = plan_of(entry_mod.staged_queries()["stratified_sample"](spark, SF))
+    plan = plan_of(entry_mod._registry()["stratified_sample"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
@@ -642,6 +642,6 @@ def test_weighted_group_sample_key_is_map_side_no_join(spark, entry_mod):
     """The race key is a pure map-side expression: zero Join nodes of
     any kind, zero Python; one corpus exchange on the group key feeds
     the rank window."""
-    plan = plan_of(entry_mod.staged_queries()["weighted_group_sample"](spark, SF))
+    plan = plan_of(entry_mod._registry()["weighted_group_sample"](spark, SF))
     assert "Join" not in plan
     assert "Python" not in plan

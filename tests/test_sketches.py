@@ -513,5 +513,15 @@ def test_flagged_forms_reject_expression_shaped_columns(spark):
             fn(df, ["g"], "k; DROP TABLE x", "fa", "fb")
     with pytest.raises(ValueError, match="bare column identifier"):
         streaming_hll_overlap(df, ["g"], "k", "fa", "fb = fb")
+    # the two-sided APIs splice key_col the same way (ADVICE r13
+    # item 1): same guard, same error
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_overlap,
+        hll_overlap,
+    )
+
+    for fn in (bitmap_overlap, hll_overlap):
+        with pytest.raises(ValueError, match="bare column identifier"):
+            fn(df, df, ["g"], "k + 1")
     # clean identifiers still work
     assert bitmap_overlap_flags(df, ["g"], "k", "fa", "fb").count() == 1

@@ -943,3 +943,21 @@ def test_sampling_ops_reject_reserved_columns(spark):
     # clean inputs still work
     assert stratified_sample(df, ["g"], "id", 1.0).count() == 1
     assert weighted_group_sample(df, ["g"], "id", "w", 1).count() == 1
+
+
+def test_weighted_group_sample_excludes_nan_weights(spark):
+    """ADVICE r13 item 4: a NaN weight must be excluded like w <= 0 on
+    BOTH engines. Without the explicit guard the NaN row raced with a
+    NaN key (which sorts last, so it surfaced only in groups with fewer
+    than k positive-weight rows — exactly the case pinned here) and
+    DuckDB's NaN ordering diverges from Spark's."""
+    from meds_polars_functions_spark.operators.packing import (
+        weighted_group_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", float("nan")), (3, "a", -1.0)],
+        "id long, g string, w double",
+    )
+    got = weighted_group_sample(df, ["g"], "id", "w", 3).collect()
+    assert [r["id"] for r in got] == [1], "NaN/negative weights must never win"
