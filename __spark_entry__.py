@@ -5056,6 +5056,228 @@ SELECT event_type, metric, value FROM (
 """
 
 
+_RETENTION_WINDOW = "1 day"  # tumbling event-time window for the staged
+# retention pair. Daily, not weekly: the synthetic 30-day corpus
+# saturates weekly audiences (every active user re-appears -> inter ==
+# min side everywhere, the degenerate regime the audience_overlap
+# staging measured against), while day-over-day audiences are strictly
+# partial (0 < inter < min side) for 120-145 of the ~145 window pairs
+# at every SF — measured before staging, pinned by the falsifiability
+# test.
+_RETENTION_WINDOW_US = 86_400_000_000
+
+
+def q_windowed_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 14 (the round-14 family per the pre-committed
+    ledger: watermarked windowed grouped sketch state, §2.10 extension
+    of both round-13 families): EXACT window-over-window audience
+    retention (functions.sketches.windowed_set_retention) — per
+    (event_type, daily event-time window w with a populated
+    predecessor), the distinct-user counts of w-1 / w / their union,
+    the inclusion-exclusion intersection, and ``retention =
+    n_inter / n_prev`` (round 9). Who came back, per group, per day —
+    the churn primitive.
+
+    100 TB shape (see the operator docstring): ONE corpus exchange
+    into per-(group, window, bucket) bitmap cells (localCheckpoint-ed,
+    metadata-sized), a window-shift STACK of the cell table (pure
+    projection — window-over-window comparison never touches the
+    corpus again), one metadata exchange with ``bitmap_or_agg`` +
+    FILTER-ed side counts, zero Join and zero Python nodes (plan
+    pinned). The same close runs over the sketch table a watermarked
+    streaming aggregation emits — the family's point.
+
+    Registry audit (standing rule, listing checked): nearest concepts
+    are ``monthly_retention``/``retention_cohort`` (cohort-anchored
+    activity matrices keyed by FIRST-activity cohort, no
+    window-over-window set intersection), ``audience_overlap`` (fixed
+    first/last edge-window pair, not per-window series),
+    ``sliding_window_counts`` (windowed COUNTS, no set algebra),
+    ``user_streaks`` (per-user gaps-and-islands, no cross-user sets);
+    no registered name within edit distance 2."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import (
+        windowed_set_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_set_retention(
+        ev, "ts", ["event_type"], "user_id", _RETENTION_WINDOW
+    )
+    return out.orderBy("event_type", "window_start")
+
+
+#: DuckDB replay of q_windowed_user_retention from the DEFINITION:
+#: per-(type, epoch-aligned day) distinct-user sets, consecutive-day
+#: inner pairing, exact membership-join intersection, round-9
+#: retention. BIGINT counts; window_start rebuilt as the same
+#: epoch-µs-aligned TIMESTAMP Spark's window() emits.
+_WINDOWED_USER_RETENTION_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) // {_RETENTION_WINDOW_US} AS d
+  FROM events),
+m AS (SELECT DISTINCT event_type, d, user_id FROM e),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM m GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.d, count(*)::BIGINT AS i
+  FROM m a JOIN m b ON a.event_type = b.event_type
+   AND a.user_id = b.user_id AND b.d = a.d - 1
+  GROUP BY 1, 2)
+SELECT c.event_type,
+  make_timestamp(c.d * {_RETENTION_WINDOW_US}) AS window_start,
+  p.n AS n_prev, c.n AS n_cur,
+  (p.n + c.n - coalesce(j.i, 0))::BIGINT AS n_union,
+  coalesce(j.i, 0)::BIGINT AS n_inter,
+  round(coalesce(j.i, 0) / p.n::DOUBLE, 9) AS retention
+FROM c JOIN c p ON p.event_type = c.event_type AND p.d = c.d - 1
+LEFT JOIN j ON j.event_type = c.event_type AND j.d = c.d
+ORDER BY c.event_type, window_start
+"""
+
+
+def q_windowed_hll_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round 14 (second member of the windowed-sketch-state
+    family — the standing exact+sketch pairing from round 13): the HLL
+    path of the same day-over-day audience retention
+    (functions.sketches.windowed_sketch_retention) — per-(event_type,
+    day) HLL register state, window-shift stack, FILTER-ed
+    ``hll_union_agg`` close. The per-window sketch table it builds is
+    byte-identical state to what the watermarked streaming builder
+    (streaming.events.streaming_windowed_sketch_audience) emits, and
+    the close is the SAME function
+    (sketch_window_retention_close) — so this row proves the algebra
+    a live retention feed would run.
+
+    HLL estimates are engine-specific, so per the hll_user_overlap
+    precedent the row emits INVARIANTS per (event_type, window):
+
+    - ``n_prev_exact`` / ``n_cur_exact`` / ``n_union_exact`` /
+      ``n_inter_exact``: the exact counts recomputed Spark-side from
+      one membership pass — the oracle recomputes them definitionally
+      (full value coverage, BIGINT).
+    - ``est_within_tol`` = 1.0: each streamed-shape estimate (prev,
+      cur, union) within ``_HLL_OVERLAP_TOL`` of its exact value.
+    - ``inter_bounded`` = 1.0: the estimated intersection is
+      non-negative, <= min(side estimates), and within
+      ``_HLL_OVERLAP_INTER_TOL`` x n_union_exact of the exact
+      intersection.
+
+    Falsifiability pinned in tests/test_staged_queries.py: a degraded
+    lgK-4 sketch flips the flags on a high-cardinality corpus, and the
+    strictly-partial regime (0 < inter < min side somewhere) holds at
+    sf0.001. Registry audit: differs from ``windowed_user_retention``
+    (exact bitmap twin staged alongside — this row proves the SKETCH
+    path and its watermark-state merge law) and from
+    ``hll_user_overlap`` (fixed two-window pair, not a per-window
+    retention series); no registered name within edit distance 2."""
+    _prep(spark)
+    from meds_polars_functions_spark.functions.sketches import (
+        windowed_sketch_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = windowed_sketch_retention(
+        ev, "ts", ["event_type"], "user_id", _RETENTION_WINDOW
+    )
+    day = (F.unix_micros(F.col("ts")) / F.lit(_RETENTION_WINDOW_US)).cast(
+        "long"
+    )
+    member = (
+        ev.select("event_type", day.alias("__d__"), "user_id")
+        .distinct()
+    )
+    cnt = member.groupBy("event_type", "__d__").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    inter = (
+        member.alias("a")
+        .join(
+            member.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.__d__") == F.col("a.__d__") - 1),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.__d__").alias("__d__"))
+        .agg(F.count(F.lit(1)).alias("__i__"))
+    )
+    exact = (
+        cnt.alias("c")
+        .join(
+            cnt.select(
+                F.col("event_type"),
+                (F.col("__d__") + 1).alias("__d__"),
+                F.col("__n__").alias("__np__"),
+            ).alias("p"),
+            ["event_type", "__d__"],
+        )
+        .join(inter, ["event_type", "__d__"], "left")
+        .select(
+            "event_type",
+            F.timestamp_micros(
+                F.col("__d__") * F.lit(_RETENTION_WINDOW_US)
+            ).alias("window_start"),
+            F.col("__np__").alias("__xp__"),
+            F.col("__n__").alias("__xc__"),
+            (F.col("__np__") + F.col("__n__") - F.coalesce("__i__", F.lit(0))).alias("__xu__"),
+            F.coalesce("__i__", F.lit(0)).alias("__xi__"),
+        )
+    )
+    j = est.join(F.broadcast(exact), ["event_type", "window_start"])
+    tol = F.lit(_HLL_OVERLAP_TOL)
+    within = (
+        (F.abs(F.col("n_prev") - F.col("__xp__")) <= tol * F.col("__xp__"))
+        & (F.abs(F.col("n_cur") - F.col("__xc__")) <= tol * F.col("__xc__"))
+        & (F.abs(F.col("n_union") - F.col("__xu__")) <= tol * F.col("__xu__"))
+    )
+    bounded = (
+        (F.col("n_inter") >= 0)
+        & (F.col("n_inter") <= F.least(F.col("n_prev"), F.col("n_cur")))
+        & (
+            F.abs(F.col("n_inter") - F.col("__xi__"))
+            <= F.lit(_HLL_OVERLAP_INTER_TOL) * F.col("__xu__")
+        )
+    )
+    return j.select(
+        "event_type",
+        "window_start",
+        F.col("__xp__").cast("long").alias("n_prev_exact"),
+        F.col("__xc__").cast("long").alias("n_cur_exact"),
+        F.col("__xu__").cast("long").alias("n_union_exact"),
+        F.col("__xi__").cast("long").alias("n_inter_exact"),
+        within.cast("double").alias("est_within_tol"),
+        bounded.cast("double").alias("inter_bounded"),
+    ).orderBy("event_type", "window_start")
+
+
+#: Invariant oracle (hll_user_overlap precedent): exact counts are
+#: definitional recomputes; the two flags pin a correct windowed
+#: sketch close at 1.0. See q_windowed_hll_retention.
+_WINDOWED_HLL_RETENTION_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) // {_RETENTION_WINDOW_US} AS d
+  FROM events),
+m AS (SELECT DISTINCT event_type, d, user_id FROM e),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM m GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.d, count(*)::BIGINT AS i
+  FROM m a JOIN m b ON a.event_type = b.event_type
+   AND a.user_id = b.user_id AND b.d = a.d - 1
+  GROUP BY 1, 2)
+SELECT c.event_type,
+  make_timestamp(c.d * {_RETENTION_WINDOW_US}) AS window_start,
+  p.n AS n_prev_exact, c.n AS n_cur_exact,
+  (p.n + c.n - coalesce(j.i, 0))::BIGINT AS n_union_exact,
+  coalesce(j.i, 0)::BIGINT AS n_inter_exact,
+  1.0::DOUBLE AS est_within_tol,
+  1.0::DOUBLE AS inter_bounded
+FROM c JOIN c p ON p.event_type = c.event_type AND p.d = c.d - 1
+LEFT JOIN j ON j.event_type = c.event_type AND j.d = c.d
+ORDER BY c.event_type, window_start
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Staging area for implemented-but-not-yet-registered queries.
 
@@ -5125,10 +5347,18 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots 1-6 (COVERAGE.md round-14 ledger, registry 176 -> 182), plus
     the two streaming twins built AND registered this round per the
     ledger's conditional clause (slots 7-8, registry 182 -> 184,
-    VERDICT r13 item 4). The staging area is empty until the round-14
-    staged family (watermarked windowed grouped sketch state) reaches
-    registration grade."""
-    return {}
+    VERDICT r13 item 4). Round 14 stages the ONE new family the ledger
+    names (watermarked windowed grouped sketch state, §2.10): the
+    day-over-day audience-retention pair ``windowed_user_retention``
+    (EXACT bitmap-cell path, strict SQL oracle) +
+    ``windowed_hll_retention`` (the HLL state path whose per-window
+    sketch table and close are shared verbatim with the watermarked
+    streaming builder streaming_windowed_sketch_audience), both
+    registry-audited per the standing rule (see their docstrings)."""
+    return {
+        "windowed_user_retention": q_windowed_user_retention,
+        "windowed_hll_retention": q_windowed_hll_retention,
+    }
 
 
 #: KN oracle: exact CTE mirror of the operator — ONE corpus-sized
@@ -5200,7 +5430,10 @@ def staged_oracle_sql() -> dict[str, str]:
     sf0.001 staged tests and, on registration, the sf0.01
     ``oracle_sql()`` default. Every staged entry must appear here too:
     a staged query the comparator cannot check verifies nothing."""
-    return {}
+    return {
+        "windowed_user_retention": _WINDOWED_USER_RETENTION_ORACLE_SQL,
+        "windowed_hll_retention": _WINDOWED_HLL_RETENTION_ORACLE_SQL,
+    }
 
 
 # ---------------------------------------------------------------------------

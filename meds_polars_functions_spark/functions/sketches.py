@@ -394,6 +394,213 @@ def hll_overlap(
     return hll_overlap_from_sketches(sa, sb, group_cols, "sk")
 
 
+# ---------------------------------------------------------------------------
+# Windowed grouped sketch state (round-14 staged family): the overlap
+# machinery above, keyed by (group, event-time window) — the state shape
+# a WATERMARKED streaming aggregation keeps and evicts. The batch forms
+# here and the streaming builder (streaming.events.
+# streaming_windowed_sketch_audience) share one contract: per-window
+# cells are built by ONE corpus-sized exchange into a metadata-sized
+# state table (bitmap cells / HLL registers), and every downstream
+# question — here window-over-window audience retention — is algebra on
+# that state table, never a second corpus pass.
+# ---------------------------------------------------------------------------
+
+
+def windowed_bitmap_cells(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    key_col: str,
+    window: str = "1 day",
+) -> DataFrame:
+    """Per-(group, tumbling event-time window) EXACT distinct-key state
+    as bitmap cells: ``(*group_cols, window_start, __bkt__, __bmp__,
+    __cnt__)`` — the :func:`bitmap_distinct_state` discipline with the
+    window in the key. ONE corpus exchange on (group, window, bucket)
+    with map-side partial bitmap combine; output is metadata-sized
+    (≤4 KB per populated cell). Cells from shards/epochs merge with
+    ``bitmap_or_agg`` per cell (the shard-merge law, property-tested),
+    which is exactly why the same per-window state survives as a
+    watermark-evicted streaming aggregation buffer. Requires an
+    integral ``key_col`` like :func:`bitmap_distinct`."""
+    _require_identifiers("windowed_bitmap_cells", key_col=key_col)
+    addressed = df.select(
+        *group_cols,
+        F.window(ts_col, window).start.alias("window_start"),
+        F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt__"),
+        F.expr(f"bitmap_bit_position({key_col})").alias("__pos__"),
+    )
+    return addressed.groupBy(*group_cols, "window_start", "__bkt__").agg(
+        F.expr("bitmap_construct_agg(__pos__)").alias("__bmp__"),
+        F.expr("bitmap_count(bitmap_construct_agg(__pos__))").alias("__cnt__"),
+    )
+
+
+def _retention_close(
+    counts: DataFrame, group_cols: list[str], n_prev, n_cur, n_union
+) -> DataFrame:
+    """Shared closing for the windowed retention forms: side counts +
+    union -> floored inclusion-exclusion intersection + round-9
+    retention (share of the PREVIOUS window's audience seen again).
+    Emits only windows where both sides are populated — the first
+    window of a series has no predecessor and a last+1 phantom window
+    has no current side (the prev-shift creates it)."""
+    inter = F.greatest(n_prev + n_cur - n_union, F.lit(0))
+    return (
+        counts.filter((n_prev > 0) & (n_cur > 0))
+        .select(
+            *group_cols,
+            "window_start",
+            n_prev.alias("n_prev"),
+            n_cur.alias("n_cur"),
+            n_union.alias("n_union"),
+            inter.alias("n_inter"),
+            F.round(inter / n_prev, 9).alias("retention"),
+        )
+    )
+
+
+def windowed_set_retention(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    key_col: str,
+    window: str = "1 day",
+) -> DataFrame:
+    """EXACT window-over-window audience retention per group: for every
+    tumbling event-time window w with a populated predecessor, the
+    distinct-key counts of w-1 (``n_prev``), w (``n_cur``), their union
+    and intersection (inclusion-exclusion over exact bitmap counts) and
+    ``retention = n_inter / n_prev`` — who came back, per group, per
+    window, with zero estimator error.
+
+    100 TB shape (the SCALE.md single-pass lesson applied):
+
+    1. ONE corpus-sized exchange builds the per-(group, window, bucket)
+       bitmap cells (:func:`windowed_bitmap_cells`), then the cell
+       table is eagerly localCheckpoint-ed: it is consumed twice below
+       (as itself and shifted one window forward), and without the cut
+       the union would plan the corpus aggregation subtree twice (the
+       round-13 double-scan lesson). The checkpoint is metadata-sized —
+       cells, not rows.
+    2. The stacked (current + one-window-shifted previous) cells flow
+       through ONE metadata-sized exchange on (group, window, bucket):
+       ``bitmap_or_agg`` merges the pair into the union popcount while
+       FILTER-ed sums carry the per-side counts — no scalar bitmap-OR
+       needed, no join node anywhere.
+    3. A per-(group, window) closing sum + inclusion-exclusion. Group
+       skew dilutes into the bucket dimension exactly as in
+       :func:`bitmap_overlap`.
+
+    The window-shift trick makes window-over-window comparison a PURE
+    PROJECTION of the state table — the same algebra runs over the
+    sketch table a watermarked streaming aggregation emits
+    (streaming.events.streaming_windowed_sketch_audience), which is the
+    point of the family: retention/churn over an unbounded feed from
+    bounded per-window state."""
+    cells = windowed_bitmap_cells(
+        df, ts_col, group_cols, key_col, window
+    ).localCheckpoint(eager=True)
+    shift = F.col("window_start") + F.expr(f"INTERVAL {window}")
+    stacked = cells.select(
+        *group_cols, "window_start", "__bkt__", "__bmp__", "__cnt__",
+        F.lit(1).alias("__cur__"),
+    ).unionByName(
+        cells.select(
+            *group_cols, shift.alias("window_start"), "__bkt__", "__bmp__",
+            "__cnt__", F.lit(0).alias("__cur__"),
+        )
+    )
+    per_bucket = stacked.groupBy(*group_cols, "window_start", "__bkt__").agg(
+        F.expr("bitmap_count(bitmap_or_agg(__bmp__))").alias("__cu__"),
+        F.expr("sum(__cnt__) FILTER (WHERE __cur__ = 0)").alias("__cp__"),
+        F.expr("sum(__cnt__) FILTER (WHERE __cur__ = 1)").alias("__cc__"),
+    )
+    counts = per_bucket.groupBy(*group_cols, "window_start").agg(
+        F.sum(F.coalesce("__cp__", F.lit(0))).alias("__np__"),
+        F.sum(F.coalesce("__cc__", F.lit(0))).alias("__nc__"),
+        F.sum("__cu__").alias("__nu__"),
+    )
+    return _retention_close(
+        counts, group_cols, F.col("__np__"), F.col("__nc__"), F.col("__nu__")
+    )
+
+
+def windowed_sketch_retention(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    key_col: str,
+    window: str = "1 day",
+    lgk: int = 12,
+) -> DataFrame:
+    """The HLL twin of :func:`windowed_set_retention` — same output
+    shape with estimated counts: per-(group, window) HLL register
+    state (ONE corpus exchange, map-side partial sketches,
+    localCheckpoint for the same double-consumption reason), then the
+    window-shift stack closes with FILTER-ed ``hll_union_agg`` per
+    side + pair — one metadata-sized exchange, zero joins, zero
+    Python. For non-integral keys or when the per-window key space is
+    too wide to bitmap; estimator error ~0.4-1.6% per term at lgK 12
+    (exact in sparse mode), floored inclusion-exclusion like
+    :func:`hll_overlap_from_sketches`. The per-(group, window) sketch
+    table it builds is EXACTLY what the watermarked streaming builder
+    emits, so a live feed composes with this close unchanged."""
+    _require_identifiers("windowed_sketch_retention", key_col=key_col)
+    cells = (
+        df.select(
+            *group_cols,
+            F.window(ts_col, window).start.alias("window_start"),
+            F.col(key_col).alias("__k__"),
+        )
+        .groupBy(*group_cols, "window_start")
+        .agg(F.expr(f"hll_sketch_agg(__k__, {lgk})").alias("__wsk__"))
+        .localCheckpoint(eager=True)
+    )
+    return sketch_window_retention_close(
+        cells, group_cols, window, sketch_col="__wsk__"
+    )
+
+
+def sketch_window_retention_close(
+    cells: DataFrame,
+    group_cols: list[str],
+    window: str = "1 day",
+    sketch_col: str = "audience_sketch",
+) -> DataFrame:
+    """Window-over-window retention close over an already-built
+    per-(group, window) HLL sketch table — the batch
+    :func:`windowed_sketch_retention` after its corpus pass, or the
+    accumulated output of a watermarked streaming builder
+    (streaming.events.streaming_windowed_sketch_audience), or any
+    stored sketch state partitioned by window. Pure metadata-sized
+    algebra: the window-shift stack + FILTER-ed ``hll_union_agg`` —
+    no raw corpus, no join nodes, no Python."""
+    _require_identifiers(
+        "sketch_window_retention_close", sketch_col=sketch_col
+    )
+    shift = F.col("window_start") + F.expr(f"INTERVAL {window}")
+    stacked = cells.select(
+        *group_cols, "window_start", F.col(sketch_col).alias("__sk__"),
+        F.lit(1).alias("__cur__"),
+    ).unionByName(
+        cells.select(
+            *group_cols, shift.alias("window_start"),
+            F.col(sketch_col).alias("__sk__"), F.lit(0).alias("__cur__"),
+        )
+    )
+    agg = stacked.groupBy(*group_cols, "window_start").agg(
+        F.expr("hll_union_agg(__sk__) FILTER (WHERE __cur__ = 0)").alias("__sp__"),
+        F.expr("hll_union_agg(__sk__) FILTER (WHERE __cur__ = 1)").alias("__sc__"),
+        F.expr("hll_union_agg(__sk__)").alias("__su__"),
+    )
+    est_p = F.coalesce(F.expr("hll_sketch_estimate(__sp__)"), F.lit(0))
+    est_c = F.coalesce(F.expr("hll_sketch_estimate(__sc__)"), F.lit(0))
+    est_u = F.coalesce(F.expr("hll_sketch_estimate(__su__)"), F.lit(0))
+    return _retention_close(agg, group_cols, est_p, est_c, est_u)
+
+
 def _cms_bucket(col: F.Column, row: int, width: int) -> F.Column:
     """Row-``row``'s CMS bucket for a value: engine-portable md5 bucket
     of the salted value (DuckDB: ``('0x' || substr(md5(row || ':' ||

@@ -205,3 +205,84 @@ def streaming_percentile_profile(
     return approx_percentile_profile(
         stream, value_col, group_cols, percentiles, accuracy
     )
+
+
+def streaming_windowed_sketch_audience(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    key_col: str,
+    window: str = "1 day",
+    watermark_delay: str = "2 hours",
+    lgk: int = 12,
+) -> DataFrame:
+    """Watermarked per-(group, tumbling window) distinct-audience sketch
+    state over an unbounded feed — the round-14 staged family's
+    streaming builder (§2.10): emits ``(*group_cols, window_start,
+    audience_sketch, n_est)`` rows, one per finalized window in append
+    mode.
+
+    Spark-first state design (the SCALE.md mergeable-sketch lesson, now
+    with EVICTION): the HLL registers live inside the native streaming
+    aggregation buffer keyed by (group, window) — O(2^lgk) bytes per
+    open window per group, NOT O(events) — and the watermark bounds how
+    many windows stay open: state is |groups| x (window span covered by
+    the watermark), constant for a steady feed, which is what lets a
+    100 TB/day stream run for months. In append mode each window is
+    emitted exactly once, when the watermark passes its end; rows later
+    than the watermark are evicted by the engine (the documented
+    declarative-aggregation trade: no ``dropped_events`` channel here,
+    unlike the applyInPandasWithState suite — compose
+    ``windowed_event_counts`` upstream when a drop count is needed).
+
+    The emitted sketch column is the SAME DataSketches register state
+    the batch :func:`~meds_polars_functions_spark.functions.sketches.
+    windowed_sketch_retention` builds per window (register merge is a
+    commutative monoid — batch parity is exact and pinned by test), so
+    the retention close runs UNCHANGED over this op's output table:
+    live window-over-window churn from bounded state, no raw-event
+    replay. On a batch DataFrame the same call degrades to the plain
+    windowed sketch build (no watermark), which is how the parity test
+    pins the semantics."""
+    from meds_polars_functions_spark.functions.sketches import (
+        _require_identifiers,
+    )
+
+    _require_identifiers("streaming_windowed_sketch_audience", key_col=key_col)
+    d = (
+        stream.withWatermark(ts_col, watermark_delay)
+        if stream.isStreaming
+        else stream
+    )
+    return (
+        d.groupBy(F.window(ts_col, window).alias("__w__"), *group_cols)
+        .agg(F.expr(f"hll_sketch_agg({key_col}, {lgk})").alias("audience_sketch"))
+        .select(
+            *group_cols,
+            F.col("__w__.start").alias("window_start"),
+            "audience_sketch",
+            F.expr("hll_sketch_estimate(audience_sketch)").alias("n_est"),
+        )
+    )
+
+
+def retention_from_sketch_windows(
+    cells: DataFrame,
+    group_cols: list[str],
+    window: str = "1 day",
+    sketch_col: str = "audience_sketch",
+) -> DataFrame:
+    """Window-over-window retention close over an already-built
+    per-(group, window) sketch table — e.g. the accumulated output of
+    :func:`streaming_windowed_sketch_audience`, or any stored sketch
+    state partitioned by window. Pure metadata-sized algebra (the
+    window-shift stack + FILTER-ed ``hll_union_agg``), no raw corpus
+    anywhere; same output shape as ``windowed_sketch_retention`` minus
+    the corpus pass it never needs. Thin delegation — the close IS
+    functions.sketches.sketch_window_retention_close, shared with the
+    batch operator so batch and stream provably run the same algebra."""
+    from meds_polars_functions_spark.functions.sketches import (
+        sketch_window_retention_close,
+    )
+
+    return sketch_window_retention_close(cells, group_cols, window, sketch_col)

@@ -66,8 +66,18 @@ def main() -> None:
             scols, srows = _normalize(sdf)
             ocols, orows = _normalize(odf)
             values = scols == ocols and srows == orows and len(srows) > 0
-            dtypes = [str(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
-                str(t) for t in odf[sorted(odf.columns)].dtypes
+
+            # datetime64 RESOLUTION (Spark toPandas ns vs DuckDB fetchdf
+            # us) is a pandas transport artifact, not a dtype class —
+            # same collapse as tests/test_staged_queries._dtype_key
+            # (sessionize precedent: raw-timestamp outputs are
+            # driver-green; the comparator isoformats values).
+            def _k(t):
+                s = str(t)
+                return "datetime64" if s.startswith("datetime64") else s
+
+            dtypes = [_k(t) for t in sdf[sorted(sdf.columns)].dtypes] == [
+                _k(t) for t in odf[sorted(odf.columns)].dtypes
             ]
             flag = "PASS" if (values and dtypes) else "FAIL"
             n_fail += flag == "FAIL"

@@ -645,3 +645,46 @@ def test_weighted_group_sample_key_is_map_side_no_join(spark, entry_mod):
     plan = plan_of(entry_mod._registry()["weighted_group_sample"](spark, SF))
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_windowed_set_retention_no_join_no_python_metadata_stack(spark, entry_mod):
+    """Round-14 staged windowed-state family, the 100 TB pin: the exact
+    retention plan has ZERO Join nodes of any kind and zero Python —
+    window-over-window comparison is a pure projection STACK of the
+    localCheckpoint-ed cell table (the checkpoint also means the
+    visible plan starts at the materialized cells: the one corpus
+    exchange happened exactly once, behind the lineage cut), closed by
+    FILTER-ed bitmap aggregates with map-side partials."""
+    from meds_polars_functions_spark.functions.sketches import (
+        windowed_set_retention,
+    )
+
+    ev = entry_mod._t(spark, SF, "events")
+    plan = plan_of(
+        windowed_set_retention(ev, "ts", ["event_type"], "user_id", "1 day")
+    )
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "bitmap_or_agg" in plan
+    assert "partial_" in plan
+    # the corpus was consumed before the checkpoint: no parquet scan
+    # (and hence no second corpus pass) appears in the close plan
+    assert "Scan parquet" not in plan
+
+
+def test_windowed_sketch_retention_close_no_join_no_python(spark, entry_mod):
+    """The HLL windowed-state close: FILTER-ed hll_union_agg over the
+    sketch-cell stack — zero Join, zero Python, same lineage-cut
+    contract as the bitmap twin."""
+    from meds_polars_functions_spark.functions.sketches import (
+        windowed_sketch_retention,
+    )
+
+    ev = entry_mod._t(spark, SF, "events")
+    plan = plan_of(
+        windowed_sketch_retention(ev, "ts", ["event_type"], "user_id", "1 day")
+    )
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "hll_union_agg" in plan
+    assert "Scan parquet" not in plan

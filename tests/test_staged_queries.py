@@ -120,10 +120,21 @@ def test_staging_area_contents_and_promotions():
     # item 4 — registry audit in their docstrings: the nearest names
     # hll_user_overlap / approx_percentile_profile are the BATCH rows;
     # the twins prove the STREAMING execution of the same aggregates
-    # over a real multi-micro-batch file-source replay). Staging is
-    # empty until the round-14 family lands.
+    # over a real multi-micro-batch file-source replay).
+    # Round 14 stages the ONE family its ledger names (watermarked
+    # windowed grouped sketch state, §2.10): windowed_user_retention
+    # (exact bitmap day-over-day audience retention, strict SQL
+    # oracle) + windowed_hll_retention (the HLL state path sharing its
+    # per-window sketch table and close with the watermarked streaming
+    # builder). Registry audit in their docstrings (nearest concepts:
+    # monthly_retention/retention_cohort are FIRST-ACTIVITY cohort
+    # matrices, audience_overlap/hll_user_overlap are a fixed two-
+    # window pair, sliding_window_counts has no set algebra,
+    # user_streaks is per-user gaps-and-islands).
     staged = entry.staged_queries()
-    assert staged == {}
+    assert set(staged) == {
+        "windowed_user_retention", "windowed_hll_retention",
+    }
     assert set(entry.staged_oracle_sql()) == set(staged)
     registered = entry.queries()
     oracles = entry.oracle_sql()
@@ -961,3 +972,101 @@ def test_weighted_group_sample_excludes_nan_weights(spark):
     )
     got = weighted_group_sample(df, ["g"], "id", "w", 3).collect()
     assert [r["id"] for r in got] == [1], "NaN/negative weights must never win"
+
+
+# ---------------------------------------------------------------------------
+# Round-14 staged family: watermarked windowed grouped sketch state —
+# the day-over-day audience-retention pair.
+# ---------------------------------------------------------------------------
+
+
+def test_staged_windowed_user_retention_matches_oracle_strict(spark, con):
+    """Round-14 staged query: exact window-over-window retention
+    (bitmap cells, window-shift stack, bitmap_or_agg union) vs the
+    definitional DuckDB replay (distinct per-day memberships,
+    consecutive-day inner pairing, membership-join intersection).
+    BIGINT counts + round-9 retention on both sides."""
+    _strict_compare_staged(spark, con, "windowed_user_retention")
+
+
+def test_staged_windowed_hll_retention_matches_oracle_strict(spark, con):
+    """Round-14 staged query: the HLL windowed-state path vs the
+    invariant oracle (exact counts recomputed definitionally, both
+    flags at 1.0)."""
+    _strict_compare_staged(spark, con, "windowed_hll_retention")
+
+
+def test_staged_windowed_retention_regime_binds(spark):
+    """Falsifiability of the staged regime at sf0.001:
+
+    (i) a strictly-partial pair (0 < n_inter < min(n_prev, n_cur))
+        exists for EVERY event type — the daily window choice is not
+        the saturated weekly regime where a broken intersection could
+        hide behind inter == min(side);
+    (ii) no emitted window lacks a predecessor (the first day of the
+        series never appears — the prev-shift phantom and the
+        first-window are both filtered by the both-sides-populated
+        contract);
+    (iii) retention is n_inter/n_prev exactly (recomputed row-wise)."""
+    rows = entry.staged_queries()["windowed_user_retention"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+        assert r["n_inter"] <= min(r["n_prev"], r["n_cur"])
+        assert r["n_union"] == r["n_prev"] + r["n_cur"] - r["n_inter"]
+        assert abs(r["retention"] - round(r["n_inter"] / r["n_prev"], 9)) < 1e-12
+    mins = {t: min(r["window_start"] for r in rs) for t, rs in by_type.items()}
+    import duckdb as _d
+
+    lo = _d.sql(
+        f"SELECT min(ts) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    for t, rs in by_type.items():
+        assert any(
+            0 < r["n_inter"] < min(r["n_prev"], r["n_cur"]) for r in rs
+        ), f"{t}: no strictly-partial pair — degenerate regime"
+        assert mins[t].date() > lo.date(), f"{t}: first window emitted"
+
+
+def test_staged_windowed_hll_flags_flip_on_degraded_sketch(spark):
+    """Falsifiability of the sketch path's tolerance flags: the same
+    est-vs-exact predicate computed from a deliberately-degraded lgK-4
+    windowed sketch (~26% std error) on a 50k-cardinality two-window
+    corpus must flip somewhere — the 5% tolerance BINDS."""
+    from pyspark.sql import functions as F
+
+    from meds_polars_functions_spark.functions.sketches import (
+        windowed_set_retention,
+        windowed_sketch_retention,
+    )
+
+    n = 50_000
+    df = spark.range(2 * n).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % n).alias("k"),
+        F.when(F.col("id") < n, F.lit("2024-01-01 12:00:00"))
+        .otherwise(F.lit("2024-01-02 12:00:00"))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    exact = {
+        (r["g"], r["window_start"]): r
+        for r in windowed_set_retention(df, "ts", ["g"], "k").collect()
+    }
+    bad = windowed_sketch_retention(df, "ts", ["g"], "k", lgk=4).collect()
+    assert exact and bad
+    tol = entry._HLL_OVERLAP_TOL
+    flipped = [
+        r
+        for r in bad
+        for x in [exact[(r["g"], r["window_start"])]]
+        if (
+            abs(r["n_prev"] - x["n_prev"]) > tol * x["n_prev"]
+            or abs(r["n_cur"] - x["n_cur"]) > tol * x["n_cur"]
+            or abs(r["n_union"] - x["n_union"]) > tol * x["n_union"]
+        )
+    ]
+    assert flipped, "lgK-4 estimates stayed within the 5% tolerance"

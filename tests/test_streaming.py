@@ -395,3 +395,159 @@ def test_streaming_hll_overlap_windowed_composition(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 staged family: watermarked windowed grouped sketch state.
+# ---------------------------------------------------------------------------
+
+
+def _run_windowed_audience(spark, chunks, tag, watermark="0 seconds"):
+    """Replay chunk lists as one-file micro-batches through the
+    watermarked windowed sketch builder (append mode) and return the
+    finalized rows."""
+    import os
+
+    from meds_polars_functions_spark.streaming.events import (
+        streaming_windowed_sketch_audience,
+    )
+
+    schema = "g string, k long, ts timestamp"
+    d = tempfile.mkdtemp(prefix=f"wsa_{tag}_")
+    ck = tempfile.mkdtemp(prefix=f"wsa_ck_{tag}_")
+    try:
+        for i, chunk in enumerate(chunks, 1):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                os.path.join(d, f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        out = streaming_windowed_sketch_audience(
+            stream, "ts", ["g"], "k", "1 day", watermark
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"wsa_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.table(f"wsa_{tag}").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_streaming_windowed_audience_finalizes_closed_windows_once(spark):
+    """Append-mode contract of the watermarked windowed sketch state:
+    every window whose end the final watermark passed is emitted
+    EXACTLY once, with estimates equal to the batch build over the
+    same rows (register merge across micro-batches is the monoid);
+    the still-open last window is retained, not emitted."""
+    from meds_polars_functions_spark.streaming.events import (
+        streaming_windowed_sketch_audience,
+    )
+
+    t = dt.datetime
+    chunks = [
+        [("g", 1, t(2024, 1, 1, 5)), ("g", 2, t(2024, 1, 1, 6)),
+         ("g", 1, t(2024, 1, 2, 5))],
+        [("g", 3, t(2024, 1, 2, 9)), ("g", 4, t(2024, 1, 3, 12))],
+    ]
+    rows = _run_windowed_audience(spark, chunks, "fin")
+    got = {(r["g"], r["window_start"].day): r["n_est"] for r in rows}
+    # day 3 holds the max event time: its window never closes under a
+    # 0-second watermark; days 1-2 finalize exactly once
+    assert len(rows) == len(got) == 2
+    assert got == {("g", 1): 2, ("g", 2): 2}
+    # batch parity: the same expression on a batch frame, restricted to
+    # the finalized windows
+    batch = streaming_windowed_sketch_audience(
+        spark.createDataFrame(
+            [r for c in chunks for r in c], "g string, k long, ts timestamp"
+        ),
+        "ts",
+        ["g"],
+        "k",
+        "1 day",
+    )
+    want = {
+        (r["g"], r["window_start"].day): r["n_est"]
+        for r in batch.collect()
+        if r["window_start"].day < 3
+    }
+    assert got == want
+
+
+def test_streaming_windowed_audience_evicts_late_rows(spark):
+    """Watermark EVICTION binds: a row arriving two micro-batches after
+    its window closed (watermark moved past the window end in between)
+    is dropped — the finalized window's estimate excludes it. This is
+    the bounded-state guarantee: closed windows never reopen, so state
+    is |open windows| x |groups|, not history."""
+    t = dt.datetime
+    chunks = [
+        [("g", 1, t(2024, 1, 1, 5)), ("g", 2, t(2024, 1, 1, 6)),
+         ("g", 1, t(2024, 1, 2, 5))],
+        [("g", 3, t(2024, 1, 3, 12))],  # advances the watermark past day 1
+        [("g", 99, t(2024, 1, 1, 7)),   # LATE: day-1 window already closed
+         ("g", 4, t(2024, 1, 3, 13))],
+    ]
+    rows = _run_windowed_audience(spark, chunks, "late")
+    got = {(r["g"], r["window_start"].day): r["n_est"] for r in rows}
+    assert got[("g", 1)] == 2, "late key 99 must be evicted, not merged"
+    assert got[("g", 2)] == 1
+    assert ("g", 3) not in got  # still open
+
+
+def test_retention_close_composes_over_streamed_sketch_table(spark):
+    """The family's composition claim: the retention close
+    (sketch_window_retention_close — the SAME function the batch
+    operator delegates to) over the sketch table the streaming builder
+    emitted equals the batch windowed_sketch_retention over the
+    non-late rows of the finalized windows."""
+    from meds_polars_functions_spark.functions.sketches import (
+        windowed_sketch_retention,
+    )
+    from meds_polars_functions_spark.streaming.events import (
+        retention_from_sketch_windows,
+        streaming_windowed_sketch_audience,
+    )
+
+    t = dt.datetime
+    chunks = [
+        [("g", 1, t(2024, 1, 1, 5)), ("g", 2, t(2024, 1, 1, 6)),
+         ("g", 1, t(2024, 1, 2, 5)), ("g", 3, t(2024, 1, 2, 9))],
+        [("g", 2, t(2024, 1, 3, 8)), ("g", 5, t(2024, 1, 3, 9)),
+         ("g", 4, t(2024, 1, 4, 12))],
+    ]
+    emitted = _run_windowed_audience(spark, chunks, "comp")
+    cells = spark.createDataFrame(
+        emitted,
+        "g string, window_start timestamp, audience_sketch binary, n_est long",
+    )
+    got = sorted(
+        (r["g"], r["window_start"].day, r["n_prev"], r["n_cur"],
+         r["n_union"], r["n_inter"], r["retention"])
+        for r in retention_from_sketch_windows(cells, ["g"]).collect()
+    )
+    closed_days = {r["window_start"].day for r in emitted}
+    batch = windowed_sketch_retention(
+        spark.createDataFrame(
+            [r for c in chunks for r in c], "g string, k long, ts timestamp"
+        ).filter(F.dayofmonth("ts").isin(*closed_days)),
+        "ts",
+        ["g"],
+        "k",
+    )
+    want = sorted(
+        (r["g"], r["window_start"].day, r["n_prev"], r["n_cur"],
+         r["n_union"], r["n_inter"], r["retention"])
+        for r in batch.collect()
+    )
+    assert got == want and got, (got, want)
