@@ -36,6 +36,22 @@ def _require_identifiers(fn: str, **cols: str) -> None:
             )
 
 
+def _require_duration(fn: str, window: str) -> None:
+    """The windowed forms splice the window length into ``INTERVAL
+    {window}`` SQL — accept only a plain ``<number> <unit>`` duration
+    (the shape ``F.window`` takes), rejecting anything
+    expression-shaped up front (the same guard class as
+    :func:`_require_identifiers`)."""
+    import re
+
+    if not isinstance(window, str) or not re.fullmatch(
+        r"\d+\s+[A-Za-z]+", window.strip()
+    ):
+        raise ValueError(
+            f"{fn}: window must be a plain '<n> <unit>' duration, got {window!r}"
+        )
+
+
 def sketch_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -92,6 +108,7 @@ def bitmap_distinct(
     never a wide distinct shuffle of the raw keys — and, unlike the HLL
     path above, zero error. Use for integer ids at any cardinality; use
     HLL when keys aren't integral or ±1% is acceptable."""
+    _require_identifiers("bitmap_distinct", key_col=key_col)
     addressed = df.select(
         *group_cols,
         F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt__"),
@@ -110,6 +127,7 @@ def bitmap_distinct_state(
 ) -> DataFrame:
     """Per-(group, bucket) bitmap state — the storable/mergeable form of
     :func:`bitmap_distinct` (write next to other shard aggregates)."""
+    _require_identifiers("bitmap_distinct_state", key_col=key_col)
     return (
         df.select(
             *group_cols,
@@ -425,6 +443,7 @@ def windowed_bitmap_cells(
     watermark-evicted streaming aggregation buffer. Requires an
     integral ``key_col`` like :func:`bitmap_distinct`."""
     _require_identifiers("windowed_bitmap_cells", key_col=key_col)
+    _require_duration("windowed_bitmap_cells", window)
     addressed = df.select(
         *group_cols,
         F.window(ts_col, window).start.alias("window_start"),
@@ -548,6 +567,7 @@ def windowed_sketch_retention(
     table it builds is EXACTLY what the watermarked streaming builder
     emits, so a live feed composes with this close unchanged."""
     _require_identifiers("windowed_sketch_retention", key_col=key_col)
+    _require_duration("windowed_sketch_retention", window)
     cells = (
         df.select(
             *group_cols,
@@ -580,6 +600,7 @@ def sketch_window_retention_close(
     _require_identifiers(
         "sketch_window_retention_close", sketch_col=sketch_col
     )
+    _require_duration("sketch_window_retention_close", window)
     shift = F.col("window_start") + F.expr(f"INTERVAL {window}")
     stacked = cells.select(
         *group_cols, "window_start", F.col(sketch_col).alias("__sk__"),

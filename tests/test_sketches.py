@@ -523,8 +523,28 @@ def test_flagged_forms_reject_expression_shaped_columns(spark):
     for fn in (bitmap_overlap, hll_overlap):
         with pytest.raises(ValueError, match="bare column identifier"):
             fn(df, df, ["g"], "k + 1")
+    # ... and the single-population bitmap forms (round-14 proactive
+    # sweep of every remaining f-string splice site)
+    from meds_polars_functions_spark.functions.sketches import (
+        bitmap_distinct,
+        bitmap_distinct_state,
+        windowed_bitmap_cells,
+        windowed_sketch_retention,
+    )
+
+    for fn in (bitmap_distinct, bitmap_distinct_state):
+        with pytest.raises(ValueError, match="bare column identifier"):
+            fn(df, ["g"], "k; DROP TABLE x")
+    # the windowed forms also splice the INTERVAL duration: only a
+    # plain '<n> <unit>' passes
+    tdf = df.withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    with pytest.raises(ValueError, match="duration"):
+        windowed_bitmap_cells(tdf, "ts", ["g"], "k", "1 day) + (SELECT 1")
+    with pytest.raises(ValueError, match="duration"):
+        windowed_sketch_retention(tdf, "ts", ["g"], "k", window="x; --")
     # clean identifiers still work
     assert bitmap_overlap_flags(df, ["g"], "k", "fa", "fb").count() == 1
+    assert windowed_bitmap_cells(tdf, "ts", ["g"], "k", "1 day").count() == 1
 
 
 def test_windowed_bitmap_cells_shard_merge_law(spark):
