@@ -46,6 +46,17 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.shuffle.partitions", _os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # Arrow driver transfers (round 15): small literal frames take the
+    # pandas→Arrow path (JVM LocalTableScan) instead of a pickled
+    # PythonRDD whose cold plain-pickle worker pool costs seconds of
+    # pure wait the first time a session executes one (guide §6).
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _arrow_lit(spark: SparkSession, rows, schema) -> DataFrame:
+    from meds_polars_functions_spark.functions.expr import arrow_literal_frame
+
+    return arrow_literal_frame(spark, rows, schema)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -400,7 +411,7 @@ def q_patient_id_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("patient_id"))
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("patient_id"))
     ids = harvest_patient_ids([ev, cust])
-    return spark.createDataFrame([(i,) for i in ids], "patient_id long")
+    return _arrow_lit(spark, [(i,) for i in ids], "patient_id long")
 
 
 def q_dup_code_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,7 +1638,7 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "y", "doc_id", n_buckets=64, n_iters=1, lr=2.0 ** -8
     )
     rows = [(i, float(wi)) for i, wi in enumerate(w)] + [(-1, float(b))]
-    out = spark.createDataFrame(rows, "bucket long, weight double")
+    out = _arrow_lit(spark, rows, "bucket long, weight double")
     return out.select("bucket", F.round("weight", 9).alias("weight"))
 
 
@@ -3339,7 +3350,7 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("inertia_monotone", 1.0 if monotone else 0.0),
         ("k_centroids", float(len(cents))),
     ]
-    return spark.createDataFrame(rows, "metric string, value double").orderBy(
+    return _arrow_lit(spark, rows, "metric string, value double").orderBy(
         "metric"
     )
 
@@ -4788,7 +4799,15 @@ def _stream_to_memory(spark, fed, build, prefix, files=3, timeout=300):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        # ADVICE r14: awaitTermination(timeout) returns False on timeout
+        # with the query STILL RUNNING — failing fast beats silently
+        # comparing partial sink state while the scratch dirs are
+        # rmtree'd underneath the stream.
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise RuntimeError(
+                f"streaming query {name} did not finish within {timeout}s"
+            )
         n_batches = 0
         for p in q.recentProgress:
             rows = p["numInputRows"] if isinstance(p, dict) else p.numInputRows
@@ -4801,6 +4820,12 @@ def _stream_to_memory(spark, fed, build, prefix, files=3, timeout=300):
         )
         return out, n_batches
     finally:
+        # ADVICE r14: drop the uuid-named memory-sink view — repeated
+        # driver sweeps in a long-lived session otherwise accumulate
+        # temp views (and their driver-resident row copies).
+        # dropTempView returns False (no raise) if the view never
+        # materialized.
+        spark.catalog.dropTempView(name)
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -284,3 +284,32 @@ def null_safe_join(
     left_rest = [F.col(c) for c in left.columns if c not in on]
     right_rest = [F.col(c) for c in right.columns if c not in on]
     return joined.select(*keep, *left_rest, *right_rest)
+
+
+def arrow_literal_frame(spark, rows, schema):
+    """Small driver-side literal DataFrame via the Arrow conversion path.
+
+    ``spark.createDataFrame(list, schema)`` ships the rows as a pickled
+    ParallelCollectionRDD whose evaluation needs a PLAIN-PICKLE Python
+    worker per partition — the first query in a session to execute one
+    pays the whole worker-pool spawn (measured 2-9 s of pure wait at
+    local[32], round-15 profile of the PQ re-rank shortlist). The
+    pandas→Arrow path converts on the driver and executes JVM-only, in
+    one batch for human-scale row counts.
+
+    Callers must pass rows free of None/NaN ambiguity in float columns
+    (the Arrow converter nulls NaNs); every call site here builds plain
+    finite floats/ints/strings. Falls back to the classic path if the
+    Arrow converter rejects the input.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    rows = list(rows)
+    try:
+        pdf = pd.DataFrame.from_records(rows, columns=schema.fieldNames())
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)

@@ -313,6 +313,9 @@ def hll_overlap_flags(
         in_a_col=in_a_col,
         in_b_col=in_b_col,
     )
+    # ADVICE r14 (same class): lgk is f-string-spliced into the FILTER-ed
+    # aggregate SQL — coerce so a non-int argument cannot become text.
+    lgk = int(lgk)
     d = df.filter(F.col(in_a_col) | F.col(in_b_col))
     agg = d.groupBy(*group_cols).agg(
         F.expr(
@@ -568,6 +571,9 @@ def windowed_sketch_retention(
     emits, so a live feed composes with this close unchanged."""
     _require_identifiers("windowed_sketch_retention", key_col=key_col)
     _require_duration("windowed_sketch_retention", window)
+    # ADVICE r14: lgk is f-string-spliced into SQL — coerce so a non-int
+    # argument cannot become expression text.
+    lgk = int(lgk)
     cells = (
         df.select(
             *group_cols,

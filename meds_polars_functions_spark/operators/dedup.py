@@ -451,9 +451,16 @@ def _bucket_pairs(
 
 
 def jaccard_similarity(shingles_a: F.Column, shingles_b: F.Column) -> F.Column:
-    """Exact Jaccard over two distinct-element arrays — native set ops."""
+    """Exact Jaccard over two DISTINCT-element arrays — native set ops.
+
+    |A∪B| is derived as |A| + |B| − |A∩B| (exact for distinct-element
+    arrays, the contract of every caller here): one hash-set build per
+    pair instead of two, and no union array is ever materialized — the
+    measured halving of the verify stage on the prefix-join path (round
+    15). The division consumes the same integers as the array_union
+    form, so the double is bit-identical."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
-    union = F.size(F.array_union(shingles_a, shingles_b))
+    union = F.size(shingles_a) + F.size(shingles_b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -480,11 +487,13 @@ def minhash_dedup_pairs(
     ~|shingles|²/2³¹, vanishing.)
 
     Plan shape: ONE corpus pass. The signature UDF emits
-    struct<bands, sh> and a repartition("id") sits ABOVE it, so the
-    banding branch and both verification join sides read the same shuffle
-    files (Catalyst ReusedExchange) instead of re-running the UDF per
-    branch — no persist/cache needed, and what shuffles is the compact
-    hashed signature (~KB/doc), never the raw text. Verification Jaccard
+    struct<bands, sh> under a repartition("id") and the result is
+    PERSISTED (compact hashed longs, ~KB/doc — raw text never leaves the
+    scan): the banding branch and both verification join sides read the
+    same materialized rows. (The earlier shared-exchange/ReusedExchange
+    formulation was defeated by Spark 4.1 per-branch struct-field
+    pruning — the executed plan ran the UDF twice; the plan pin now
+    asserts ONE ArrowEvalPython.) Verification Jaccard
     is native codegen set ops (array_intersect/array_union on longs), not
     interpreted string re-shingling. No manual broadcast hints —
     measured slower than letting AQE pick build sides here."""
@@ -511,15 +520,32 @@ def minhash_dedup_pairs(
         shingle_n, num_hashes, bands, seed, banned, with_shingles=True,
         portable=portable,
     ).asNondeterministic()
+    # persist the compact signature table (hashed longs, ~KB/doc — the
+    # raw text never leaves the scan): the banding branch and both
+    # verification join sides read the SAME materialized rows, so the
+    # signature UDF runs exactly ONE corpus pass. The previous
+    # shared-exchange formulation (repartition above the struct UDF +
+    # ReusedExchange) was defeated by per-branch struct-field pruning in
+    # Spark 4.1 — the bands branch and the sh branches pushed different
+    # projections BELOW the exchange, and the executed plan re-ran the
+    # UDF (2 ArrowEvalPython stages, the old plan pin). The id
+    # partitioning is established before the persist so both
+    # verification joins reuse it from the cache.
     sigs = (
         _spread(df, None)
         .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
         .repartition("id")
+        .persist()
     )
     banded = sigs.select(
         "id", F.posexplode(F.col("s.bands")).alias("band_idx", "band_hash")
     )
     cands = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket_size)
+    # spread the CPU-bound verify across the cluster (round 15, same
+    # rationale as ngram_jaccard_pairs_prefix: AQE's byte-based
+    # coalescing squeezes the small id-pair table onto few tasks while
+    # the per-pair set ops dominate).
+    cands = cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
     sh_a = sigs.select(F.col("id").alias("id_a"), F.col("s.sh").alias("__sa__"))
     sh_b = sigs.select(F.col("id").alias("id_b"), F.col("s.sh").alias("__sb__"))
     return (
@@ -548,7 +574,12 @@ def ngram_jaccard_pairs(
     is the exact (non-probabilistic) baseline; prefer minhash_dedup_pairs
     at scale — this one's shuffle is the posting-list join.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
+    # spread + persist (round 15): the shingle table is read by the
+    # self-joined postings AND both size lookups — one Arrow shingling
+    # pass instead of four, parallelized across the cluster instead of
+    # pinned to the input's file-split count (every downstream quantity
+    # is an integer or int/int ratio, so partitioning is result-neutral).
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").persist()
     sizes = sh.select("id", F.size("sh").alias("n"))
     # sizes ride with the postings (one long per row) for the length
     # filter: J(A,B) >= t bounds the size ratio (min >= t*max, a
@@ -1429,10 +1460,13 @@ def repeated_substring_spans(
             )
         return pd.Series(out)
 
+    # persist (round 15): the posting table feeds the duplicate-hash agg
+    # AND the recovery join — without the cut, the window-hash UDF ran a
+    # second full corpus pass for the join side.
     wdf = _spread(df, None).select(
         F.col(id_col).alias("id"),
         window_hashes.asNondeterministic()(F.col(text_col)).alias("__wh__"),
-    )
+    ).persist()
     posts = wdf.select(
         "id", F.posexplode("__wh__").alias("start_word", "window_hash")
     )
@@ -1547,9 +1581,11 @@ def winnow_overlap_pairs(
     than that many documents (boilerplate guard, same role as
     minhash's max_bucket_size) — off by default so the exact oracle
     replays verbatim."""
+    # persist (round 15): fp is both sides of the overlap self-join (and
+    # the optional frequency gate) — one winnowing pass, not two/three.
     fp = winnow_fingerprints(df, text_col, id_col, k, window).select(
         "id", "fp_hash"
-    ).distinct()
+    ).distinct().persist()
     if max_docs_per_fp is not None:
         freq = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__n__"))
         fp = fp.join(
@@ -1691,8 +1727,11 @@ def containment_pairs(
        keep t >= 0.65; the plan choice (baseline vs prefix, see
        containment_pairs_auto) only changes the cost of finding the
        pairs, never their number."""
-    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
-    sh = sh.filter(F.size("sh") >= min_shingles)
+    # spread + persist (round 15): one Arrow shingling pass feeds the
+    # self-joined postings and the size lookup (integer-only downstream,
+    # partitioning result-neutral).
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh")
+    sh = sh.filter(F.size("sh") >= min_shingles).persist()
     sizes = sh.select("id", F.size("sh").alias("n"))
     # shingle arrays are already distinct (_ngrams_from_words), so the
     # posting table needs no extra dedup exchange. Sizes ride with the
@@ -1818,7 +1857,14 @@ def ngram_jaccard_pairs_prefix(
     Shuffle ledger: one shingle-frequency agg, one rank window per doc
     (keyed by id), the prefix posting join, one verify join keyed by id.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
+    # spread + persist (round 15): sh feeds the posting pipeline (which
+    # itself branches into the frequency agg and the ranked join) plus
+    # both verify sides — one Arrow shingling pass instead of four, and
+    # the single-file bench corpus shingles on every core instead of one
+    # (measured: three concurrent single-task 7-8 s shingling stages
+    # before; all downstream values are integers/int-ratios, so the
+    # partitioning is result-neutral).
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").persist()
     posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
     ranked = posts.join(freq, "g").withColumn(
@@ -1852,11 +1898,21 @@ def ngram_jaccard_pairs_prefix(
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("b.n") >= _t_times_n(threshold, F.col("a.n")))
-            & (F.col("a.n") >= _t_times_n(threshold, F.col("b.n"))),
+            & (F.col("a.n") >= _t_times_n(threshold, F.col("b.n")))
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # spread the candidate pairs before the verify (round 15): the
+    # verify stage is CPU-bound (per-pair set intersection), but its
+    # input is a byte-small id-pair table that AQE's size-based
+    # coalescing squeezes onto a handful of tasks (measured 5 tasks /
+    # 10 s each at sf0.1). An explicit round-robin of two-id rows is
+    # ~free and lets the verify use every core; per-pair results are
+    # partitioning-independent. (Unconditional repartition — probing
+    # getNumPartitions on a derived frame would force AQE to execute
+    # the candidate pipeline at plan-build time.)
+    cands = cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa__"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb__"))
     return (
@@ -1902,9 +1958,13 @@ def containment_pairs_prefix(
     prefix×full posting join, one verify join keyed by id — the same
     shape as ``ngram_jaccard_pairs_prefix`` with an asymmetric probe.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh").filter(
+    # spread + persist (round 15): one Arrow shingling pass feeds the
+    # frequency agg, the ranked-prefix join, the full posting side and
+    # the verify join (integer-only downstream, partitioning
+    # result-neutral).
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").filter(
         F.size("sh") >= min_shingles
-    )
+    ).persist()
     posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
     ranked = posts.join(freq, "g").withColumn(
@@ -1938,6 +1998,9 @@ def containment_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # spread the CPU-bound verify across the cluster (round 15, same
+    # rationale as ngram_jaccard_pairs_prefix).
+    cands = cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa__"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb__"))
     return (
@@ -2190,15 +2253,25 @@ def containment_pairs_minhash(
         shingle_n, num_hashes, bands, seed, frozenset(), with_shingles=True,
         portable=portable,
     ).asNondeterministic()
+    # persisted one-pass signature table — same round-15 fix as
+    # minhash_dedup_pairs (struct-field pruning defeated the shared
+    # exchange, so the UDF ran one extra corpus pass); see the comment
+    # there.
     sigs = (
         _spread(df, None)
         .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
         .repartition("id")
+        .persist()
     )
     banded = sigs.select(
         "id", F.posexplode(F.col("s.bands")).alias("band_idx", "band_hash")
     )
     cands = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket_size)
+    # spread the CPU-bound verify across the cluster (round 15, same
+    # rationale as ngram_jaccard_pairs_prefix: AQE's byte-based
+    # coalescing squeezes the small id-pair table onto few tasks while
+    # the per-pair set ops dominate).
+    cands = cands.repartition(cands.sparkSession.sparkContext.defaultParallelism)
     sh_a = sigs.select(F.col("id").alias("id_a"), F.col("s.sh").alias("__sa__"))
     sh_b = sigs.select(F.col("id").alias("id_b"), F.col("s.sh").alias("__sb__"))
     # one joined row per UNDIRECTED candidate; both directed measures

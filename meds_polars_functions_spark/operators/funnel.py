@@ -186,8 +186,11 @@ def funnel_counts(
     nothing here scales with the corpus.
     """
     spark = levels.sparkSession
-    spine = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    from meds_polars_functions_spark.functions.expr import arrow_literal_frame
+
+    # Arrow literal (round 15): JVM LocalTableScan, no pickle worker.
+    spine = arrow_literal_frame(
+        spark, [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
     )
     per_level = levels.groupBy(level_col).agg(
         F.count(user_col).alias("__n")

@@ -34,8 +34,17 @@ def pagerank(
     Returns (node, rank); ranks sum to 1. Dangling nodes (no out-edges)
     redistribute their mass uniformly — the standard stochastic-matrix
     completion, so results match the textbook formulation exactly.
+
+    ``checkpoint_every`` is retained for API compatibility but no longer
+    used: the rank vector is |nodes|-sized, so it is eagerly
+    localCheckpoint-ed EVERY iteration (see the loop comment for the
+    measured blowup the deferred cadence caused).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()  # read by nodes, out_deg and e_deg — scan the input once
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -58,7 +67,7 @@ def pagerank(
         out_deg, "node", "left_anti"
     ).persist()
     n_nodes = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     for it in range(n_iter):
         # mass sitting on dangling nodes this round (one-row broadcast)
@@ -89,19 +98,23 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        old = ranks
-        ranks = new_ranks.persist()
-        old.unpersist()
+        # EAGER materialization EVERY iteration (optimization round 15):
+        # ranks is referenced TWICE per iteration (contrib + the dangling
+        # mass), so a lazy loop-carried plan doubles per iteration — the
+        # old persist-then-unpersist-old discipline cleared each cache
+        # entry before anything materialized it, and the deferred
+        # checkpoint at it=3 then recomputed the whole chain with 2^k
+        # subtree duplication (measured: 83 jobs, the e_deg subtree
+        # executed 3×, 11-64 s wall at sf0.1). One |nodes|-sized eager
+        # cut per iteration keeps the lineage linear: same expressions,
+        # same exchanges, bit-identical ranks — ~25 jobs, ~3 s.
+        ranks = new_ranks.localCheckpoint(eager=True)
+    e.unpersist()
     e_deg.unpersist()
     dangling_nodes.unpersist()
     nodes.unpersist()
-    # The final iteration always localCheckpoints (it == n_iter - 1),
-    # so the loop-carried persist on top of it is redundant for the
-    # caller — release it too (same cache-lifetime class as ADVICE r13
-    # item 5); the returned frame stays materialized by the checkpoint.
-    ranks.unpersist()
+    # the returned frame is materialized by its eager checkpoint; no
+    # loop-carried persists remain (ADVICE r13 item 5 lifetime class).
     return ranks
 
 
@@ -203,12 +216,13 @@ def label_propagation(
         .repartition("d")
         .persist()
     )
-    labels = (
+    labels0 = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .persist()
     )
+    labels = labels0
     for it in range(n_iter):
         nbr = und.join(
             labels.select(F.col("node").alias("d"), "label"), "d"
@@ -228,8 +242,20 @@ def label_propagation(
             .join(new, "node", "left")
             .select("node", F.coalesce("label", "__old__").alias("label"))
         )
-        if (it + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+        # EAGER cut EVERY iteration (optimization round 15): labels is
+        # referenced twice per round (the neighbor join and the
+        # keep-old-label coalesce), so a lazy chain doubles per round —
+        # the 3-round bench query planned 163 Exchange nodes (2³ subtree
+        # copies) under the old every-4th cadence, which never fired at
+        # n_iter=3. One |nodes|-sized eager checkpoint per round keeps
+        # the lineage linear; same expressions, identical labels.
+        labels = labels.localCheckpoint(eager=True)
+    if n_iter <= 0:  # degenerate call: still return a materialized frame
+        labels = labels.localCheckpoint(eager=True)
+    # caches are done once the last round is materialized (the returned
+    # frame is a checkpoint, so releasing them cannot force recompute)
+    und.unpersist()
+    labels0.unpersist()
     return labels
 
 
@@ -254,16 +280,19 @@ def k_core_decomposition(
     materialized once, pre-partitioned on the neighbor-side join key
     and persisted; each iteration is ONE join (coreness is
     |nodes|-sized, edges reuse their exchange) + one per-node H-index.
-    The H-index avoids any collect: with neighbor values ranked
-    descending per node, ``H = max(min(rank, value))`` — a window +
-    map-side min + a declarative max aggregate. A hub node is one
-    partition's ordered run (the standard window bound). The update is
+    The H-index avoids any collect AND any edge-sized exchange: neighbor
+    values are first counted per (node, value) — a map-side partial
+    aggregate, so only (node, distinct value, count) rows shuffle — and
+    ``H = max(min(cumulative_count, value))`` over the value-descending
+    count table (provably equal to the per-element
+    ``max(min(rank, value))`` form; see the loop comment). The update is
     monotone non-increasing and integer-valued, so the fixpoint check
     is exact: the loop stops the first round NOTHING changes (one
-    driver-side count per iteration — the same O(1)-rows round-trip
+    O(1)-rows sum probe per iteration — the same driver round-trip
     class as the kmeans trainer's convergence test), with ``max_iter``
     as a backstop (convergence is typically O(graph "depth"), tens of
-    rounds on real graphs). Lineage cut with localCheckpoint.
+    rounds on real graphs). Lineage cut with localCheckpoint every
+    iteration (|nodes|-sized).
     """
     from pyspark.sql import Window
 
@@ -277,54 +306,68 @@ def k_core_decomposition(
         .repartition("d")
         .persist()
     )
+    # Eager |nodes|-sized checkpoint: the degree init is the iteration-0
+    # state and the materialization also fills the edge cache before the
+    # loop's concurrent stages can race on it.
     cores = (
         und.groupBy(F.col("s").alias("node"))
         .agg(F.count(F.lit(1)).alias("coreness"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("__nc__").desc(), F.col("__nbr__")
-    )
+    # Convergence probe (optimization round 15): the H-update is monotone
+    # NON-INCREASING and integer-valued per node, so the table is
+    # unchanged iff sum(coreness) is unchanged — one scalar aggregate
+    # over the freshly materialized |nodes| table replaces the old
+    # new⋈old inequality join (a full extra join + exchange per round).
+    # Same fixpoint, same number of H-rounds executed, identical output.
+    prev_sum = cores.agg(F.sum("coreness")).collect()[0][0]
+    # H-index from value COUNTS (optimization round 15, guide §2.3
+    # "aggregate before you shuffle"): with per-node neighbor values
+    # grouped as (value v_i, count c_i) sorted by v desc and cumulative
+    # count C_i, the classic per-element form H = max_r min(r, val_r)
+    # collapses to H = max_i min(C_i, v_i) — within a value group,
+    # min(r, v_i) is increasing in r, so the group's max sits at its
+    # last position r = C_i. Integer-exact, same H, same fixpoint
+    # trajectory. The win: groupBy(node, value) partial-aggregates
+    # MAP-SIDE, so the per-iteration exchange carries one row per
+    # (node, distinct neighbor value) instead of one row per directed
+    # edge (measured 12 MB -> ~1 MB per round at sf0.1), and the window
+    # then sorts the compact count table, not the edge-sized one.
+    w = Window.partitionBy("node").orderBy(F.col("__nc__").desc())
     for it in range(max_iter):
         nbr = und.join(
             cores.select(F.col("node").alias("d"), F.col("coreness").alias("__nc__")),
             "d",
-        ).select(F.col("s").alias("node"), F.col("d").alias("__nbr__"), "__nc__")
+        ).select(F.col("s").alias("node"), "__nc__")
+        counts = nbr.groupBy("node", "__nc__").agg(
+            F.count(F.lit(1)).alias("__cnt__")
+        )
         new = (
-            nbr.select(
+            counts.select(
                 "node",
-                F.least(F.col("__nc__"), F.row_number().over(w)).alias("__h__"),
+                F.least(
+                    F.col("__nc__"),
+                    F.sum("__cnt__").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                ).alias("__h__"),
             )
             .groupBy("node")
             .agg(F.max("__h__").alias("coreness"))
         )
-        if (it + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
-        else:
-            new = new.persist()
-        changed = (
-            new.join(
-                cores.select("node", F.col("coreness").alias("__old__")), "node"
-            )
-            .filter(F.col("coreness") != F.col("__old__"))
-            .limit(1)
-            .count()
-        )
-        old = cores
+        # eager per-round cut: the next round and the convergence probe
+        # both read it; |nodes|-sized, lineage stays linear
+        new = new.localCheckpoint(eager=True)
+        new_sum = new.agg(F.sum("coreness")).collect()[0][0]
         cores = new
-        old.unpersist()
-        if changed == 0:
+        if new_sum == prev_sum:
             break
-    # Materialize the fixpoint before releasing the caches (ADVICE r13
-    # item 5): returning the still-persisted frame accumulated cached
-    # RDDs across calls in long-lived sessions, and unpersisting a lazy
-    # result would re-run up to checkpoint_every H-iterations on first
-    # use. localCheckpoint is |nodes|-sized — metadata next to the edge
-    # exchange it frees.
-    final = cores.localCheckpoint(eager=True)
-    cores.unpersist()
+        prev_sum = new_sum
+    # the returned frame is already a materialized checkpoint; the edge
+    # cache can be released without any recompute hazard (ADVICE r13
+    # item 5 lifetime class).
     und.unpersist()
-    return final
+    return cores
 
 
 def verify_k_core(edges: DataFrame, cores: DataFrame) -> DataFrame:
@@ -457,15 +500,19 @@ def stress_centrality(
     hs[-1] = layers[-1].select("s", "node", F.lit(1).cast("long").alias("h"))
     for d in range(len(layers) - 2, -1, -1):
         # successors of v at depth d are exactly the (s, w) rows of the
-        # d+1 h-table reachable over one edge; joining edges to that
-        # table on w and re-keying by u scopes h to the right source,
-        # and the closing join with layers[d] restricts to layer-d v's
+        # d+1 h-table reachable over one edge. `und` is symmetric (both
+        # directions present), so probing the h-table on the u SIDE and
+        # re-keying by v is the same neighbor relation — and it reuses
+        # the cached hashpartitioning(u) of the edge table instead of
+        # re-exchanging the whole edge list on v once per layer (the
+        # round-15 profile caught that exchange executing once per
+        # backward layer, ~9 MB × depth of redundant shuffle writes).
         succ_h = und.join(
             hs[d + 1].select(
-                "s", F.col("node").alias("v"), F.col("h").alias("__hn__")
+                "s", F.col("node").alias("u"), F.col("h").alias("__hn__")
             ),
-            "v",
-        ).select("s", F.col("u").alias("node"), "__hn__")
+            "u",
+        ).select("s", F.col("v").alias("node"), "__hn__")
         agg = succ_h.groupBy("s", "node").agg(F.sum("__hn__").alias("__sh__"))
         hs[d] = (
             layers[d]
@@ -475,6 +522,11 @@ def stress_centrality(
                 "node",
                 (F.lit(1) + F.coalesce("__sh__", F.lit(0))).cast("long").alias("h"),
             )
+            # eager per-layer cut (round 15): hs[d] is read TWICE (by
+            # tau at depth d and by hs[d-1]), so the lazy backward chain
+            # doubled per layer exactly like the forward pass would
+            # without its per-layer checkpoints. |layer|-sized.
+            .localCheckpoint(eager=True)
         )
     # tau over interior occurrences (d > 0), summed across sources
     tau = None

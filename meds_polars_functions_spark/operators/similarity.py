@@ -890,6 +890,82 @@ def _pq_adc_scan_fused(
     return enc_input.mapInPandas(scan, schema=out_schema)
 
 
+def _pq_exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int,
+    tie_round: int | None,
+) -> DataFrame:
+    """Exact-cosine re-rank of a bounded ADC shortlist ``cand``
+    (columns query_id, vec_id, ...). Shared tail of both pq_topk rerank
+    branches — the shortlist is collected (query-collect cap) and its id
+    set pushed into the raw-corpus scan as an isin filter; see the
+    pq_topk docstring for the full contract."""
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")
+    )
+    c_raw = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
+    )
+    # The shortlist is |Q| x rerank rows BY CONSTRUCTION, so collect it
+    # (bounded by the module's query-collect cap) and push its id set
+    # INTO the raw-corpus scan as an isin filter: at 100 TB the re-rank
+    # then reads only the parquet row groups containing shortlisted ids
+    # (min/max pruning) instead of streaming the whole raw-embedding
+    # table through a broadcast join to keep |Q|·rerank rows. The pairs
+    # ride as a literal broadcast frame; cosine math is unchanged, so
+    # the output is bit-identical to the join formulation.
+    pairs = cand.select("query_id", "vec_id")
+    rows = pairs.limit(MAX_COLLECTED_QUERY_ROWS + 1).collect()
+    if len(rows) <= MAX_COLLECTED_QUERY_ROWS:
+        from meds_polars_functions_spark.functions.expr import (
+            arrow_literal_frame,
+        )
+
+        # Arrow literal (round 15): the list-of-rows path executed a
+        # pickled PythonRDD whose cold plain-pickle worker pool cost
+        # 6 s of pure wait × 32 tasks in the profile; the Arrow path
+        # plans a JVM LocalTableScan.
+        pairs = F.broadcast(
+            arrow_literal_frame(corpus.sparkSession, rows, pairs.schema)
+        )
+        ids = sorted({r["vec_id"] for r in rows})
+        if len(ids) <= MAX_ISIN_PUSHDOWN_IDS:
+            # small id set: fold it into the raw scan as an In() filter
+            # so parquet row-group min/max pruning reads only the
+            # shortlisted vectors at 100 TB.
+            c_raw = c_raw.filter(F.col("vec_id").isin(ids))
+        # else: id set too large to fold as literals (plan-size/codegen
+        # hazard) — the broadcast shortlist join below prunes to
+        # |Q|·rerank rows anyway; only the scan-pruning strategy differs.
+    else:
+        # corpus-scale query set: fall back to broadcasting the shortlist
+        # plan itself so nothing query-scale is ever driver-collected;
+        # the raw side streams (the pre-round-9 formulation), with the
+        # build side still pinned so AQE can't invert it at scale.
+        pairs = F.broadcast(pairs)
+    exact = (
+        pairs
+        .join(c_raw, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+        )
+    )
+    cos = F.col("cosine")
+    if tie_round is not None:
+        exact = exact.withColumn("cosine", F.round(cos, tie_round))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -957,6 +1033,28 @@ def pq_topk(
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
+    if rerank > 0 and encode in ("vectorized", "fused"):
+        # Fused shortlist (round 15): the expression-ADC branch below
+        # builds an m×n_centroids×sub_dim literal tree (1024 literals at
+        # the bench shape) whose Catalyst analysis alone cost ~6 s per
+        # call — and the rerank path EXECUTES it eagerly to collect the
+        # shortlist. The fused Arrow scan computes the identical
+        # sequential-fold ADC distances (bit-identical by
+        # test_pq_fused_scan_bit_identical_and_single_pass), so the
+        # shortlist — and therefore the re-ranked output — is unchanged.
+        scored = _pq_adc_scan_fused(
+            enc_input, queries, codebooks, query_id, query_vec, rerank, tie_round
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_d"), F.asc("vec_id")
+        )
+        cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= rerank
+        )
+        return _pq_exact_rerank(
+            corpus, queries, cand, corpus_id, corpus_vec, query_id, query_vec,
+            k, tie_round,
+        )
     if encode in ("vectorized", "fused"):
         cc = pq_encode_vectorized(enc_input, "__cv__", codebooks, id_col="vec_id")
     else:
@@ -995,53 +1093,10 @@ def pq_topk(
     cand = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= rerank
     )
-    c_raw = corpus.select(
-        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__")
+    return _pq_exact_rerank(
+        corpus, queries, cand, corpus_id, corpus_vec, query_id, query_vec,
+        k, tie_round,
     )
-    # The shortlist is |Q| x rerank rows BY CONSTRUCTION, so collect it
-    # (bounded by the module's query-collect cap) and push its id set
-    # INTO the raw-corpus scan as an isin filter: at 100 TB the re-rank
-    # then reads only the parquet row groups containing shortlisted ids
-    # (min/max pruning) instead of streaming the whole raw-embedding
-    # table through a broadcast join to keep |Q|·rerank rows. The pairs
-    # ride as a literal broadcast frame; cosine math is unchanged, so
-    # the output is bit-identical to the join formulation.
-    pairs = cand.select("query_id", "vec_id")
-    rows = pairs.limit(MAX_COLLECTED_QUERY_ROWS + 1).collect()
-    if len(rows) <= MAX_COLLECTED_QUERY_ROWS:
-        pairs = F.broadcast(
-            corpus.sparkSession.createDataFrame(rows, pairs.schema)
-        )
-        ids = sorted({r["vec_id"] for r in rows})
-        if len(ids) <= MAX_ISIN_PUSHDOWN_IDS:
-            # small id set: fold it into the raw scan as an In() filter
-            # so parquet row-group min/max pruning reads only the
-            # shortlisted vectors at 100 TB.
-            c_raw = c_raw.filter(F.col("vec_id").isin(ids))
-        # else: id set too large to fold as literals (plan-size/codegen
-        # hazard) — the broadcast shortlist join below prunes to
-        # |Q|·rerank rows anyway; only the scan-pruning strategy differs.
-    else:
-        # corpus-scale query set: fall back to broadcasting the shortlist
-        # plan itself so nothing query-scale is ever driver-collected;
-        # the raw side streams (the pre-round-9 formulation), with the
-        # build side still pinned so AQE can't invert it at scale.
-        pairs = F.broadcast(pairs)
-    exact = (
-        pairs
-        .join(c_raw, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_similarity(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
-        )
-    )
-    cos = F.col("cosine")
-    if tie_round is not None:
-        exact = exact.withColumn("cosine", F.round(cos, tie_round))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
 def ivf_topk(

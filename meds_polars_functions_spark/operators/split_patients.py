@@ -115,7 +115,10 @@ def splits_to_dataframe(spark: SparkSession, shards: dict[str, list[int]]) -> Da
         for shard_name, ids in shards.items()
         for pid in ids
     ]
-    return spark.createDataFrame(rows, "patient_id long, split string")
+    from meds_polars_functions_spark.functions.expr import arrow_literal_frame
+
+    # Arrow literal (round 15): JVM LocalTableScan, no pickle worker.
+    return arrow_literal_frame(spark, rows, "patient_id long, split string")
 
 
 def filter_to_split(df: DataFrame, splits_df: DataFrame, split: str) -> DataFrame:

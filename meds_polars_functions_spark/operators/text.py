@@ -956,7 +956,11 @@ def _logreg_margins(feats: DataFrame, w: list[float], b: float) -> DataFrame:
     iteration (all-zero w) broadcasts an empty table."""
     spark = feats.sparkSession
     nz = [(i, float(x)) for i, x in enumerate(w) if x != 0.0]
-    w_df = spark.createDataFrame(nz, "bucket long, __w__ double")
+    from meds_polars_functions_spark.functions.expr import arrow_literal_frame
+
+    # Arrow literal (round 15): JVM LocalTableScan instead of a pickled
+    # PythonRDD per gradient iteration.
+    w_df = arrow_literal_frame(spark, nz, "bucket long, __w__ double")
     return (
         feats.join(F.broadcast(w_df), "bucket", "left")
         .groupBy("id", "y")

@@ -249,6 +249,9 @@ def streaming_windowed_sketch_audience(
     )
 
     _require_identifiers("streaming_windowed_sketch_audience", key_col=key_col)
+    # ADVICE r14: lgk is f-string-spliced into SQL — coerce so a non-int
+    # argument cannot become expression text.
+    lgk = int(lgk)
     d = (
         stream.withWatermark(ts_col, watermark_delay)
         if stream.isStreaming

@@ -142,6 +142,34 @@ def _object_plan_counts(df):
     return (counts["ReusedExchangeExec"], counts["ArrowEvalPythonExec"])
 
 
+def _object_node_count(df, simple_name: str) -> int:
+    """Count nodes of one class in the executed plan by the same
+    adaptive-aware object walk as _object_plan_counts (the printed final
+    plan collapses materialized query stages, so text counts undercount)."""
+    n = 0
+
+    def walk(node):
+        nonlocal n
+        name = node.getClass().getSimpleName()
+        if name == simple_name:
+            n += 1
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.finalPhysicalPlan())
+            return
+        if "QueryStage" in name:
+            try:
+                walk(node.plan())
+                return
+            except Exception:
+                pass
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return n
+
+
 def _executed_plan_counts(build, expected, attempts=3):
     """Execute the plan and count (ReusedExchange, ArrowEvalPython)
     nodes. Primary signal (ADVICE r11): the printer-independent OBJECT
@@ -181,27 +209,30 @@ def _executed_plan_counts(build, expected, attempts=3):
     return got
 
 
-def test_minhash_verify_reuses_signature_exchange(spark, entry_mod):
+def test_minhash_verify_one_signature_pass(spark, entry_mod):
     """minhash_dedup_pairs computes signatures in ONE corpus pass: the
-    repartition above the struct UDF is materialized once and the banding
-    branch plus both verification join sides read the same shuffle files
-    (two ReusedExchange nodes in the final adaptive plan). Without the
-    nondeterministic marking on the UDF, per-branch struct-field pruning
-    rewrites the shared subtree and the reuse silently disappears — three
-    full corpus passes at scale."""
+    struct UDF output is persisted (round 15), so the banding branch and
+    both verification join sides read the same cached rows and the FINAL
+    executed plan contains ZERO ArrowEvalPython nodes — the signature UDF
+    only ever runs inside the one cache materialization. (The previous
+    shared-exchange/ReusedExchange mechanism was defeated by Spark 4.1
+    per-branch struct-field pruning: the executed plan re-ran the UDF, a
+    second full corpus pass at scale.) The InMemoryTableScan count pins
+    the three consumers actually reading the cache."""
     from meds_polars_functions_spark.operators.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    # both hash modes (crc32 default, portable md5) must keep the reuse —
+    # both hash modes (crc32 default, portable md5) must keep the shape —
     # the driver's oracle query runs the portable mode
     for portable in (False, True):
-        counts = _executed_plan_counts(
-            lambda: minhash_dedup_pairs(
-                docs, "text", "doc_id", threshold=0.5, portable=portable
-            ),
-            expected=(2, 2),
+        out = minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, portable=portable
         )
-        assert counts == (2, 2), f"portable={portable}"
+        out.collect()
+        counts = _object_plan_counts(out)
+        assert counts == (0, 0), f"portable={portable}: {counts}"
+        n_cache_scans = _object_node_count(out, "InMemoryTableScanExec")
+        assert n_cache_scans >= 3, f"portable={portable}: {n_cache_scans}"
 
 
 def test_pack_sequences_window_is_sharded(spark, entry_mod):
@@ -425,26 +456,25 @@ def test_decontaminate_is_one_corpus_pass_broadcast_only(spark, entry_mod):
     assert "SortMergeJoin" not in plan
 
 
-def test_containment_minhash_reuses_signature_exchange(spark, entry_mod):
+def test_containment_minhash_one_signature_pass(spark, entry_mod):
     """containment_pairs_minhash inherits minhash_dedup_pairs' one-pass
-    plan shape: banding branch + both verify join sides must read the
-    same signature shuffle (two ReusedExchange nodes in the final
-    adaptive plan) — the whole point of the composed scale path is that
-    it does NOT re-run the signature UDF or re-shuffle text per branch."""
+    persisted-signature shape (round 15): ZERO ArrowEvalPython in the
+    final executed plan (the UDF runs only in the cache materialization)
+    and the banding branch plus both verify join sides read the cache —
+    the whole point of the composed scale path is that it does NOT
+    re-run the signature UDF or re-shuffle text per branch."""
     from meds_polars_functions_spark.operators.dedup import containment_pairs_minhash
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     for portable in (False, True):
-        # same executed-plan signature as the proven minhash_dedup_pairs
-        # shape (the map-side explode_outer direction emission adds no
-        # extra exchange and no extra Arrow stage)
-        counts = _executed_plan_counts(
-            lambda: containment_pairs_minhash(
-                docs, "text", "doc_id", threshold=0.5, portable=portable
-            ),
-            expected=(2, 2),
+        out = containment_pairs_minhash(
+            docs, "text", "doc_id", threshold=0.5, portable=portable
         )
-        assert counts == (2, 2), f"portable={portable}"
+        out.collect()
+        counts = _object_plan_counts(out)
+        assert counts == (0, 0), f"portable={portable}: {counts}"
+        n_cache_scans = _object_node_count(out, "InMemoryTableScanExec")
+        assert n_cache_scans >= 3, f"portable={portable}: {n_cache_scans}"
 
 
 def test_kneser_ney_topk_mode_is_broadcast_only(spark):
