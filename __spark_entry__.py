@@ -2976,9 +2976,19 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.text import quality_filter, token_count
 
     docs = _t(spark, sf_dir, "documents")
-    kept_ids = quality_filter(docs, "text", "doc_id", min_words=30).select("doc_id")
+    # Stage cuts (round 15, guide §5): the downstream operators each
+    # reference their input TWICE (span_dedup: winner election + rewrite
+    # join; temperature_mixture: source counts + keep-rate join), so the
+    # lazily composed pipeline replayed the quality-stats Arrow UDF 12×
+    # and the span tiling 4× (42-Exchange before-plan). Persisting the
+    # id-only gate output (light: one long per kept doc) and the
+    # deduplicated stage output bounds every subtree to one execution —
+    # same operators, same rows, 12 ArrowEvalPython → 1.
+    kept_ids = quality_filter(docs, "text", "doc_id", min_words=30).select(
+        "doc_id"
+    ).persist()
     kept = docs.join(kept_ids, "doc_id", "left_semi")
-    sd = span_dedup(kept, "text", "doc_id", span_words=20)
+    sd = span_dedup(kept, "text", "doc_id", span_words=20).persist()
     mixed = temperature_mixture(sd, "lang", "doc_id", alpha=0.5)
     return (
         mixed.select("lang", token_count("text").alias("n"))

@@ -139,6 +139,15 @@ def main() -> None:
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
+            # round 15: several operators persist compact intermediates
+            # (one-pass signature/feature tables). CacheManager matches
+            # canonically-equal plans session-wide, so clear before each
+            # query: every timed run computes from the parquet inputs
+            # alone, never from a cache a previous query (or the
+            # warm-up) left behind. No current queries share subplans —
+            # this is a guard, not a behavior change; timings remain
+            # comparable to prior rounds.
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.count()

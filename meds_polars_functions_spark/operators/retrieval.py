@@ -74,19 +74,22 @@ def bm25_topk(
         F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avg_dl")
     )  # one row
 
+    # dl rides through the tf aggregation (one long per exploded token,
+    # collapsed map-side to one value per (id, t) group by the partial
+    # agg) — every row of a group carries the same size(ws), so
+    # first(dl) is deterministic and the corpus-sized lens join the
+    # scorer previously paid (two exchanges + a join keyed on id) is
+    # gone (round 15, guide §2.4).
     tf = (
-        words.select("id", F.explode("ws").alias("t"))
+        words.select("id", F.size("ws").alias("dl"), F.explode("ws").alias("t"))
         .join(F.broadcast(term_set), "t", "left_semi")
         .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         tf.join(F.broadcast(dfreq), "t")
-        # lens is corpus-sized — never broadcast it; the join keys on the
-        # (pruned) matching side and AQE picks the physical strategy
-        .join(lens, "id")
         .crossJoin(F.broadcast(stats))
         .select(
             "id",

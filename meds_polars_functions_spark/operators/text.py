@@ -413,17 +413,26 @@ def bigram_lm_score(
         .select("id", F.explode(pairs_arr).alias("pr"))
         .select("id", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
     )
-    uni = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    # uni feeds THREE consumers (total, context join, word join) on two
-    # different keys — exchange reuse can't fold those, so without
-    # materialization each consumer re-scans the corpus. The table is
-    # vocabulary-bounded (small at any corpus size); a lazy local
-    # checkpoint computes it once and serves all three.
-    uni = uni.localCheckpoint(eager=False)
-    big = (
-        stream.filter(F.col("v").isNotNull())
-        .groupBy("v", "w")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    # ONE stream aggregation yields every count the model needs (round
+    # 15, guide §2.3/§2.4 — previously uni and big were two separate
+    # corpus aggregations, and the scorer then shuffled the full token
+    # stream three more times through the (v,w)/v/w joins):
+    #   allp(v, w, c)   = pair multiplicities (the bigram table, plus
+    #                     one (null, w_1) row-group for first tokens)
+    #   uni             = groupBy(w) sum(c)   — vocab-sized, derived
+    #   big             = the v-non-null rows — NO second corpus pass
+    # Both are corpus-sublinear (zipfian); lazy local checkpoints
+    # compute each once and serve all consumers.
+    allp = (
+        stream.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        allp.groupBy("w").agg(F.sum("c").alias("cu")).localCheckpoint(eager=False)
+    )
+    big = allp.filter(F.col("v").isNotNull()).select(
+        "v", "w", F.col("c").alias("cb")
     )
     total = uni.agg(F.sum("cu").alias("N"))  # folded from the vocab table
     if top_k is not None:
@@ -432,13 +441,21 @@ def bigram_lm_score(
         uni, big = F.broadcast(uni), F.broadcast(big)
     uv = uni.select(F.col("w").alias("v"), F.col("cu").alias("cuv"))
     uw = uni.select("w", F.col("cu").alias("cuw"))
-    scored = (
-        stream.join(big, ["v", "w"], "left")
+    # Per-PAIR log-score (round 15): logp depends only on (v, w), so the
+    # count joins run over the pair table — bigram-table-sized, never
+    # stream-sized. Every distinct stream pair is an allp row by
+    # construction, so attaching scores back to tokens (below) is one
+    # guaranteed-match join; the per-token logp doubles are computed
+    # from the identical (cb, cuv, cuw, N) values and are bit-identical
+    # to the former stream-side evaluation.
+    pscore = (
+        allp.join(big, ["v", "w"], "left")
         .join(uv, "v", "left")  # null v (first token) never matches
         .join(uw, "w", "left")
         .crossJoin(F.broadcast(total))
         .select(
-            "id",
+            "v",
+            "w",
             # first token: plain unigram prob (OOV under a truncated
             # vocab floors to 1/N). A bigram hit needs BOTH cb and cuv —
             # under top_k a kept bigram's context word may itself be
@@ -458,6 +475,16 @@ def bigram_lm_score(
             .alias("logp"),
         )
     )
+    # the ONLY stream-sized join: attach the per-pair score to each
+    # token occurrence (null-safe on v — the first-token rows key on
+    # (null, w_1)). Inner join is exact: every stream pair exists in
+    # pscore by construction.
+    s = stream.alias("s")
+    p = pscore.alias("p")
+    scored = s.join(
+        p,
+        F.col("s.v").eqNullSafe(F.col("p.v")) & (F.col("s.w") == F.col("p.w")),
+    ).select(F.col("s.id").alias("id"), F.col("p.logp").alias("logp"))
     return (
         scored.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("logp").alias("lm_score"))
@@ -528,15 +555,19 @@ def kneser_ney_lm_score(
         .select("id", F.explode(pairs_arr).alias("pr"))
         .select("id", F.col("pr.v").alias("v"), F.col("pr.w").alias("w"))
     )
-    # the one corpus-sized aggregation; localCheckpoint because it feeds
-    # three derived tables on two different keys plus the scoring join —
-    # without materialization each consumer re-scans the corpus (same
-    # reasoning as bigram_lm_score's uni table)
-    big = (
-        stream.filter(F.col("v").isNotNull())
-        .groupBy("v", "w")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    # the one corpus-sized aggregation — over ALL pairs including the
+    # (null, w_1) first-token rows, so the scoring join below can match
+    # every stream pair (round 15; previously the scorer shuffled the
+    # full token stream through three separate count joins).
+    # localCheckpoint because it feeds the derived tables on two
+    # different keys plus the per-pair score join.
+    allp = (
+        stream.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
+    )
+    big = allp.filter(F.col("v").isNotNull()).select(
+        "v", "w", F.col("c").alias("cb")
     )
     if top_k is not None:
         big = F.broadcast(big.orderBy(F.desc("cb"), F.asc("v"), F.asc("w")).limit(top_k))
@@ -549,13 +580,21 @@ def kneser_ney_lm_score(
         ctx, cont = F.broadcast(ctx), F.broadcast(cont)
     d = F.lit(float(discount))
     pcont = F.coalesce(F.col("n1w"), F.lit(1)) / F.col("T")  # OOV floor 1/T
-    scored = (
-        stream.join(big, ["v", "w"], "left")
+    # Per-PAIR log-score (round 15, same shape as bigram_lm_score): logp
+    # depends only on (v, w), so the model-table joins run over the
+    # distinct-pair table — bigram-table-sized, never stream-sized — and
+    # exactly ONE stream-sized join (null-safe on v for the first-token
+    # rows) attaches scores to token occurrences. Identical (cb, cv,
+    # n1v, n1w, T) inputs per pair, so the logp doubles are bit-equal to
+    # the former stream-side evaluation.
+    pscore = (
+        allp.join(big, ["v", "w"], "left")
         .join(ctx, "v", "left")  # null v (first token) never matches
         .join(cont, "w", "left")
         .crossJoin(F.broadcast(types))
         .select(
-            "id",
+            "v",
+            "w",
             # first token OR pruned context (top_k mode): pure
             # continuation probability — never a null logp
             F.when(F.col("v").isNull() | F.col("cv").isNull(), F.log(pcont))
@@ -569,6 +608,12 @@ def kneser_ney_lm_score(
             .alias("logp"),
         )
     )
+    s = stream.alias("s")
+    p = pscore.alias("p")
+    scored = s.join(
+        p,
+        F.col("s.v").eqNullSafe(F.col("p.v")) & (F.col("s.w") == F.col("p.w")),
+    ).select(F.col("s.id").alias("id"), F.col("p.logp").alias("logp"))
     return (
         scored.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("logp").alias("lm_score"))
@@ -624,7 +669,13 @@ def dsir_weights(
             ).alias("b"),
         )
 
-    raw_f, tgt_f = feats(df), feats(target)
+    # persist the raw feature stream (round 15): it feeds BOTH the
+    # p_raw count aggregation and the final scoring join, and the md5
+    # bucket hashing that produces it is the operator's dominant CPU —
+    # without the cut the whole raw corpus is tokenized + hashed twice.
+    # The cached rows are (id long, b int) — the compact-lightweight
+    # persist class (minhash signatures), never the text itself.
+    raw_f, tgt_f = feats(df).persist(), feats(target)
     raw_c = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt_c = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     # totals fold from the n_buckets-row count tables — never a second
@@ -684,19 +735,20 @@ def bm25_scores(
     tf = (
         docs.select(
             "id",
+            F.size("ws").alias("dl"),
             F.explode(
                 F.filter("ws", lambda w: F.array_contains(terms, w))
             ).alias("t"),
         )
         .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        # dl rides through the aggregation (same value on every row of a
+        # group, collapsed map-side) — removes the corpus-sized lens
+        # join the scorer previously paid (round 15, guide §2.4)
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "t")
-        # lens is corpus-sized — never broadcast it; the inner join keys
-        # on the (small) matching-doc side and AQE picks the strategy
-        .join(lens, "id")
         .crossJoin(F.broadcast(stats))
         .select(
             "id",

@@ -123,6 +123,13 @@ def run_suite(spark, em, names: list[str], label: str) -> dict[str, float]:
         if name not in queries:  # rev predates the query: report, don't die
             print(json.dumps({"tree": label, "missing": name}), flush=True)
             continue
+        # round 15: operators persist compact intermediates and the
+        # CacheManager matches canonically-equal plans session-wide —
+        # clear between queries so no invocation (and no tree) ever
+        # reads a cache built by a previous one; every sample
+        # recomputes from parquet, like the driver's fresh-process
+        # bench.
+        spark.catalog.clearCache()
         t0 = time.time()
         queries[name](spark, SF_DIR).count()  # frozen BENCH methodology
         out[name] = round(time.time() - t0, 3)

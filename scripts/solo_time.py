@@ -43,6 +43,12 @@ def main() -> None:
         fn = queries[name]
         times = []
         for _ in range(reps):
+            # round 15: several operators persist compact intermediates;
+            # CacheManager matches canonically-equal plans SESSION-wide,
+            # so without this a rep would read the previous rep's cache
+            # and report a fake warm time. Every rep recomputes from
+            # parquet, like the driver's fresh-process bench.
+            spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"solo:{name}")
             t0 = time.time()
             df = fn(spark, sf_dir)
