@@ -535,7 +535,7 @@ def minhash_dedup_pairs(
         _spread(df, None)
         .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
         .repartition("id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     banded = sigs.select(
         "id", F.posexplode(F.col("s.bands")).alias("band_idx", "band_hash")
@@ -2261,7 +2261,7 @@ def containment_pairs_minhash(
         _spread(df, None)
         .select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
         .repartition("id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     banded = sigs.select(
         "id", F.posexplode(F.col("s.bands")).alias("band_idx", "band_hash")

@@ -210,19 +210,23 @@ def label_propagation(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
     )
+    # LAZY RDD checkpoint instead of persist (round 15): the loop below
+    # is fully lazy, so a persist would be released (or leak) before the
+    # caller materializes anything. The checkpointed edge RDD computes
+    # once inside the caller's single job (shared stage), every
+    # iteration reuses its d-partitioning, and the cache lives until the
+    # returned frame is garbage-collected.
     und = (
         e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .repartition("d")
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    labels0 = (
+    labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
     )
-    labels = labels0
     for it in range(n_iter):
         nbr = und.join(
             labels.select(F.col("node").alias("d"), "label"), "d"
@@ -242,20 +246,20 @@ def label_propagation(
             .join(new, "node", "left")
             .select("node", F.coalesce("label", "__old__").alias("label"))
         )
-        # EAGER cut EVERY iteration (optimization round 15): labels is
+        # LAZY cut EVERY iteration (optimization round 15): labels is
         # referenced twice per round (the neighbor join and the
-        # keep-old-label coalesce), so a lazy chain doubles per round —
-        # the 3-round bench query planned 163 Exchange nodes (2³ subtree
-        # copies) under the old every-4th cadence, which never fired at
-        # n_iter=3. One |nodes|-sized eager checkpoint per round keeps
-        # the lineage linear; same expressions, identical labels.
-        labels = labels.localCheckpoint(eager=True)
-    if n_iter <= 0:  # degenerate call: still return a materialized frame
-        labels = labels.localCheckpoint(eager=True)
-    # caches are done once the last round is materialized (the returned
-    # frame is a checkpoint, so releasing them cannot force recompute)
-    und.unpersist()
-    labels0.unpersist()
+        # keep-old-label coalesce), so without a checkpoint the lazy
+        # chain doubles per round — the 3-round bench query planned 163
+        # Exchange nodes (2³ subtree copies) under the old every-4th
+        # cadence, which never fired at n_iter=3. A LAZY |nodes|-sized
+        # RDD cut per round keeps the lineage linear while leaving the
+        # whole loop as ONE caller-side job: within that job each
+        # round's RDD is one shared stage (the DAG scheduler dedups
+        # stages inside a job), so nothing is computed twice and no
+        # per-round sequential driver job is paid (an eager cadence
+        # measured +85% on the interleaved A/B at sf0.1). Identical
+        # labels.
+        labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -492,8 +496,12 @@ def stress_centrality(
         if nxt.limit(1).count() == 0:
             break
         layers.append(nxt)
+        # LAZY checkpoint (round 15): the visited union is consumed by
+        # the next layer's anti-join, inside whose job it materializes —
+        # an eager cut here added one sequential driver-side job per
+        # layer for no lineage benefit (the RDD cut is identical).
         visited = visited.union(nxt.select("s", "node")).localCheckpoint(
-            eager=True
+            eager=False
         )
     # backward: h per layer, deepest first
     hs: list[DataFrame] = [None] * len(layers)
@@ -522,11 +530,15 @@ def stress_centrality(
                 "node",
                 (F.lit(1) + F.coalesce("__sh__", F.lit(0))).cast("long").alias("h"),
             )
-            # eager per-layer cut (round 15): hs[d] is read TWICE (by
-            # tau at depth d and by hs[d-1]), so the lazy backward chain
-            # doubled per layer exactly like the forward pass would
-            # without its per-layer checkpoints. |layer|-sized.
-            .localCheckpoint(eager=True)
+            # LAZY per-layer cut (round 15): hs[d] is read TWICE (by tau
+            # at depth d and by hs[d-1]), so a checkpoint is required —
+            # without one the lazy backward chain doubles per layer. But
+            # it need not be EAGER: every consumer lives in the single
+            # final aggregation job, where the shared RDD is one shared
+            # stage (the DAG scheduler dedups stages within a job), so
+            # the whole backward pass collapses from one sequential
+            # driver job per layer into that one job. |layer|-sized.
+            .localCheckpoint(eager=False)
         )
     # tau over interior occurrences (d > 0), summed across sources
     tau = None

@@ -478,9 +478,15 @@ def bigram_lm_score(
     # the ONLY stream-sized join: attach the per-pair score to each
     # token occurrence (null-safe on v — the first-token rows key on
     # (null, w_1)). Inner join is exact: every stream pair exists in
-    # pscore by construction.
+    # pscore by construction. The SHUFFLE_HASH hint pins the build side:
+    # pscore sits on an RDD checkpoint whose size statistics default to
+    # "unknown/huge", so without the hint Catalyst inverts the build and
+    # BROADCASTS THE TOKEN STREAM (observed at sf0.1) — a driver-sized
+    # hash build of the whole corpus, catastrophic at scale. Hash (not
+    # sort-merge): the pair table per partition is corpus-sublinear and
+    # the stream side then needs no sort.
     s = stream.alias("s")
-    p = pscore.alias("p")
+    p = pscore.hint("shuffle_hash").alias("p")
     scored = s.join(
         p,
         F.col("s.v").eqNullSafe(F.col("p.v")) & (F.col("s.w") == F.col("p.w")),
@@ -609,7 +615,10 @@ def kneser_ney_lm_score(
         )
     )
     s = stream.alias("s")
-    p = pscore.alias("p")
+    # SHUFFLE_HASH pin — same rationale as bigram_lm_score: the RDD-
+    # checkpointed pair table has unknown stats and Catalyst would
+    # otherwise broadcast the token stream.
+    p = pscore.hint("shuffle_hash").alias("p")
     scored = s.join(
         p,
         F.col("s.v").eqNullSafe(F.col("p.v")) & (F.col("s.w") == F.col("p.w")),

@@ -211,14 +211,17 @@ def _executed_plan_counts(build, expected, attempts=3):
 
 def test_minhash_verify_one_signature_pass(spark, entry_mod):
     """minhash_dedup_pairs computes signatures in ONE corpus pass: the
-    struct UDF output is persisted (round 15), so the banding branch and
-    both verification join sides read the same cached rows and the FINAL
-    executed plan contains ZERO ArrowEvalPython nodes — the signature UDF
-    only ever runs inside the one cache materialization. (The previous
-    shared-exchange/ReusedExchange mechanism was defeated by Spark 4.1
-    per-branch struct-field pruning: the executed plan re-ran the UDF, a
-    second full corpus pass at scale.) The InMemoryTableScan count pins
-    the three consumers actually reading the cache."""
+    struct UDF output sits behind a lazy localCheckpoint (round 15), so
+    the banding branch and both verification join sides read the same
+    checkpointed RDD and the FINAL executed plan contains ZERO
+    ArrowEvalPython nodes — the signature UDF only ever runs inside the
+    single shared map stage that materializes the checkpoint. (The
+    previous shared-exchange/ReusedExchange mechanism was defeated by
+    Spark 4.1 per-branch struct-field pruning: the executed plan re-ran
+    the UDF, a second full corpus pass at scale; a plan-keyed persist
+    fixed that but paid an extra columnar copy — the RDD checkpoint
+    measured faster and is session-cache-clean.) The RDDScanExec count
+    pins the three consumers actually reading the checkpoint."""
     from meds_polars_functions_spark.operators.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -231,8 +234,8 @@ def test_minhash_verify_one_signature_pass(spark, entry_mod):
         out.collect()
         counts = _object_plan_counts(out)
         assert counts == (0, 0), f"portable={portable}: {counts}"
-        n_cache_scans = _object_node_count(out, "InMemoryTableScanExec")
-        assert n_cache_scans >= 3, f"portable={portable}: {n_cache_scans}"
+        n_rdd_scans = _object_node_count(out, "RDDScanExec")
+        assert n_rdd_scans >= 3, f"portable={portable}: {n_rdd_scans}"
 
 
 def test_pack_sequences_window_is_sharded(spark, entry_mod):
@@ -458,11 +461,11 @@ def test_decontaminate_is_one_corpus_pass_broadcast_only(spark, entry_mod):
 
 def test_containment_minhash_one_signature_pass(spark, entry_mod):
     """containment_pairs_minhash inherits minhash_dedup_pairs' one-pass
-    persisted-signature shape (round 15): ZERO ArrowEvalPython in the
-    final executed plan (the UDF runs only in the cache materialization)
-    and the banding branch plus both verify join sides read the cache —
-    the whole point of the composed scale path is that it does NOT
-    re-run the signature UDF or re-shuffle text per branch."""
+    checkpointed-signature shape (round 15): ZERO ArrowEvalPython in the
+    final executed plan (the UDF runs only in the checkpoint's shared map
+    stage) and the banding branch plus both verify join sides read the
+    checkpointed RDD — the whole point of the composed scale path is that
+    it does NOT re-run the signature UDF or re-shuffle text per branch."""
     from meds_polars_functions_spark.operators.dedup import containment_pairs_minhash
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -473,8 +476,8 @@ def test_containment_minhash_one_signature_pass(spark, entry_mod):
         out.collect()
         counts = _object_plan_counts(out)
         assert counts == (0, 0), f"portable={portable}: {counts}"
-        n_cache_scans = _object_node_count(out, "InMemoryTableScanExec")
-        assert n_cache_scans >= 3, f"portable={portable}: {n_cache_scans}"
+        n_rdd_scans = _object_node_count(out, "RDDScanExec")
+        assert n_rdd_scans >= 3, f"portable={portable}: {n_rdd_scans}"
 
 
 def test_kneser_ney_topk_mode_is_broadcast_only(spark):
