@@ -210,22 +210,29 @@ def label_propagation(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
     )
-    # LAZY RDD checkpoint instead of persist (round 15): the loop below
-    # is fully lazy, so a persist would be released (or leak) before the
-    # caller materializes anything. The checkpointed edge RDD computes
-    # once inside the caller's single job (shared stage), every
-    # iteration reuses its d-partitioning, and the cache lives until the
-    # returned frame is garbage-collected.
+    # Round-15 postscript: per-iteration lineage cuts were TRIED here —
+    # eager localCheckpoints measured +85% on the interleaved A/B and
+    # lazy RDD checkpoints +88% — and REVERTED. Mechanism: a LogicalRDD
+    # erases the partitioning metadata that the persisted `und` frame
+    # carries through InMemoryTableScan, so every iteration re-exchanged
+    # the edge table (and the eager form additionally paid one
+    # sequential driver job per round). The lazy composed plan grows 2^k
+    # subtree copies on paper (163 Exchange nodes at n_iter=3), but the
+    # runtime deduplicates them via ReusedExchange into the SAME work as
+    # the checkpointed form, in ONE job, with `und`'s exchange reused
+    # every round. The every-4th eager checkpoint below still bounds
+    # plan growth for deep loops.
     und = (
         e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .repartition("d")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
+        .persist()
     )
     for it in range(n_iter):
         nbr = und.join(
@@ -246,20 +253,8 @@ def label_propagation(
             .join(new, "node", "left")
             .select("node", F.coalesce("label", "__old__").alias("label"))
         )
-        # LAZY cut EVERY iteration (optimization round 15): labels is
-        # referenced twice per round (the neighbor join and the
-        # keep-old-label coalesce), so without a checkpoint the lazy
-        # chain doubles per round — the 3-round bench query planned 163
-        # Exchange nodes (2³ subtree copies) under the old every-4th
-        # cadence, which never fired at n_iter=3. A LAZY |nodes|-sized
-        # RDD cut per round keeps the lineage linear while leaving the
-        # whole loop as ONE caller-side job: within that job each
-        # round's RDD is one shared stage (the DAG scheduler dedups
-        # stages inside a job), so nothing is computed twice and no
-        # per-round sequential driver job is paid (an eager cadence
-        # measured +85% on the interleaved A/B at sf0.1). Identical
-        # labels.
-        labels = labels.localCheckpoint(eager=False)
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
