@@ -1581,11 +1581,16 @@ def winnow_overlap_pairs(
     than that many documents (boilerplate guard, same role as
     minhash's max_bucket_size) — off by default so the exact oracle
     replays verbatim."""
-    # persist (round 15): fp is both sides of the overlap self-join (and
-    # the optional frequency gate) — one winnowing pass, not two/three.
+    # lazy localCheckpoint (round 15): fp is both sides of the overlap
+    # self-join (and the optional frequency gate) — one winnowing pass,
+    # not two/three. An RDD checkpoint, not a persist: the micro-A/B
+    # read persist at +10% over this (columnar cache write) while the
+    # checkpoint matched the no-cut form locally AND guarantees the
+    # one-pass property that the no-cut form only gets when runtime
+    # ReusedExchange happens to fire.
     fp = winnow_fingerprints(df, text_col, id_col, k, window).select(
         "id", "fp_hash"
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=False)
     if max_docs_per_fp is not None:
         freq = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__n__"))
         fp = fp.join(

@@ -13,6 +13,13 @@ from pyspark.sql import functions as F
 
 _WORDS = lambda c: F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda w: w != "")  # noqa: E731
 
+# LM scoring join: broadcast the per-pair score table when the distinct
+# (v, w) pair count is at or below this bound (~50 B/row -> ~100 MB built
+# relation at the bound, well inside the guide-§3.1 comfort zone); above
+# it, pin a shuffled-hash build of the pair side. Counted on the
+# materialized allp checkpoint — one cached-RDD pass, no extra corpus work.
+_MAX_BROADCAST_PAIR_ROWS = 2_000_000
+
 #: Tiny per-language stopword lists — enough signal for an n-gram-free
 #: heuristic language id over web text.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -478,15 +485,24 @@ def bigram_lm_score(
     # the ONLY stream-sized join: attach the per-pair score to each
     # token occurrence (null-safe on v — the first-token rows key on
     # (null, w_1)). Inner join is exact: every stream pair exists in
-    # pscore by construction. The SHUFFLE_HASH hint pins the build side:
-    # pscore sits on an RDD checkpoint whose size statistics default to
-    # "unknown/huge", so without the hint Catalyst inverts the build and
+    # pscore by construction. The build side must be pinned: pscore sits
+    # on an RDD checkpoint whose size statistics default to
+    # "unknown/huge", so left alone Catalyst inverts the build and
     # BROADCASTS THE TOKEN STREAM (observed at sf0.1) — a driver-sized
-    # hash build of the whole corpus, catastrophic at scale. Hash (not
-    # sort-merge): the pair table per partition is corpus-sublinear and
-    # the stream side then needs no sort.
+    # hash build of the whole corpus, catastrophic at scale. The pin is
+    # size-ADAPTIVE (round 15): counting the materialized allp
+    # checkpoint is one cached-RDD pass, and pscore is row-aligned with
+    # allp (left joins), so when the pair table is broadcastable the
+    # scoring join ships it to the stream (zero stream shuffle — the
+    # local/common case; measured the full-stream SHUFFLE_HASH exchange
+    # at +27% on the sf0.1 A/B); past the bound it falls back to a
+    # shuffled-hash build of the pair side (corpus-sublinear per
+    # partition, stream needs no sort) — the 100 TB shape.
     s = stream.alias("s")
-    p = pscore.hint("shuffle_hash").alias("p")
+    if allp.count() <= _MAX_BROADCAST_PAIR_ROWS:
+        p = F.broadcast(pscore).alias("p")
+    else:
+        p = pscore.hint("shuffle_hash").alias("p")
     scored = s.join(
         p,
         F.col("s.v").eqNullSafe(F.col("p.v")) & (F.col("s.w") == F.col("p.w")),
@@ -615,10 +631,14 @@ def kneser_ney_lm_score(
         )
     )
     s = stream.alias("s")
-    # SHUFFLE_HASH pin — same rationale as bigram_lm_score: the RDD-
-    # checkpointed pair table has unknown stats and Catalyst would
-    # otherwise broadcast the token stream.
-    p = pscore.hint("shuffle_hash").alias("p")
+    # Size-adaptive build pin — same rationale and bound as
+    # bigram_lm_score: the RDD-checkpointed pair table has unknown stats
+    # and Catalyst would otherwise broadcast the token stream; broadcast
+    # the pair table when it is provably small, else shuffled-hash build.
+    if allp.count() <= _MAX_BROADCAST_PAIR_ROWS:
+        p = F.broadcast(pscore).alias("p")
+    else:
+        p = pscore.hint("shuffle_hash").alias("p")
     scored = s.join(
         p,
         F.col("s.v").eqNullSafe(F.col("p.v")) & (F.col("s.w") == F.col("p.w")),
