@@ -2976,19 +2976,22 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.text import quality_filter, token_count
 
     docs = _t(spark, sf_dir, "documents")
-    # Stage cuts (round 15, guide §5): the downstream operators each
-    # reference their input TWICE (span_dedup: winner election + rewrite
-    # join; temperature_mixture: source counts + keep-rate join), so the
-    # lazily composed pipeline replayed the quality-stats Arrow UDF 12×
-    # and the span tiling 4× (42-Exchange before-plan). Persisting the
-    # id-only gate output (light: one long per kept doc) and the
-    # deduplicated stage output bounds every subtree to one execution —
-    # same operators, same rows, 12 ArrowEvalPython → 1.
+    # Stage cuts (round 15, guide §5; persist → lazy localCheckpoint in
+    # round 16, ADVICE r15 cache-lifetime class): the downstream
+    # operators each reference their input TWICE (span_dedup: winner
+    # election + rewrite join; temperature_mixture: source counts +
+    # keep-rate join), so the lazily composed pipeline replayed the
+    # quality-stats Arrow UDF 12× and the span tiling 4× (42-Exchange
+    # before-plan). Checkpointing the id-only gate output (light: one
+    # long per kept doc) and the deduplicated stage output bounds every
+    # subtree to one execution — same operators, same rows, 12
+    # ArrowEvalPython → 1 — without leaving CacheManager entries behind
+    # in a long-lived session.
     kept_ids = quality_filter(docs, "text", "doc_id", min_words=30).select(
         "doc_id"
-    ).persist()
+    ).localCheckpoint(eager=False)
     kept = docs.join(kept_ids, "doc_id", "left_semi")
-    sd = span_dedup(kept, "text", "doc_id", span_words=20).persist()
+    sd = span_dedup(kept, "text", "doc_id", span_words=20).localCheckpoint(eager=False)
     mixed = temperature_mixture(sd, "lang", "doc_id", alpha=0.5)
     return (
         mixed.select("lang", token_count("text").alias("n"))
@@ -4786,6 +4789,7 @@ def _stream_to_memory(spark, fed, build, prefix, files=3, timeout=300):
     before returning — the returned DataFrame has no file dependency.
     Scratch is per-call (uuid name): re-running a driver query never
     collides with a previous memory table or checkpoint."""
+    import os
     import shutil
     import tempfile
     import uuid
@@ -4793,8 +4797,40 @@ def _stream_to_memory(spark, fed, build, prefix, files=3, timeout=300):
     name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     scratch = tempfile.mkdtemp(prefix=f"{name}_src_")
     ckpt = tempfile.mkdtemp(prefix=f"{name}_ck_")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         fed.repartition(files).write.mode("overwrite").parquet(scratch)
+        # Size the state-store partition count to the DATA (round 16,
+        # VERDICT r15 item 5, guide §2.2): structured streaming fixes the
+        # number of state partitions at the checkpoint's FIRST batch from
+        # spark.sql.shuffle.partitions, and AQE never coalesces stateful
+        # exchanges — so the session default (core count) ran 32
+        # near-empty state-store tasks per trigger at sf0.1, each paying
+        # store open/commit per micro-batch; the same misfit, scaled,
+        # wastes task overhead at 100 TB when partitions don't match the
+        # state volume. The scratch dir we just wrote IS the stream's
+        # whole input, so size from its real bytes: one state partition
+        # per target chunk (default 32 MB, env-tunable), capped at the
+        # cluster's parallelism, floor 1. The checkpoint dir is per-call,
+        # so the setting can never conflict with a prior run's state; the
+        # session value is restored in the finally block. Aggregation
+        # results are partition-count-independent — rows identical.
+        src_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(scratch)
+            for f in fs
+        )
+        target = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(32 << 20))
+        )
+        n_state = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                (src_bytes + target - 1) // max(1, target),
+            ),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
         stream = (
             spark.readStream.schema(fed.schema)
             .option("maxFilesPerTrigger", 1)
@@ -4825,11 +4861,16 @@ def _stream_to_memory(spark, fed, build, prefix, files=3, timeout=300):
                 n_batches += 1
         # Materialize the sink rows eagerly (they are driver-resident
         # already; this pins them independent of the dropped scratch).
-        out = spark.createDataFrame(
-            spark.table(name).collect(), spark.table(name).schema
-        )
+        # Arrow literal frame (round 16): the classic createDataFrame
+        # path planned a pickled ParallelCollectionRDD whose first
+        # execution in a session spawns the whole plain-pickle Python
+        # worker pool (measured 2-9 s at local[32], guide §6); the sink
+        # rows are a handful of finite scalars, exactly the helper's
+        # contract.
+        out = _arrow_lit(spark, spark.table(name).collect(), spark.table(name).schema)
         return out, n_batches
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         # ADVICE r14: drop the uuid-named memory-sink view — repeated
         # driver sweeps in a long-lived session otherwise accumulate
         # temp views (and their driver-resident row copies).

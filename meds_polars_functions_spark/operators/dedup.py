@@ -326,9 +326,15 @@ def _band_hash_udf(
                 yield [], h
                 continue
             sig = ((a * h[None, :] + b) % _MERSENNE_P).min(axis=1)
+            # sh is a hashed SET: the shingle strings are distinct by
+            # construction, but a crc32 collision (p ~ |shingles|²/2³¹)
+            # could duplicate a hash value — np.unique (after the sig,
+            # which is collision-insensitive: min over a multiset) makes
+            # the distinct-array contract of jaccard_similarity's
+            # |A|+|B|−|A∩B| union identity unconditional (ADVICE r15).
             yield [
                 crc32(sig[i * r : (i + 1) * r].tobytes()) for i in range(bands)
-            ], h
+            ], np.unique(h)
 
     if with_shingles:
 
@@ -574,12 +580,14 @@ def ngram_jaccard_pairs(
     is the exact (non-probabilistic) baseline; prefer minhash_dedup_pairs
     at scale — this one's shuffle is the posting-list join.
     """
-    # spread + persist (round 15): the shingle table is read by the
-    # self-joined postings AND both size lookups — one Arrow shingling
-    # pass instead of four, parallelized across the cluster instead of
-    # pinned to the input's file-split count (every downstream quantity
-    # is an integer or int/int ratio, so partitioning is result-neutral).
-    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").persist()
+    # spread + lazy localCheckpoint (round 15 persist → round 16
+    # checkpoint, ADVICE r15 cache-lifetime class): the shingle table is
+    # read by the self-joined postings AND both size lookups — one Arrow
+    # shingling pass instead of four, parallelized across the cluster
+    # instead of pinned to the input's file-split count (every downstream
+    # quantity is an integer or int/int ratio, so partitioning is
+    # result-neutral), with no CacheManager entry left behind.
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").localCheckpoint(eager=False)
     sizes = sh.select("id", F.size("sh").alias("n"))
     # sizes ride with the postings (one long per row) for the length
     # filter: J(A,B) >= t bounds the size ratio (min >= t*max, a
@@ -703,9 +711,13 @@ def simhash_near_dup_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_len = bits // n_chunks
+    # lazy localCheckpoint, not persist (round 16): computed once for the
+    # chunk index and both verify sides, with no CacheManager entry left
+    # behind for the session to accumulate (ADVICE r15 cache-lifetime
+    # class; same trade as winnow_overlap_pairs' fp table).
     sigs = df.select(
         F.col(id_col).alias("id"), simhash(text_col, bits, portable).alias("sig")
-    ).persist()
+    ).localCheckpoint(eager=False)
     chunked = sigs.select(
         "id",
         "sig",
@@ -1460,13 +1472,16 @@ def repeated_substring_spans(
             )
         return pd.Series(out)
 
-    # persist (round 15): the posting table feeds the duplicate-hash agg
-    # AND the recovery join — without the cut, the window-hash UDF ran a
-    # second full corpus pass for the join side.
+    # lazy localCheckpoint (round 15 persist → round 16 checkpoint): the
+    # posting table feeds the duplicate-hash agg AND the recovery join —
+    # without the cut, the window-hash UDF ran a second full corpus pass
+    # for the join side. An RDD checkpoint instead of a persist leaves no
+    # CacheManager entry behind (ADVICE r15 cache-lifetime class) and the
+    # winnow micro-A/B read the checkpoint at parity-or-better.
     wdf = _spread(df, None).select(
         F.col(id_col).alias("id"),
         window_hashes.asNondeterministic()(F.col(text_col)).alias("__wh__"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     posts = wdf.select(
         "id", F.posexplode("__wh__").alias("start_word", "window_hash")
     )
@@ -1732,11 +1747,13 @@ def containment_pairs(
        keep t >= 0.65; the plan choice (baseline vs prefix, see
        containment_pairs_auto) only changes the cost of finding the
        pairs, never their number."""
-    # spread + persist (round 15): one Arrow shingling pass feeds the
-    # self-joined postings and the size lookup (integer-only downstream,
-    # partitioning result-neutral).
+    # spread + lazy localCheckpoint (round 15 persist → round 16
+    # checkpoint, ADVICE r15 cache-lifetime class): one Arrow shingling
+    # pass feeds the self-joined postings and the size lookup
+    # (integer-only downstream, partitioning result-neutral), with no
+    # CacheManager entry left behind.
     sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh")
-    sh = sh.filter(F.size("sh") >= min_shingles).persist()
+    sh = sh.filter(F.size("sh") >= min_shingles).localCheckpoint(eager=False)
     sizes = sh.select("id", F.size("sh").alias("n"))
     # shingle arrays are already distinct (_ngrams_from_words), so the
     # posting table needs no extra dedup exchange. Sizes ride with the
@@ -1862,14 +1879,16 @@ def ngram_jaccard_pairs_prefix(
     Shuffle ledger: one shingle-frequency agg, one rank window per doc
     (keyed by id), the prefix posting join, one verify join keyed by id.
     """
-    # spread + persist (round 15): sh feeds the posting pipeline (which
-    # itself branches into the frequency agg and the ranked join) plus
-    # both verify sides — one Arrow shingling pass instead of four, and
-    # the single-file bench corpus shingles on every core instead of one
-    # (measured: three concurrent single-task 7-8 s shingling stages
-    # before; all downstream values are integers/int-ratios, so the
-    # partitioning is result-neutral).
-    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").persist()
+    # spread + lazy localCheckpoint (round 15 persist → round 16
+    # checkpoint, ADVICE r15 cache-lifetime class): sh feeds the posting
+    # pipeline (which itself branches into the frequency agg and the
+    # ranked join) plus both verify sides — one Arrow shingling pass
+    # instead of four, and the single-file bench corpus shingles on every
+    # core instead of one (measured: three concurrent single-task 7-8 s
+    # shingling stages before; all downstream values are
+    # integers/int-ratios, so the partitioning is result-neutral), with
+    # no CacheManager entry left behind.
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").localCheckpoint(eager=False)
     posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
     ranked = posts.join(freq, "g").withColumn(
@@ -1888,7 +1907,13 @@ def ngram_jaccard_pairs_prefix(
         # verify downstream removes extras. (ADVICE r4; slack made
         # relative so it scales with n — ADVICE r5 item 3.)
         F.col("__r__") <= F.col("n") - F.ceil(_t_times_n(threshold, F.col("n"))) + 1
-    ).select("id", "n", "g")
+    ).select("id", "n", "g").localCheckpoint(eager=False)
+    # ^ lazy localCheckpoint (round 16): prefix is BOTH sides of the
+    # candidate self-join below, and without the cut the whole
+    # frequency-agg + rank-window subtree is planned (and, when the
+    # planner broadcasts one side, executed) twice — the r16 before-plan
+    # shows the Window/Sort/posting-join tree duplicated under the
+    # self-join. One computation, both sides read the stored RDD.
     # AllPairs LENGTH filter, also a theorem: J(A,B) >= t implies
     # |A∩B| >= t*|A∪B| >= t*max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
     # min >= t*max — sets whose sizes differ by more than 1/t can never
@@ -1963,13 +1988,14 @@ def containment_pairs_prefix(
     prefix×full posting join, one verify join keyed by id — the same
     shape as ``ngram_jaccard_pairs_prefix`` with an asymmetric probe.
     """
-    # spread + persist (round 15): one Arrow shingling pass feeds the
-    # frequency agg, the ranked-prefix join, the full posting side and
-    # the verify join (integer-only downstream, partitioning
-    # result-neutral).
+    # spread + lazy localCheckpoint (round 15 persist → round 16
+    # checkpoint, ADVICE r15 cache-lifetime class): one Arrow shingling
+    # pass feeds the frequency agg, the ranked-prefix join, the full
+    # posting side and the verify join (integer-only downstream,
+    # partitioning result-neutral), no CacheManager entry left behind.
     sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh").filter(
         F.size("sh") >= min_shingles
-    ).persist()
+    ).localCheckpoint(eager=False)
     posts = sh.select("id", F.size("sh").alias("n"), F.explode_outer("sh").alias("g"))
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
     ranked = posts.join(freq, "g").withColumn(
@@ -2292,12 +2318,13 @@ def containment_pairs_minhash(
         .select(
             "id_a",
             "id_b",
-            # array_intersect is set-valued; the denominators must be
-            # distinct counts too (an intra-doc hash collision would
-            # otherwise inflate |A| but not |A ∩ B|)
+            # sh arrays are distinct at the source (_band_hash_udf
+            # np.unique — round 16), so plain sizes ARE the distinct
+            # counts; the per-pair array_distinct this previously paid
+            # is gone.
             F.size(F.array_intersect("__sa__", "__sb__")).alias("__ni__"),
-            F.size(F.array_distinct("__sa__")).alias("__na__"),
-            F.size(F.array_distinct("__sb__")).alias("__nb__"),
+            F.size("__sa__").alias("__na__"),
+            F.size("__sb__").alias("__nb__"),
         )
     )
     both = F.array(

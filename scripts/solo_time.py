@@ -16,12 +16,24 @@ from meds_polars_functions_spark.session import get_spark
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--reps=N` and `--reps N` (ADVICE r15: the space form
+    # was silently ignored and N was treated as a query name)
+    argv = sys.argv[1:]
     reps = 3
-    for a in sys.argv[1:]:
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--reps="):
-            reps = int(a.split("=")[1])
-    use_noop = "--noop" in sys.argv
+            reps = int(a.split("=", 1)[1])
+        elif a == "--reps" and i + 1 < len(argv):
+            reps = int(argv[i + 1])
+            i += 1
+        else:
+            rest.append(a)
+        i += 1
+    args = [a for a in rest if not a.startswith("--")]
+    use_noop = "--noop" in rest
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("solo_time")
     queries = entry_mod.queries()
