@@ -1,10 +1,41 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
 from meds_polars_functions_spark.session import get_spark
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (exhaustive sweeps / replays)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default gate (round 16, VERDICT r15 item 1): the full suite
+    outgrew the external verification budget (469 tests / ~44 min wall),
+    so exhaustive full-registry sweeps, oracle replays and brute-force
+    property reps are marked ``slow`` and SKIPPED by default. Every
+    gated behavior keeps a fast representative test in the default path
+    (e.g. dtype parity runs a curated historically-skew-prone subset by
+    default and the 184-oracle sweep behind the flag), and the external
+    driver's own DuckDB oracle gate re-checks every registered query
+    regardless. Enable the full gate with --runslow or
+    SPARK_GRAFT_SLOW_TESTS=1."""
+    if config.getoption("--runslow") or os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow: exhaustive sweep — enable with --runslow or SPARK_GRAFT_SLOW_TESTS=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -51,6 +51,7 @@ def tiny(spark):
     return spark.createDataFrame(rows, SCHEMA)
 
 
+@pytest.mark.slow
 def test_assign_sessions_gap_boundary(spark, tiny):
     s = assign_sessions(tiny, GAP_US)
     got = {

@@ -80,6 +80,7 @@ CORPUS = [
 ]
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_reference(spark):
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     merges, symtab = bpe_train(df, "text", n_merges=8, checkpoint_every=3)
@@ -108,6 +109,7 @@ def test_pair_counts_weighted_by_freq(spark):
     assert counts[("c", "d")] == 1
 
 
+@pytest.mark.slow
 def test_bpe_encode_applies_merges_in_order(spark):
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     merges, symtab = bpe_train(df, "text", n_merges=6)
@@ -331,6 +333,7 @@ def test_hashed_linear_score_matches_reference(spark):
         assert got[k] == pytest.approx(ref[k], rel=1e-9)
 
 
+@pytest.mark.slow
 def test_hashed_logreg_training_separates_synthetic_labels(spark):
     """Full-batch GD on hashed features must learn to separate an
     obviously separable corpus, and the learned weights must plug
@@ -362,6 +365,7 @@ def test_hashed_logreg_training_separates_synthetic_labels(spark):
     assert sum(neg) / len(neg) < 0.2
 
 
+@pytest.mark.slow
 def test_hashed_logreg_loss_decreases(spark):
     """More iterations must not hurt the training objective (full-batch
     GD with a small lr on a smooth convex loss)."""

@@ -34,6 +34,7 @@ def workdir(spark, meds_df):
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_cli_pipeline(workdir, spark):
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(
@@ -84,6 +85,7 @@ stage_configs:
 """
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline_to_tensors(workdir, spark):
     """extract-output -> normalize -> tokenize -> NRT files: the entire
     reference pipeline, end to end through the CLI."""

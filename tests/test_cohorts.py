@@ -111,6 +111,7 @@ activity = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(settings.get_profile("spark_cohorts"))
 @given(activity)
 def test_cohorts_match_bruteforce(spark, rows):

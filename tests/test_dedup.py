@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from meds_polars_functions_spark.operators.dedup import (
     connected_components,
     exact_dedup,
@@ -59,6 +61,7 @@ def test_connected_components_chain_bounded_plan(spark):
     assert len(plan.splitlines()) < 60, f"unbounded lineage: {len(plan.splitlines())} lines"
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_min_label(spark):
     from meds_polars_functions_spark.operators.dedup import connected_components_star
 
@@ -73,6 +76,7 @@ def test_connected_components_star_matches_min_label(spark):
     assert st == ml
 
 
+@pytest.mark.slow
 def test_connected_components_star_deep_chain_logn_rounds(spark):
     from meds_polars_functions_spark.operators.dedup import connected_components_star
 
@@ -222,6 +226,7 @@ def test_max_bucket_size_prunes_degenerate_buckets(spark):
     assert pruned == 0
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_lsh_matches_brute_force(spark):
     """LSH-bucketed embedding near-dup: exact-verified subset of the
     brute-force pairs, with all planted near-identical pairs recovered
@@ -285,6 +290,7 @@ def test_pack_sequences_invariants(spark):
         cum[r["shard"]] = cum.get(r["shard"], 0) + r["n_tokens"]
 
 
+@pytest.mark.slow
 def test_fuzzy_pairs_ed1_exact_vs_bruteforce(spark):
     from meds_polars_functions_spark.operators.dedup import fuzzy_pairs_ed1
 
@@ -851,6 +857,7 @@ def test_prefix_ceil_boundary_threshold_times_n_rounds_up(spark):
     assert pref2 == base2
 
 
+@pytest.mark.slow
 def test_containment_minhash_matches_duckdb_replay(spark):
     """containment_pairs_minhash (the composed scale path, VERDICT r4
     item 5) in portable mode must emit exactly the directed containment
@@ -996,6 +1003,7 @@ def test_shingle_expansion_diagnostic_hand_computed(spark):
     assert abs(d["expansion_ratio"] - 17 / 9) < 1e-12
 
 
+@pytest.mark.slow
 def test_auto_dispatch_identical_to_both_variants(spark):
     """The auto dispatchers are output-identical to whichever branch
     they pick — both branches forced via the cutover knob, plus the

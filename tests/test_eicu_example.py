@@ -134,6 +134,7 @@ def test_run_pre_meds_end_to_end(frames, spark, tmp_path):
     assert "unitadmittimestamp" in pat.columns
 
 
+@pytest.mark.slow
 def test_eicu_extract_cli_end_to_end(frames, spark, tmp_path):
     """pre-MEDS outputs -> extract CLI with examples/eicu/event_configs.yaml
     -> MEDS cohort: static + timed events keyed by the health-system stay."""

@@ -63,6 +63,7 @@ def workdir():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_extract_cli(workdir, spark):
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(

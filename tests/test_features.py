@@ -58,6 +58,7 @@ def test_target_encode_loo_hand_values(spark):
     assert out[2] == pytest.approx(gm, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_target_encode_is_row_order_independent(spark):
     rows = [(i, f"c{i % 5}", float((i * 13) % 7)) for i in range(100)]
     df = spark.createDataFrame(rows, ["id", "cat", "y"])

@@ -214,6 +214,7 @@ funnel_row = st.tuples(
 
 @settings(settings.get_profile("spark_funnel"))
 @given(st.lists(funnel_row, min_size=1, max_size=30), st.integers(0, 12))
+@pytest.mark.slow
 def test_funnel_matches_bruteforce(spark, rows, window):
     from collections import defaultdict
 

@@ -17,6 +17,8 @@ import tempfile
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ADMISSIONS_CSV = """subject_id,hadm_id,admittime,dischtime,deathtime,edregtime,edouttime,admission_type,admission_location,discharge_location,insurance,language,marital_status,race

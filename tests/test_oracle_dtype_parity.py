@@ -78,8 +78,29 @@ def _pandas_kind(dtype) -> str:
     return "other"
 
 
-@pytest.mark.slow
-def test_all_oracles_dtype_parity(spark):
+# Fast-path subset (round 16): the full 184-oracle sweep costs ~8 min and
+# is gated behind --runslow; the default gate re-checks the queries where
+# this class of skew has actually occurred or is structurally likeliest —
+# the two round-4 reds, the structural-null allow-list, the round-5
+# explicit-cast pin, plus one representative per integer-aggregate family.
+# The external driver's oracle gate still hashes every registered query.
+FAST_SUBSET = [
+    "novelty_score",       # round-4 red: DuckDB HUGEINT sum -> float64
+    "chi_square",          # round-4 red, same class
+    "scd2_priority",       # structural-null allow-list entry
+    "union_by_name",       # structural-null allow-list entry
+    "asof_purchase_click", # round-5 explicit DOUBLE cast pin
+    "pricing_summary",     # mixed sum/avg/count aggregate block
+    "agg_code_metadata",   # count/min/max integer aggregates
+    "monthly_retention",   # int counts + float ratio
+    "hll_user_overlap",    # sketch estimates: int-ish doubles
+    "logreg_step",         # float weights + int count
+    "bigram_lm",           # LM logp doubles + int token ids
+    "interpolate_values",  # interpolation: float from int neighbors
+]
+
+
+def _dtype_parity_scan(spark, names=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -92,6 +113,8 @@ def test_all_oracles_dtype_parity(spark):
     for name, fn in qs.items():
         if name not in oracles:
             continue  # rows-only queries have no oracle to skew against
+        if names is not None and name not in names:
+            continue
         schema = {f.name: _spark_kind(f.dataType) for f in fn(spark, SF_DIR).schema.fields}
         odf = con.execute(oracles[name]).df()
         for col in odf.columns:
@@ -116,6 +139,21 @@ def test_all_oracles_dtype_parity(spark):
         "int-vs-float dtype skew between Spark schema and DuckDB oracle "
         f"result (driver hash-red class): {violations}"
     )
+    return allow_seen
+
+
+def test_fast_subset_dtype_parity(spark):
+    """Default-path representative of the full sweep (see FAST_SUBSET)."""
+    allow_seen = _dtype_parity_scan(spark, names=set(FAST_SUBSET))
+    # both allow-list queries are in the subset, so staleness is still
+    # checked on the fast path
+    stale = STRUCTURAL_NULL_ALLOW - allow_seen
+    assert not stale, f"allow-list entries never exercised: {stale}"
+
+
+@pytest.mark.slow
+def test_all_oracles_dtype_parity(spark):
+    allow_seen = _dtype_parity_scan(spark)
     # stale allow-list entries are themselves a defect: they would mask a
     # future real skew on that column
     stale = STRUCTURAL_NULL_ALLOW - allow_seen

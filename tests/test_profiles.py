@@ -48,6 +48,7 @@ def fuzz_df(spark):
     return spark.createDataFrame(rows, "g string, v double")
 
 
+@pytest.mark.slow
 def test_p0_p100_exact_and_rank_windows_hold(spark, fuzz_df):
     prof = approx_percentile_profile(fuzz_df, "v", ["g"], PS, accuracy=ACC)
     ver = verify_percentile_profile(

@@ -29,6 +29,7 @@ row = st.tuples(st.integers(1, 5), codes, vals)
 
 
 @given(st.lists(row, min_size=1, max_size=40))
+@pytest.mark.slow
 def test_agg_mergeable(spark, rows):
     df = spark.createDataFrame(
         [(p, None, c, v) for p, c, v in rows],
@@ -66,6 +67,7 @@ def test_agg_mergeable(spark, rows):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_keep_first_matches_reference(spark, rows):
     from meds_polars_functions_spark.functions.expr import keep_first
 
@@ -84,6 +86,7 @@ def test_keep_first_matches_reference(spark, rows):
     st.lists(st.tuples(st.integers(0, 5), st.floats(0, 1, allow_nan=False)), min_size=1, max_size=10),
     st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=10),
 )
+@pytest.mark.slow
 def test_union_relaxed_total_rows(spark, a_rows, b_rows):
     from meds_polars_functions_spark.operators.merge_sort import union_by_name_relaxed
 
@@ -157,6 +160,7 @@ sym = st.sampled_from(["a", "b", "c", "ab", "ba"])
     sym,
     sym,
 )
+@pytest.mark.slow
 def test_bpe_apply_merge_matches_python_greedy(spark, words, a, b):
     """The native aggregate-fold merge must equal the greedy
     leftmost-first Python merge on ANY symbol sequence (including
@@ -199,6 +203,7 @@ doc_words = st.lists(word, min_size=0, max_size=30)
 
 
 @given(st.lists(doc_words, min_size=1, max_size=6))
+@pytest.mark.slow
 def test_cdc_chunks_tile_every_document(spark, docs):
     """Random corpora: CDC chunks are a contiguous, complete partition
     of each document's words; chunk hashes are reproducible."""
@@ -227,6 +232,7 @@ def test_cdc_chunks_tile_every_document(spark, docs):
     st.lists(word, min_size=0, max_size=6),
     st.lists(word, min_size=0, max_size=6),
 )
+@pytest.mark.slow
 def test_winnow_guarantee_property(spark, shared, pre, post):
     """For ANY shared run of window+k-1 = 8 words embedded in arbitrary
     prefix/suffix contexts, winnowing must select at least one common
@@ -391,6 +397,7 @@ def test_jnrt_roundtrip_property(col1, data):
     st.sampled_from([0.5, 0.8]),
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_containment_prefix_equals_baseline_property(spark, texts, t):
     """One-sided prefix filter is provably exact — check on random tiny
     'ab'-alphabet corpora, where shingle collisions are maximal."""
@@ -412,6 +419,7 @@ def test_containment_prefix_equals_baseline_property(spark, texts, t):
     ),
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_span_dedup_drop_empty_false_preserves_rows_property(spark, texts):
     """ADVICE-fix contract: drop_empty=False NEVER loses a document,
     whatever mix of duplicates/empties the corpus holds."""
@@ -431,6 +439,7 @@ def test_span_dedup_drop_empty_false_preserves_rows_property(spark, texts):
     st.sampled_from([0.5, 0.8]),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_containment_minhash_sound_and_candidate_complete_property(spark, texts, t):
     """The composed scale path's two-sided contract on random tiny
     'ab'-alphabet corpora (maximal shingle collisions):
@@ -502,6 +511,7 @@ def test_containment_minhash_sound_and_candidate_complete_property(spark, texts,
     ),
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_kneser_ney_matches_python_reference_property(spark, word_lists):
     """KN scoring equals the sequential-Python reference on random tiny-
     vocabulary corpora (maximal bigram-table collisions: repeated words,
@@ -559,6 +569,7 @@ def test_kneser_ney_matches_python_reference_property(spark, word_lists):
     st.integers(min_value=1, max_value=4),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_kmeans_distributed_lloyd_monotone_property(spark, points, k):
     """Lloyd monotonicity holds on ANY point set (duplicates, collinear,
     fewer distinct points than k): the inertia history never increases,
@@ -585,6 +596,7 @@ def test_kmeans_distributed_lloyd_monotone_property(spark, points, k):
 )
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_prefix_paths_equal_baselines_on_random_corpora(spark, docs, t):
     """Fuzzed theorem-equality for the round-7 auto-dispatch family:
     on random tiny corpora (empty docs, duplicate docs, single-word
@@ -671,6 +683,7 @@ strat_row = st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 500))
     st.lists(strat_row, min_size=1, max_size=60, unique_by=lambda t: t[1]),
     st.floats(0.0, 1.0),
 )
+@pytest.mark.slow
 def test_stratified_sample_exact_targets_any_fraction(spark, rows, frac):
     """For ANY fraction, every stratum contributes exactly
     max(ceil(frac*n_s), min(2, n_s)) rows and the selection is the md5

@@ -13,6 +13,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry
+import pytest
 
 
 # The exact round-14 window (ledger: COVERAGE.md). Edit deliberately (and only here + in
@@ -98,6 +99,7 @@ def test_registry_has_no_duplicate_or_lost_queries():
     assert len(q) == len(reg)
 
 
+@pytest.mark.slow
 def test_windowed_queries_are_canonicalizer_safe(spark):
     """The driver canonicalizes results with pandas ``sort_values``, which
     raises ``TypeError: unhashable type`` on list/map/struct cells — a

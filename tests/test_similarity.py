@@ -92,6 +92,7 @@ def test_ivf_assign_deterministic(emb):
     assert 1 < n_cells <= 4
 
 
+@pytest.mark.slow
 def test_multiprobe_ivf_recall_not_worse(spark):
     """nprobe>1 must recover at least the single-probe hits (it probes a
     superset of cells) and strictly helps on queries whose neighbors sit
@@ -146,6 +147,7 @@ def test_pq_rerank_full_degenerates_to_brute_force(emb, queries):
     assert ra == rb
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_reasonable(emb, queries):
     """Plain ADC (no rerank) is approximate; with 8x16 codebooks over
     500 64-dim vectors it must still find each query itself at rank 1
@@ -167,6 +169,7 @@ def test_pq_adc_recall_reasonable(emb, queries):
     assert len(ex & ap) / len(ex) > 0.2
 
 
+@pytest.mark.slow
 def test_pq_encode_deterministic_and_compact(emb):
     from meds_polars_functions_spark.operators.similarity import (
         pq_encode,
@@ -426,6 +429,7 @@ def test_kmeans_distributed_empty_cell_keeps_previous_centroid(spark):
     assert all(all(map(lambda v: v == v, c)) for c in cents)  # no NaNs
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_deterministic_and_separates_blobs(spark):
     import numpy as np
 
@@ -458,6 +462,7 @@ def test_kmeans_parallel_init_deterministic_and_separates_blobs(spark):
     assert len(cents_e) == 3
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_not_worse_than_hash_init(spark):
     from meds_polars_functions_spark.operators.similarity import (
         kmeans_train_distributed,
@@ -475,6 +480,7 @@ def test_kmeans_parallel_init_not_worse_than_hash_init(spark):
     assert hist_p[-1] <= hist_h[-1] + 1e-9
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_partitioning_invariant(spark):
     """ADVICE r5 item 1: the sampled-candidate sort makes the init a pure
     function of (data, seed) — re-partitioning the input must not change

@@ -87,6 +87,7 @@ def test_first_seen_dedup(spark, two_batch_dir):
     assert len(rows) == 4
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_drops_cross_batch_dupes(spark):
     import datetime as dt
 
@@ -227,6 +228,7 @@ def test_streaming_funnel_levels_across_batches(spark, funnel_batch_dir):
     assert all(r["dropped_events"] == 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_funnel_custom_user_col_name_and_type(spark, funnel_batch_dir):
     """ADVICE r11: the output user column must carry user_col's NAME and
     the input schema's TYPE — a string-keyed rename previously collided
@@ -259,6 +261,7 @@ def test_streaming_funnel_custom_user_col_name_and_type(spark, funnel_batch_dir)
     }
 
 
+@pytest.mark.slow
 def test_streaming_funnel_reports_dropped_out_of_order(spark):
     """ADVICE r11: events strictly below a user's high-water mark are
     beyond the forward-only DP's replay and are dropped — the drop must
@@ -297,6 +300,7 @@ def test_streaming_funnel_reports_dropped_out_of_order(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_funnel_matches_batch_on_driver_events(spark):
     """stream≡batch parity: the sf0.001 events table split into three
     timestamp-ordered micro-batches must land every user on exactly the
@@ -337,6 +341,7 @@ def test_streaming_funnel_matches_batch_on_driver_events(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_touch_credits_emit_on_close(spark):
     """Credits emit exactly when a converting session CLOSES (a later
     event beyond the gap): mid-batch closes, cross-batch closes, silent
@@ -386,6 +391,7 @@ def test_streaming_touch_credits_emit_on_close(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_touch_credits_match_batch_on_driver_events(spark):
     """stream≡batch parity: the sf0.001 events table split into three
     timestamp-ordered micro-batches must emit exactly the batch
@@ -445,6 +451,7 @@ def test_streaming_touch_credits_match_batch_on_driver_events(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_touch_credits_status_row_on_silent_drop(spark):
     """ADVICE r12: drops accrued in a batch that closes no converting
     session must still surface IN THAT BATCH — as a status row
@@ -539,6 +546,7 @@ def test_streaming_binned_quantiles_hand_computed(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_binned_quantiles_match_batch_any_order(spark):
     """stream≡batch parity WITHOUT an in-order contract: the sf0.001
     events table split into three SHUFFLED micro-batches (seeded
@@ -652,6 +660,7 @@ def test_streaming_binned_quantiles_args_and_group_typing(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_binned_quantiles_nan_and_null_match_batch(spark):
     """ADVICE r12: NULL is excluded (like binned_histogram's isNotNull)
     and counted in dropped_events; a true double NaN is NOT dropped —

@@ -53,6 +53,7 @@ def _join(lhs, rhs):
     ).select("click_id", "purchase_id")
 
 
+@pytest.mark.slow
 def test_stream_interval_join_matches_batch(spark, join_dirs):
     click_dir, purchase_dir = join_dirs
     batch = _join(

@@ -133,6 +133,7 @@ def test_streaming_dedup_matches_batch_keys(spark, event_stream_dir):
     assert got == [(100, "click"), (100, "view"), (200, "click"), (200, "view")]
 
 
+@pytest.mark.slow
 def test_streaming_hll_overlap_exact_parity_any_order(spark):
     """streaming_hll_overlap == batch hll_overlap_flags EXACTLY (same
     DataSketches registers, merged in the native streaming-agg buffer),
@@ -235,6 +236,7 @@ def test_streaming_hll_overlap_same_expression_on_batch(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_streaming_percentile_profile_holds_gk_guarantee_any_order(spark):
     """The GK profile as a REAL multi-batch stream (3 shuffled
     micro-batches of sf0.001 events): the final per-group rows must
@@ -327,6 +329,7 @@ def test_streaming_percentile_profile_holds_gk_guarantee_any_order(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_hll_overlap_windowed_composition(spark):
     """The docstring's windowed form, pinned: F.window composed into
     group_cols with an upstream watermark gives per-(window, group)
@@ -443,6 +446,7 @@ def _run_windowed_audience(spark, chunks, tag, watermark="0 seconds"):
         shutil.rmtree(ck, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_windowed_audience_finalizes_closed_windows_once(spark):
     """Append-mode contract of the watermarked windowed sketch state:
     every window whose end the final watermark passed is emitted
@@ -484,6 +488,7 @@ def test_streaming_windowed_audience_finalizes_closed_windows_once(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_windowed_audience_evicts_late_rows(spark):
     """Watermark EVICTION binds: a row arriving two micro-batches after
     its window closed (watermark moved past the window end in between)
@@ -505,6 +510,7 @@ def test_streaming_windowed_audience_evicts_late_rows(spark):
     assert ("g", 3) not in got  # still open
 
 
+@pytest.mark.slow
 def test_retention_close_composes_over_streamed_sketch_table(spark):
     """The family's composition claim: the retention close
     (sketch_window_retention_close — the SAME function the batch

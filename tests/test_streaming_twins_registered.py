@@ -54,6 +54,7 @@ def test_streaming_percentile_profile_matches_oracle_strict(spark, con):
     _strict_compare_staged(spark, con, "streaming_percentile_profile")
 
 
+@pytest.mark.slow
 def test_est_within_tol_binds_on_dropped_batch(spark):
     """Falsifiability of ``est_within_tol``: replay the SAME audience
     feed with ~1/5 of the users removed (a dropped/lost micro-batch's
@@ -109,6 +110,7 @@ def test_est_within_tol_binds_on_dropped_batch(spark):
     assert flipped, "dropping a fifth of the users must flip the tolerance flag"
 
 
+@pytest.mark.slow
 def test_merged_rank_window_binds_on_swapped_answers(spark):
     """Falsifiability of the 2-eps merged-summary window: take the REAL
     streamed profile (multi-micro-batch GK merge), swap p99's answer
