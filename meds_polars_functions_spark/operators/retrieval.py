@@ -26,6 +26,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
 from .text import _WORDS
 
 
@@ -57,17 +58,34 @@ def bm25_topk(
     Output: (query_id, <id_col>, bm25, rank <= k); only documents
     containing at least one of the query's terms appear.
     """
+    # lazy localCheckpoint (round 16): qterms feeds the term semi-join's
+    # build side AND the per-query scoring join — two separate broadcast
+    # subqueries that each re-ran the caller's query-derivation subtree
+    # (profiled at ~2 s apiece on the bench corpus: the dominant residual
+    # after the words/tf cuts below). The table is |Q|·|terms| rows.
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(terms_col).alias("t"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     term_set = qterms.select("t").distinct()
 
-    words = docs.select(
-        F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws")
+    # spread + lazy localCheckpoint (round 16, guide §2.4/§4 — the same
+    # one-pass shingle-table pattern as dedup): `words` feeds the
+    # corpus-stats aggregate AND the tf pipeline, and the stats/dfreq
+    # BROADCAST subqueries each re-ran the whole scan+tokenize as a
+    # SINGLE-TASK job (the bench corpus is one file; profiled at 4 ×
+    # ~2.4 s single-task broadcast stages = the operator's entire local
+    # cost). One parallelized tokenize pass now serves every consumer;
+    # on a pre-split cluster corpus _spread is a no-op and the win is
+    # one corpus scan instead of three.
+    words = (
+        _spread(docs, None)
+        .select(F.col(id_col).alias("id"), _WORDS(F.col(text_col)).alias("ws"))
+        .localCheckpoint(eager=False)
     )
     lens = words.select("id", F.size("ws").alias("dl"))
     stats = lens.agg(
@@ -79,12 +97,16 @@ def bm25_topk(
     # agg) — every row of a group carries the same size(ws), so
     # first(dl) is deterministic and the corpus-sized lens join the
     # scorer previously paid (two exchanges + a join keyed on id) is
-    # gone (round 15, guide §2.4).
+    # gone (round 15, guide §2.4). The (id, t, tf, dl) table is tiny
+    # (matched terms only) and feeds BOTH the dfreq broadcast subquery
+    # and the scoring join — the lazy checkpoint stops the dfreq
+    # broadcast job from re-running the explode + semi-join subtree.
     tf = (
         words.select("id", F.size("ws").alias("dl"), F.explode("ws").alias("t"))
         .join(F.broadcast(term_set), "t", "left_semi")
         .groupBy("id", "t")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
