@@ -36,20 +36,19 @@ def pagerank(
     completion, so results match the textbook formulation exactly.
 
     ``checkpoint_every`` is retained for API compatibility but no longer
-    used: the rank vector is |nodes|-sized, so it is eagerly
-    localCheckpoint-ed EVERY iteration (see the loop comment for the
-    measured blowup the deferred cadence caused).
+    used: the rank vector is |nodes|-sized, so it is localCheckpoint-ed
+    EVERY iteration (see the loop comment for the measured blowup the
+    deferred cadence caused).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .persist()  # read by nodes, out_deg and e_deg — scan the input once
     )
-    nodes = (
+    nodes0 = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()  # re-joined every iteration — never re-derive the distinct
     )
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
@@ -62,16 +61,24 @@ def pagerank(
         .repartition("src")
         .persist()
     )
-    # dangling membership is STATIC (no out-edges); only its mass moves
-    dangling_nodes = nodes.join(
-        out_deg, "node", "left_anti"
-    ).persist()
+    # dangling membership is STATIC (no out-edges) — fold it into the
+    # node table as a boolean ONCE (optimization round 16, guide §2.4):
+    # the per-iteration dangling mass is then a filter+sum over the rank
+    # vector instead of a |nodes|⋈|dangling| semi-join per round (the
+    # join was a second exchange of the rank table at scale; the flag
+    # column is one boolean riding on rows the update reads anyway).
+    nodes = nodes0.join(
+        out_deg.select("node", F.lit(True).alias("__nd__")), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("__nd__"), F.lit(False)).alias("__has_out__")
+    ).persist()  # re-joined every iteration — never re-derive the distinct
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     for it in range(n_iter):
-        # mass sitting on dangling nodes this round (one-row broadcast)
-        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
+        # mass sitting on dangling nodes this round (one-row broadcast);
+        # sum-over-filter on the carried flag — no join (round 16)
+        dangling = ranks.filter(~F.col("__has_out__")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling__")
         )
         contrib = (
@@ -88,6 +95,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__has_out__",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
@@ -98,24 +106,28 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # EAGER materialization EVERY iteration (optimization round 15):
-        # ranks is referenced TWICE per iteration (contrib + the dangling
-        # mass), so a lazy loop-carried plan doubles per iteration — the
-        # old persist-then-unpersist-old discipline cleared each cache
-        # entry before anything materialized it, and the deferred
-        # checkpoint at it=3 then recomputed the whole chain with 2^k
-        # subtree duplication (measured: 83 jobs, the e_deg subtree
-        # executed 3×, 11-64 s wall at sf0.1). One |nodes|-sized eager
-        # cut per iteration keeps the lineage linear: same expressions,
-        # same exchanges, bit-identical ranks — ~25 jobs, ~3 s.
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # LAZY |nodes|-sized cut EVERY iteration (round 16; the kcore
+        # probe-materializes pattern): ranks is referenced twice per
+        # round (contrib + the dangling mass), so a per-round checkpoint
+        # is required — round 15 measured the deferred cadence at 2^k
+        # subtree recompute (83 jobs, e_deg ×3). But the cut need not be
+        # EAGER: the NEXT round's dangling-mass broadcast is a full
+        # aggregation over this table, so its collect job computes every
+        # partition and completes the lineage cut — one driver job per
+        # round instead of checkpoint-job + broadcast-job. Same
+        # expressions, same exchanges, bit-identical ranks.
+        ranks = new_ranks.localCheckpoint(eager=False)
+    # drop the carried dangling flag and materialize BEFORE releasing the
+    # caches (the stress_centrality discipline): the last iteration's
+    # lazy chain still reads the nodes/e_deg caches, so unpersisting
+    # first would force a cache-less recompute on the caller's action —
+    # and returning without unpersisting would leak cache entries across
+    # calls (ADVICE r13 item 5 lifetime class). |nodes|-sized checkpoint.
+    final = ranks.select("node", "rank").localCheckpoint(eager=True)
     e.unpersist()
     e_deg.unpersist()
-    dangling_nodes.unpersist()
     nodes.unpersist()
-    # the returned frame is materialized by its eager checkpoint; no
-    # loop-carried persists remain (ADVICE r13 item 5 lifetime class).
-    return ranks
+    return final
 
 
 def triangle_count(

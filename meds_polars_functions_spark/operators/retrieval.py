@@ -30,6 +30,27 @@ from .dedup import _spread
 from .text import _WORDS
 
 
+def _bm25_tf(words: DataFrame, term_set: DataFrame) -> DataFrame:
+    """(id, t, tf, dl) over matching tokens only — bm25_topk's corpus
+    pass. The corpus explode is pruned by a BROADCAST left-semi join on
+    the query term set BEFORE the (id, t) aggregation exchange, so the
+    only corpus-sized shuffle carries matching tokens, never the
+    vocabulary. dl rides through the tf aggregation (one long per
+    exploded token, collapsed map-side to one value per (id, t) group by
+    the partial agg) — every row of a group carries the same size(ws),
+    so first(dl) is deterministic and the corpus-sized lens join the
+    scorer previously paid (two exchanges + a join keyed on id) is gone
+    (round 15, guide §2.4). Named at module level so the plan test can
+    pin this shape: bm25_topk checkpoints the result, which hides the
+    subtree behind a LogicalRDD in the final explain."""
+    return (
+        words.select("id", F.size("ws").alias("dl"), F.explode("ws").alias("t"))
+        .join(F.broadcast(term_set), "t", "left_semi")
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -92,22 +113,15 @@ def bm25_topk(
         F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avg_dl")
     )  # one row
 
-    # dl rides through the tf aggregation (one long per exploded token,
-    # collapsed map-side to one value per (id, t) group by the partial
-    # agg) — every row of a group carries the same size(ws), so
-    # first(dl) is deterministic and the corpus-sized lens join the
-    # scorer previously paid (two exchanges + a join keyed on id) is
-    # gone (round 15, guide §2.4). The (id, t, tf, dl) table is tiny
-    # (matched terms only) and feeds BOTH the dfreq broadcast subquery
-    # and the scoring join — the lazy checkpoint stops the dfreq
-    # broadcast job from re-running the explode + semi-join subtree.
-    tf = (
-        words.select("id", F.size("ws").alias("dl"), F.explode("ws").alias("t"))
-        .join(F.broadcast(term_set), "t", "left_semi")
-        .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .localCheckpoint(eager=False)
-    )
+    # The (id, t, tf, dl) table is tiny (matched terms only) and feeds
+    # BOTH the dfreq broadcast subquery and the scoring join — the lazy
+    # checkpoint stops the dfreq broadcast job from re-running the
+    # explode + semi-join subtree. The checkpoint hides that subtree
+    # behind a LogicalRDD in the final explain, so its scale-critical
+    # shape (broadcast semi prune BEFORE the only corpus-sized exchange)
+    # is built by the named _bm25_tf seam below, which the plan test
+    # pins directly.
+    tf = _bm25_tf(words, term_set).localCheckpoint(eager=False)
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (

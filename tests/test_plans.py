@@ -497,17 +497,41 @@ def test_bm25_topk_term_prune_is_broadcast_semi_before_shuffle(spark):
     explode must be pruned by a BROADCAST left-semi join on the query
     term set BEFORE the (doc, term) tf exchange — at 100 TB the only
     corpus-sized shuffle carries matching tokens, never the vocabulary.
-    The df / one-row stats / per-query term joins must all broadcast;
-    the single nested-loop join allowed is the one-row stats crossJoin."""
-    from meds_polars_functions_spark.operators.retrieval import bm25_topk
+    Round 16 checkpoints the tf table (one corpus pass serves dfreq and
+    the scorer), which hides that subtree behind a LogicalRDD in the
+    final explain — so the prune shape is pinned on the _bm25_tf seam
+    (the exact expression bm25_topk checkpoints), and the final plan is
+    pinned join-strategy-clean: every remaining join must broadcast; the
+    single nested-loop join allowed is the one-row stats crossJoin."""
+    from meds_polars_functions_spark.operators.retrieval import (
+        _WORDS,
+        _bm25_tf,
+        bm25_topk,
+    )
+    from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = spark.createDataFrame(
         [(0, ["spark", "window"]), (1, ["merge", "sort"])],
         "query_id long, terms array<string>",
     )
+    # the seam: corpus tokens semi-pruned by the broadcast term set
+    # BEFORE the (id, t) exchange
+    words = docs.select(F.col("doc_id").alias("id"), _WORDS(F.col("text")).alias("ws"))
+    term_set = q.select(F.explode("terms").alias("t")).distinct()
+    tf_plan = plan_of(_bm25_tf(words, term_set))
+    assert "BroadcastHashJoin" in tf_plan and "LeftSemi" in tf_plan
+    # the semi prune must sit BELOW the tf aggregation's exchange (the
+    # formatted tree prints parents first, so the semi-join line comes
+    # AFTER the Exchange line that consumes it)
+    tree = tf_plan.split("\n\n", 1)[0].splitlines()
+    exch_at = next(i for i, ln in enumerate(tree) if "Exchange" in ln)
+    semi_at = next(i for i, ln in enumerate(tree) if "LeftSemi" in ln or "BroadcastHashJoin" in ln)
+    assert exch_at < semi_at, "semi prune must execute before the tf exchange"
+    assert "SortMergeJoin" not in tf_plan and "ShuffledHashJoin" not in tf_plan
+
     plan = plan_of(bm25_topk(docs, q, k=5))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan  # dfreq / qterms scoring joins
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # one-row stats side: broadcast nested loop is fine, a shuffled one is not
