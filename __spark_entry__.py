@@ -369,7 +369,7 @@ def q_tokenize_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "patient_id",
         "start_epoch",
         F.concat_ws(
-            ",", F.transform("times_epoch", lambda x: x.cast("string"))
+            ",", F.col("times_epoch").cast("array<string>")
         ).alias("times_epoch"),
     )
 
@@ -921,7 +921,11 @@ def q_embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1352,7 +1356,11 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1372,7 +1380,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 1000)
         .select(
             "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
         )
     )
     out = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.4)
@@ -1392,7 +1400,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 1000)
         .select(
             "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
         )
     )
     dim = len(emb.select("embedding").first()[0])
@@ -1410,7 +1418,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -1434,7 +1446,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = train_ivf_centroids(
         emb, "embedding", n_centroids=8, sample_fraction=1.0, order_col="vec_id"
@@ -1470,7 +1486,11 @@ def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     proj = random_projection(emb, "embedding", in_dim=64, out_dim=16, seed=7).select(
         "vec_id", F.col("projected").alias("embedding")
@@ -1669,7 +1689,11 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     books = train_pq_codebooks(
         emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
@@ -1695,7 +1719,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.similarity import train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = train_ivf_centroids(
         emb, "embedding", n_centroids=8, sample_fraction=1.0, order_col="vec_id"
@@ -3391,7 +3419,11 @@ def q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     books = train_pq_codebooks(
         emb, "embedding", dim=64, m_subspaces=8, n_centroids=16,
@@ -3536,7 +3568,11 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_topk(docs, qt, k=20, tie_round=6)
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qv = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3639,7 +3675,11 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        # native array cast (round 16, guide §4.1): F.transform(...,
+        # cast) is CodegenFallback — interpreted per element over every
+        # corpus vector; cast("array<double>") is the same elementwise
+        # float->double Cast, codegen'd, bit-identical output
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qv = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
