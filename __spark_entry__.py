@@ -3559,8 +3559,8 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meds_polars_functions_spark.operators.similarity import brute_force_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda w: w != ""
+    toks = F.array_remove(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), ""
     )
     qt = docs.filter(F.col("doc_id") < 4).select(
         F.col("doc_id").alias("query_id"), F.slice(toks, 1, 6).alias("terms")

@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORDS = lambda c: F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda w: w != "")  # noqa: E731
+# array_remove instead of a filter(...) lambda (round 16): the HOF is
+# CodegenFallback and forces the subtree interpreted per token.
+_WORDS = lambda c: F.array_remove(F.split(F.lower(c), r"[^a-z0-9']+"), "")  # noqa: E731
 
 
 def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -46,7 +48,7 @@ def init_symbol_table(words: DataFrame) -> DataFrame:
     return words.select(
         "word",
         "freq",
-        F.filter(F.split("word", ""), lambda ch: ch != "").alias("syms"),
+        F.array_remove(F.split("word", ""), "").alias("syms"),
     )
 
 
@@ -247,7 +249,7 @@ def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> D
     tab = words.select(
         "word",
         F.lit(1).alias("freq"),
-        F.filter(F.split("word", ""), lambda ch: ch != "").alias("syms"),
+        F.array_remove(F.split("word", ""), "").alias("syms"),
     )
     groups: list[list[tuple[str, str]]] = []
     cur: list[tuple[str, str]] = []

@@ -82,9 +82,12 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def _words_expr(text_col: str) -> F.Column:
-    """lowercase -> split on non-alphanumerics -> drop empties."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+    """lowercase -> split on non-alphanumerics -> drop empties.
+
+    array_remove, not a filter(...) lambda (round 16): the HOF is
+    CodegenFallback and forces the subtree interpreted per token."""
+    return F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
     )
 
 
@@ -645,8 +648,8 @@ def simhash(text_col: str, bits: int = 64, portable: bool = False) -> F.Column:
         raise ValueError("simhash supports at most 64 bits")
     if portable and bits > 60:
         raise ValueError("portable simhash supports at most 60 bits")
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+    words = F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
     )
     if portable:
         hashes = F.transform(

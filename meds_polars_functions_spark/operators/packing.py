@@ -44,7 +44,7 @@ def pack_sequences(
     window, exactly as a sequential packer would before truncation.
     """
     n_tokens = F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     )
     sharded = df.select(
         F.col(id_col).alias("id"),

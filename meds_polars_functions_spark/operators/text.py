@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORDS = lambda c: F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda w: w != "")  # noqa: E731
+# array_remove instead of a filter(...) lambda (round 16, guide §4.1):
+# the HOF is CodegenFallback and forces the whole split+lower subtree
+# into interpreted eval on every token of every document; removing ""
+# elements is the same set operation as filtering w != "", and the
+# native form whole-stage-codegens (corpus-verified bit-identical).
+_WORDS = lambda c: F.array_remove(F.split(F.lower(c), r"[^a-z0-9']+"), "")  # noqa: E731
 
 # LM scoring join: broadcast the per-pair score table when the distinct
 # (v, w) pair count is provably at or below this bound (~50 B/row ->
@@ -65,7 +70,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 def token_count(text_col: str) -> F.Column:
     """Whitespace token count."""
-    return F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    return F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
 
 
 def bpe_ish_token_count(text_col: str) -> F.Column:
@@ -110,14 +115,68 @@ def _stopword_hits_udf(lang: str = "en"):
     return pandas_udf("long")(hits)
 
 
+def _word_stats_udf(lang: str = "en"):
+    """Arrow-batched word statistics: ONE Python tokenize pass yields
+    struct<n_words int, sum_wlen long, hits long> (word count, summed
+    word length, stopword occurrences). Same tokenizer as ``_WORDS`` /
+    ``_stopword_hits_udf`` (parity-pinned), null text yields null fields.
+
+    Why one struct UDF instead of JVM word expressions (round 16, guide
+    §4.2 + §7.2): quality_filter's pushed-down predicate references
+    n_words in four conjuncts and the two ratios' denominators, and
+    codegen'd FilterExec does NOT common-subexpression-eliminate across
+    conjuncts — each reference re-ran the full split (the interpreted
+    pre-round-16 form was CSE'd, so making the tokenizer codegen-able
+    REGRESSED the gate 2×). A Python-UDF output is extracted to a single
+    ArrowEvalPython evaluation however many times the predicate
+    references it, and the stopword pass was already tokenizing in
+    Python — the word stats now ride along for free."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[^a-z0-9']+")
+    stops = frozenset(STOPWORDS[lang])
+
+    def stats(texts):
+        n_out, len_out, hit_out = [], [], []
+        for t in texts:
+            if t is None:
+                n_out.append(None)
+                len_out.append(None)
+                hit_out.append(None)
+                continue
+            words = [w for w in token_re.split(t.lower()) if w]
+            n_out.append(len(words))
+            len_out.append(sum(len(w) for w in words))
+            hit_out.append(sum(1 for w in words if w in stops))
+        return pd.DataFrame(
+            {
+                "n_words": pd.array(n_out, dtype="Int32"),
+                "sum_wlen": pd.array(len_out, dtype="Int64"),
+                "hits": pd.array(hit_out, dtype="Int64"),
+            }
+        )
+
+    stats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("struct<n_words: int, sum_wlen: long, hits: long>")(
+        stats
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality metrics: lengths, word stats, punctuation /
     digit / uppercase ratios, stopword ratio — the standard cheap quality
-    filters (C4/Gopher-style) as one projection."""
+    filters (C4/Gopher-style) as one projection (word-derived stats from
+    one Arrow pass, see ``_word_stats_udf``)."""
     t = F.col(text_col)
-    words = _WORDS(t)
+    ws = _word_stats_udf("en")(t)
     n_chars = F.length(t)
-    n_words = F.size(words)
+    # coalesce to -1 for null text: size() under the non-ANSI session
+    # returned legacy -1 there (and was therefore non-nullable) — keep
+    # the value AND the nullability bit identical to the expression form
+    n_words = F.coalesce(ws["n_words"], F.lit(-1))
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -125,11 +184,9 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         token_count(text_col).alias("n_tokens_ws"),
         bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
         (
-            # Σ length(w) == length(concat of all w) — native codegen, no
-            # interpreted per-word fold; null text yields null via the
-            # n_words guard exactly as the fold form did
-            F.length(F.concat_ws("", words)).cast("long")
-            / F.when(n_words > 0, n_words)
+            # Σ length(w) over the tokenize pass — same integers the
+            # length(concat_ws) form produced, same long/int division
+            ws["sum_wlen"] / F.when(n_words > 0, n_words)
         ).alias("mean_word_len"),
         (
             F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
@@ -142,7 +199,7 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.when(n_chars > 0, n_chars)
         ).alias("upper_ratio"),
         (
-            _stopword_hits_udf("en")(t) / F.when(n_words > 0, n_words)
+            ws["hits"] / F.when(n_words > 0, n_words)
         ).alias("stopword_ratio"),
     )
 
@@ -316,7 +373,7 @@ def portable_fingerprint(
     correctness oracle; ``doc_fingerprint`` is the fast xxhash64 path)."""
     words = _WORDS(F.col(text_col))
     word_hash = lambda w: F.aggregate(  # noqa: E731
-        F.filter(F.split(w, ""), lambda ch: ch != ""),
+        F.array_remove(F.split(w, ""), ""),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(char_base) + F.ascii(ch)) % F.lit(mod),
     )
