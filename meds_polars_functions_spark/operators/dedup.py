@@ -797,12 +797,14 @@ def connected_components(
     final step of a dedup pipeline: pick min-id per cluster as canonical,
     drop the rest.
 
-    Lineage discipline (same as pagerank, graph.py): every
-    ``checkpoint_every`` rounds the label table is
-    ``localCheckpoint(eager=True)``'d, so plan depth stays O(1) per round
-    instead of growing by two joins per iteration — without the cut, a
-    deep-diameter graph at 100 TB re-analyzes an ever-growing tree and
-    eventually stalls the driver. For corpora whose dup graph has genuinely
+    Lineage discipline (same as pagerank/k-core, graph.py): every round
+    the label table gets a LAZY ``localCheckpoint`` that the convergence
+    probe's own aggregation job materializes, so plan depth stays O(1)
+    per round instead of growing by two joins per iteration — without
+    the cut, a deep-diameter graph at 100 TB re-analyzes an ever-growing
+    tree and eventually stalls the driver. ``checkpoint_every`` is
+    retained for API compatibility but no longer used (the cadence is
+    every round, paid for by the probe job that runs anyway). For corpora whose dup graph has genuinely
     long chains (boilerplate threads), the upgrade path is the
     large-star/small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond"), which converges in O(log n) rounds
@@ -818,11 +820,20 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # LAZY |nodes|-sized checkpoint per round, materialized BY the
+    # convergence probe (round 16 — the kcore/pagerank pattern): the
+    # label table is referenced twice per round (neighbor_min + the left
+    # join), so a per-round lineage cut is required; the probe's
+    # full-table aggregation computes every partition, completing the
+    # cut in the SAME job. Replaces the round-15 persist/eager-cut/
+    # unpersist bookkeeping — one driver action per round instead of
+    # two-plus, and the returned frame is a materialized checkpoint, not
+    # a leaked CacheManager entry.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # convergence probe: per-node labels only ever DECREASE under
     # min-label propagation, so the label sum is strictly monotone until
@@ -849,13 +860,8 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
-        if (it + 1) % checkpoint_every == 0:
-            # cut lineage so plan depth is bounded regardless of diameter
-            new_labels = new_labels.localCheckpoint(eager=True)
-        new_labels = new_labels.persist()
-        s = _label_sum(new_labels)  # also materializes the persist
-        labels.unpersist()
+        ).localCheckpoint(eager=False)
+        s = _label_sum(new_labels)  # materializes the lazy checkpoint
         labels = new_labels
         if s == prev_sum:
             converged = True
