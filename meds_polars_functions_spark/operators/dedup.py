@@ -965,12 +965,17 @@ def connected_components_star(
     prev_sig = _sig(edges)
     converged = False
     for it in range(max_iterations):
-        new_edges = small_star(large_star(edges))
-        if (it + 1) % checkpoint_every == 0:
-            new_edges = new_edges.localCheckpoint(eager=True)
-        new_edges = new_edges.persist()
-        sig = _sig(new_edges)  # also materializes the persist
-        edges.unpersist()
+        # LAZY per-round cut materialized BY the signature probe (round
+        # 16, the connected_components/kcore pattern): the probe's
+        # full-table aggregation computes every partition, completing
+        # the lineage cut in the same job — replaces the per-round
+        # persist/eager-cut/unpersist bookkeeping (one driver action per
+        # round instead of two-plus). ``checkpoint_every`` is retained
+        # for API compatibility; the effective cadence is every round.
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        sig = _sig(new_edges)  # materializes the lazy checkpoint
+        if it == 0:
+            edges.unpersist()  # the initial persisted edge table
         edges = new_edges
         if sig == prev_sig:
             converged = True
