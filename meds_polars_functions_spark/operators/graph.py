@@ -211,9 +211,9 @@ def label_propagation(
     the label, so string ids stay deterministic too.
 
     Scale design (mirrors pagerank above): the undirected edge table is
-    materialized once, pre-partitioned on the neighbor-side join key and
-    persisted — each iteration is one join (labels are |nodes|-sized,
-    edges reuse their exchange) + one (node, label) count agg + one
+    built once, pre-partitioned on the neighbor-side join key — each
+    iteration is one join (labels are |nodes|-sized, edges reuse their
+    exchange via ReusedExchange) + one (node, label) count agg + one
     argmax agg. ``min_by`` is a declarative aggregate, so it resolves
     map-side as a partial aggregate — no window, no sort.
     Lineage is cut with localCheckpoint like the other iterative ops.
@@ -225,26 +225,35 @@ def label_propagation(
     # Round-15 postscript: per-iteration lineage cuts were TRIED here —
     # eager localCheckpoints measured +85% on the interleaved A/B and
     # lazy RDD checkpoints +88% — and REVERTED. Mechanism: a LogicalRDD
-    # erases the partitioning metadata that the persisted `und` frame
-    # carries through InMemoryTableScan, so every iteration re-exchanged
-    # the edge table (and the eager form additionally paid one
-    # sequential driver job per round). The lazy composed plan grows 2^k
-    # subtree copies on paper (163 Exchange nodes at n_iter=3), but the
-    # runtime deduplicates them via ReusedExchange into the SAME work as
-    # the checkpointed form, in ONE job, with `und`'s exchange reused
-    # every round. The every-4th eager checkpoint below still bounds
-    # plan growth for deep loops.
+    # erases the partitioning metadata that the `und` frame carries, so
+    # every iteration re-exchanged the edge table (and the eager form
+    # additionally paid one sequential driver job per round). The lazy
+    # composed plan grows 2^k subtree copies on paper (163 Exchange nodes
+    # at n_iter=3), but the runtime deduplicates them via ReusedExchange
+    # into the SAME work as the checkpointed form, in ONE job, with
+    # `und`'s exchange reused every round. The every-4th eager checkpoint
+    # below still bounds plan growth for deep loops.
+    #
+    # Round-16 postscript: the r15 shape also PERSISTED `und` and the
+    # initial label table, which leaked two CacheManager entries per call
+    # (lazy return = no unpersist point; the ADVICE r13 item 5 class). A
+    # final eager checkpoint + unpersist was tried and measured +158%
+    # (records/ab_r16_lpa.json): eager materialization computes every
+    # column of the full label chain, while the caller's action benefits
+    # from Catalyst pruning through the composed plan. Since ReusedExchange
+    # already deduplicates the und/label subtrees WITHIN the one composed
+    # job, the persists bought nothing there — dropping them fixes the
+    # leak without touching the execution shape (A/B parity, same plan
+    # modulo InMemoryTableScan wrappers).
     und = (
         e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .repartition("d")
-        .persist()
     )
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
     )
     for it in range(n_iter):
         nbr = und.join(

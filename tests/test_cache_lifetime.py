@@ -74,3 +74,22 @@ def test_executed_operator_leaves_no_cache_entries(spark, docs):
     for _ in range(2):
         ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5).collect()
     assert _cache_manager_empty(spark)
+
+
+def test_label_propagation_leaves_no_cache_entries(spark):
+    """Round-16 follow-up: label_propagation returned a lazy frame over
+    its persisted edge/label tables, pinning two CacheManager entries per
+    call forever. The persists are dropped (ReusedExchange already
+    deduplicates those subtrees within the one composed job); labels are
+    unchanged."""
+    from meds_polars_functions_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)] + [(20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    spark.catalog.clearCache()
+    for _ in range(2):
+        out = label_propagation(edges, n_iter=3)
+        assert out.count() == 13
+    assert _cache_manager_empty(spark)
