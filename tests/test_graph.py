@@ -51,6 +51,31 @@ def test_triangle_count_known_graphs(spark):
     assert tri([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]) == 2
 
 
+def test_triangle_count_random_graph_brute_force(spark):
+    """Pin the round-16 edge-iterator rewrite (adjacency intersect
+    instead of the wedge join) against an exhaustive triple loop on a
+    dense random graph — same count, the formulation is execution-only."""
+    import itertools
+    import random
+
+    from meds_polars_functions_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    n = 40
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.3]
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1
+        for u, v, w in itertools.combinations(range(n), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).first()["n_triangles"] == want
+
+
 def test_triangle_orientation_caps_hub_fanout(spark):
     """A star hub (degree n) plus one rim edge has exactly 1 triangle;
     with orientation the hub (highest degree) contributes ZERO wedges —
