@@ -681,6 +681,67 @@ def simhash(text_col: str, bits: int = 64, portable: bool = False) -> F.Column:
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, sig) simhash signature table — bit-identical to
+    ``df.select(id, simhash(...))`` but executed as explode + ONE
+    map-side aggregation instead of nested higher-order lambdas.
+
+    Why (round 16, guide §4.1): the expression form's per-bit
+    ``aggregate`` lambda is CodegenFallback AND re-evaluates its input
+    array per bit, so every word is re-hashed ``bits`` times interpreted
+    — measured 18.7 s single-task for 5000 docs × 55 words × 60 bits at
+    sf0.1. Here each word is hashed ONCE by a codegen expression after an
+    explode, and the per-bit majority is ``bits`` conditional ±1 sums in
+    one hash aggregation (partial map-side, so the exchange carries one
+    row per doc). Signature equality is exact: the same ±1 multiset is
+    summed per bit (integer sum, order-free), ties and the empty/null-text
+    fallbacks produce the same all-zero string (explode_outer emits one
+    null-hash row whose CASE yields −1 per bit, matching the expression
+    form's empty-aggregate 0 → both compare ``> 0`` false). Measured
+    19.3 → 0.9 s on simhash_buckets (interleaved A/B).
+    """
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_words_expr(text_col)).alias("__w__"),
+    )
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("__w__")), 1, 15), 16, 10).cast("long")
+    else:
+        # xxhash64 hashes a NULL input to the seed (it never returns
+        # null), but the explode_outer fallback row for empty/null text
+        # must contribute −1 on every bit like the expression form's
+        # empty aggregate — null-guard so the CASE below sees null
+        h = F.when(F.col("__w__").isNotNull(), F.xxhash64(F.col("__w__")))
+    hc = w.select("id", h.alias("__h__"))
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+    sums = [
+        F.sum(
+            F.when(
+                F.col("__h__").bitwiseAND(F.lit(m).cast("long")) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"__b{i}__")
+        for i, m in enumerate(masks)
+    ]
+    per_bit = hc.groupBy("id").agg(*sums)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"__b{i}__") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+    return per_bit.select("id", sig.alias("sig"))
+
+
 def hamming_distance(sig_a: F.Column, sig_b: F.Column) -> F.Column:
     """Hamming distance between two equal-length bit-strings — native:
     count positions where the characters differ."""
@@ -717,10 +778,13 @@ def simhash_near_dup_pairs(
     # lazy localCheckpoint, not persist (round 16): computed once for the
     # chunk index and both verify sides, with no CacheManager entry left
     # behind for the session to accumulate (ADVICE r15 cache-lifetime
-    # class; same trade as winnow_overlap_pairs' fp table).
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits, portable).alias("sig")
-    ).localCheckpoint(eager=False)
+    # class; same trade as winnow_overlap_pairs' fp table). Signatures
+    # come from simhash_table (explode + map-side bit sums), not the
+    # per-bit interpreted lambda expression — same strings, ~20× less
+    # signature CPU (see simhash_table's docstring).
+    sigs = simhash_table(df, text_col, id_col, bits, portable).localCheckpoint(
+        eager=False
+    )
     chunked = sigs.select(
         "id",
         "sig",
@@ -764,8 +828,8 @@ def simhash_dup_buckets(
     """Docs sharing an identical simhash signature (Hamming distance 0
     buckets). For distance-k tolerance, band the signature into k+1
     chunks and union the bucket joins (standard simhash indexing)."""
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits, portable).alias("simhash")
+    sigs = simhash_table(df, text_col, id_col, bits, portable).withColumnRenamed(
+        "sig", "simhash"
     )
     return (
         sigs.groupBy("simhash")
@@ -1022,7 +1086,12 @@ def embedding_near_dup_pairs(
     side rather than per pair."""
     from .similarity import _dot, _norm
 
-    vecs = df.select(
+    # _spread (round 16): the non-equi pair join is a broadcast nested
+    # loop whose parallelism equals the LEFT side's partition count — a
+    # single-file corpus pinned the whole interpreted-dot pair sweep to
+    # one core (measured 5.8 s single-task at sf0.1; 0.6 s spread). On a
+    # pre-split cluster corpus _spread is a no-op.
+    vecs = _spread(df, None).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("n"),

@@ -460,17 +460,28 @@ def bloom_prefilter(
     per distinct build key).
 
     Build: each build key sets ``num_hashes`` bits; bits pack into
-    64-bit words via ``bit_or`` partial+final aggregation; the non-zero
-    words collapse to a single-row ``map<word_idx, bits>`` that is
-    broadcast. Probe: ``num_hashes`` unrolled native bit tests
-    (xxhash64 → element_at → bitwiseAND), all inside whole-stage
-    codegen, drop rows map-side BEFORE any exchange. Follow with the
-    exact join — results are identical, but the shuffle only carries
-    survivors. This is the manual form of Spark's runtime row-group
-    filtering, usable where the optimizer can't inject it (across a UDF
-    boundary, a pre-staged probe table, or a build side too big to
-    broadcast as a hash relation but fine as ``num_bits/8`` bytes).
+    64-bit words via ``bit_or`` partial+final aggregation; the words are
+    scattered into a DENSE single-row ``array<long>`` (zero-filled via a
+    range outer join) that is broadcast (``num_bits/8`` bytes). Probe:
+    ``num_hashes`` unrolled native bit tests (xxhash64 → element_at →
+    bitwiseAND), all inside whole-stage codegen, drop rows map-side
+    BEFORE any exchange. Follow with the exact join — results are
+    identical, but the shuffle only carries survivors. This is the
+    manual form of Spark's runtime row-group filtering, usable where the
+    optimizer can't inject it (across a UDF boundary, a pre-staged probe
+    table, or a build side too big to broadcast as a hash relation but
+    fine as ``num_bits/8`` bytes).
+
+    Round 16 (guide §1/§4.1): the bitmap was previously a sparse
+    ``map<word, bits>`` — but ``element_at`` on a MapType is a LINEAR
+    SCAN of the map's key array, so every probe row paid
+    ``num_hashes × |set words|`` comparisons (measured 62 s for a 600k ×
+    5 × ~70k-entry probe at sf0.1). ``element_at`` on an ArrayType is an
+    O(1) indexed load; the dense form is the same bits with constant-time
+    probes (interleaved A/B 70.2 → 2.1 s, −97%; results identical — the
+    bit positions and the exact follow-up join are unchanged).
     """
+    nwords = -(-num_bits // 64)
     bits = build.select(
         F.explode(F.array(*_bloom_positions(build_col, num_bits, num_hashes))).alias(
             "__bit__"
@@ -480,22 +491,32 @@ def bloom_prefilter(
         F.floor(F.col("__bit__") / F.lit(64)).alias("__word__"),
         _bit_mask(F.col("__bit__") % 64).alias("__mask__"),
     )
+    wordagg = words.groupBy("__word__").agg(F.bit_or("__mask__").alias("__bits__"))
+    # dense scatter: every word index 0..nwords-1 gets its bits (or 0L),
+    # ordered by word via one sort_array over a single collected row;
+    # GetArrayStructFields extracts the bits array natively.
+    rng = build.sparkSession.range(nwords).select(F.col("id").alias("__word__"))
     bitmap = (
-        words.groupBy("__word__")
-        .agg(F.bit_or("__mask__").alias("__bits__"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__word__", "__bits__"))
-            ).alias("__bloom__")
+        rng.join(wordagg, "__word__", "left")
+        .select(
+            "__word__",
+            F.coalesce("__bits__", F.lit(0).cast("long")).alias("__bits__"),
         )
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__word__", "__bits__"))).alias(
+                "__wb__"
+            )
+        )
+        .select(F.col("__wb__").getField("__bits__").alias("__bloom__"))
     )
     out = probe.join(F.broadcast(bitmap))
     cond = F.lit(True)
     for pos in _bloom_positions(probe_col, num_bits, num_hashes):
+        # element_at is 1-based; pos < num_bits ⇒ word+1 ∈ [1, nwords]
         word = F.floor(pos / F.lit(64))
         mask = _bit_mask(pos % 64)
         hit = (
-            F.coalesce(F.element_at(F.col("__bloom__"), word), F.lit(0).cast("long"))
+            F.element_at(F.col("__bloom__"), (word + 1).cast("int"))
             .bitwiseAND(mask)
             != 0
         )

@@ -1106,8 +1106,14 @@ def _hashed_features(
     text never leaves the scan."""
     from meds_polars_functions_spark.operators.packing import _md5_bucket
 
+    from meds_polars_functions_spark.operators.dedup import _spread
+
     ws = _WORDS(F.col(text_col))
-    docs = df.select(
+    # _spread (round 16): the unigram+bigram feature extraction is the
+    # pipeline's CPU (interpreted zip_with per word) and runs in the
+    # scan stage — a single-file corpus pinned it to one core (measured
+    # 19.6 s single-task at sf0.1). No-op on a pre-split cluster corpus.
+    docs = _spread(df, None).select(
         F.col(id_col).alias("id"),
         F.col(label_col).cast("double").alias("y"),
         ws.alias("ws"),
@@ -1221,40 +1227,67 @@ def blocklist_hits(
     single words AND multi-word phrases — per document.
 
     Phrases of k words are matched against the document's k-word
-    shingle array, so matches are token-exact (no substring false
-    positives: banning "ass" never hits "associate") and counts include
-    overlapping occurrences. Entirely map-side: the blocklist folds into
-    the plan as literal arrays grouped by phrase length, so gating
-    100 TB is a single scan with zero shuffle and zero Python.
+    shingles, so matches are token-exact (no substring false positives:
+    banning "ass" never hits "associate") and counts include overlapping
+    occurrences. Map-side: the blocklist ships inside ONE Arrow-batched
+    UDF closure, so gating 100 TB is a single scan with no corpus
+    shuffle (``_spread`` round-robins a corpus only when it arrives in
+    fewer partitions than the cluster has slots).
+
+    Round 16 (guide §4.2): the previous expression form built every
+    k-word shingle with ``transform(sequence, concat_ws(slice(ws, i,
+    k)))`` — a lambda-variable slice start re-evaluates its SOURCE per
+    position (the documented ``_ngrams_from_words`` trap), and Catalyst
+    collapsed the bound ``ws`` projection back into the consumer AND
+    pushed the whole computation below the spread exchange, so the gate
+    re-tokenized O(positions²) interpreted on one core (measured 9.7 s
+    single-task at sf0.1; this form reads ~0.4 s). The UDF tokenizes
+    once per doc with the same regex and counts set hits in one pass per
+    phrase length — same counts, same int dtype.
 
     Output: ``(id, n_hits)`` for documents with at least one hit — the
     drop list; anti-join it against the corpus to apply the gate."""
-    by_len: dict[int, list[str]] = {}
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from meds_polars_functions_spark.operators.dedup import _spread
+
+    by_len: dict[int, frozenset[str]] = {}
     for term in blocklist:
         words = [w for w in term.lower().split() if w]
         if words:
-            by_len.setdefault(len(words), []).append(" ".join(words))
-    ws = _WORDS(F.col(text_col))
-    docs = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
-    total = F.lit(0)
-    for k, terms in sorted(by_len.items()):
-        lit_terms = F.array(*[F.lit(t) for t in terms])
-        if k == 1:
-            sh = F.col("ws")
-        else:
-            n = F.size("ws") - (k - 1)
-            # sequence(1, 0) would be DESCENDING (the nb==1
-            # repetition_stats trap): clamp the hi bound and gate the
-            # whole shingle array on n >= 1 for short documents
-            sh = F.when(
-                n >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice("ws", i, F.lit(k))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        total = total + F.size(F.filter(sh, lambda s: F.array_contains(lit_terms, s)))
+            by_len[len(words)] = by_len.get(len(words), frozenset()) | {
+                " ".join(words)
+            }
+    lens = sorted(by_len.items())
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    def _n_hits(texts):
+        out = []
+        for t in texts:
+            words = [w for w in token_re.split((t or "").lower()) if w]
+            total = 0
+            for k, terms in lens:
+                if k == 1:
+                    total += sum(1 for w in words if w in terms)
+                else:
+                    total += sum(
+                        1
+                        for i in range(len(words) - k + 1)
+                        if " ".join(words[i : i + k]) in terms
+                    )
+            out.append(total)
+        return pd.Series(out, dtype="int32")
+
+    # future-annotations module: pandas_udf needs real type objects, not
+    # string hints (the language_id workaround above)
+    _n_hits.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    n_hits = pandas_udf("int")(_n_hits)
+
     return (
-        docs.select("id", total.alias("n_hits"))
+        _spread(df, None)
+        .select(F.col(id_col).alias("id"), n_hits(F.col(text_col)).alias("n_hits"))
         .filter(F.col("n_hits") >= 1)
     )

@@ -90,6 +90,34 @@ def test_connected_components_star_deep_chain_logn_rounds(spark):
     assert out == {i: 1 for i in range(1, 66)}
 
 
+def test_simhash_table_matches_expression_form(spark):
+    """Round-16 rewrite pin: simhash_table (explode + map-side bit sums)
+    must emit byte-identical signatures to the per-bit lambda expression
+    it replaced, in both hash modes, including the empty/null-text
+    all-zero fallback (xxhash64 hashes NULL to the seed — the table form
+    null-guards it)."""
+    from meds_polars_functions_spark.operators.dedup import simhash, simhash_table
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+        (6, "one"),
+        (7, "repeat repeat repeat repeat distinct"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable, bits in [(True, 60), (False, 64), (False, 32)]:
+        old = df.select(
+            F.col("doc_id").alias("id"), simhash("text", bits, portable).alias("sig")
+        )
+        new = simhash_table(df, "text", "doc_id", bits, portable)
+        got = {r["id"]: r["sig"] for r in new.collect()}
+        want = {r["id"]: r["sig"] for r in old.collect()}
+        assert got == want, (portable, bits)
+
+
 def test_hamming_and_simhash_banding(spark):
     from meds_polars_functions_spark.operators.dedup import (
         hamming_distance,
