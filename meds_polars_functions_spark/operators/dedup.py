@@ -2528,11 +2528,22 @@ def novelty_scores(
     pairs only (never text). First-owner election is a min agg per hash
     (map-side partial), the per-doc fraction one count agg keyed by id.
     Returns (id, n_shingles, novel, novelty).
+
+    ``_spread`` (round 16): the Arrow shingling pass runs in the scan
+    stage — a single-file corpus pinned it to one core (measured 2.0 s
+    single-task at sf0.1); no-op on a pre-split cluster corpus.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_n, out_col="sh")
-    posts = sh.select(
-        "id", F.explode_outer(F.array_distinct("sh")).alias("g")
-    ).select("id", F.xxhash64("g").alias("h"))  # 64-bit: birthday-safe where 32-bit murmur is not
+    sh = shingle_table(_spread(df, None), text_col, id_col, shingle_n, out_col="sh")
+    # lazy localCheckpoint (round 16): posts feeds BOTH the first-owner
+    # agg and the ownership join, and per-branch column pruning defeats
+    # ReusedExchange — without the cut the scan + Arrow shingling pass
+    # executed twice (profiled: two UDF stages, two spread exchanges).
+    # The stored table is (id, hash) longs only.
+    posts = (
+        sh.select("id", F.explode_outer(F.array_distinct("sh")).alias("g"))
+        .select("id", F.xxhash64("g").alias("h"))  # 64-bit: birthday-safe where 32-bit murmur is not
+        .localCheckpoint(eager=False)
+    )
     first = posts.groupBy("h").agg(F.min("id").alias("__first__"))
     return (
         posts.join(first, "h")
